@@ -1,0 +1,122 @@
+"""Cross-entropy loss with global calibration and chunked logits.
+
+Reference: xtuner/v1/loss/ce_loss.py + chunk_loss.py.
+
+Two properties carried over:
+
+1. **Global loss calibration** (ce_loss.py:125-189): per-token weights are
+   built from the reduction mode, and the denominator is the *global* sum of
+   weights over the whole optimizer batch — so the loss value is invariant to
+   dp/sp/packing layout and gradient-accumulation count. Under GSPMD the
+   "all-reduce over world" is just `jnp.sum` of a globally-sharded array.
+
+2. **Chunked CE** (chunk_loss.py:7-70): the (tokens, vocab) logits matrix is
+   never materialized. The reference uses a custom autograd.Function; here a
+   `lax.scan` over token chunks wrapped in `jax.checkpoint` gives the same
+   memory profile — backward recomputes each chunk's logits.
+
+Weights per reduction mode (loss = sum(w*ce) / sum_global(w)):
+- token:  w = 1 per supervised token
+- sample: w = 1/len(doc)  (each sample contributes equally)
+- square: w = 1/sqrt(len(doc))
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+IGNORE_IDX = -100
+
+
+class CELossConfig(BaseModel):
+    """API analog of reference CELossConfig (ce_loss.py:22)."""
+
+    model_config = ConfigDict(extra="forbid")
+    mode: Literal["eager", "chunk"] = "chunk"
+    chunk_size: int = 1024
+    loss_reduction: Literal["token", "sample", "square"] = "token"
+    ignore_idx: int = IGNORE_IDX
+
+
+def build_loss_weights(shifted_labels: np.ndarray, doc_lens_per_token: np.ndarray,
+                       reduction: str = "token") -> np.ndarray:
+    """Host-side (collator) weight computation.
+
+    shifted_labels: (B, L) int; doc_lens_per_token: (B, L) = number of
+    *supervised* tokens in the token's document (0 for padding).
+    """
+    valid = shifted_labels != IGNORE_IDX
+    if reduction == "token":
+        w = valid.astype(np.float32)
+    elif reduction == "sample":
+        w = np.where(valid, 1.0 / np.maximum(doc_lens_per_token, 1), 0.0).astype(np.float32)
+    elif reduction == "square":
+        w = np.where(valid, 1.0 / np.sqrt(np.maximum(doc_lens_per_token, 1)), 0.0).astype(np.float32)
+    else:
+        raise ValueError(f"Unknown loss reduction {reduction!r}")
+    return w
+
+
+def _ce_from_logits(logits, labels, ignore_idx: int):
+    """logits (N, V) fp32, labels (N,) -> per-token CE with 0 at ignored."""
+    valid = labels != ignore_idx
+    safe_labels = jnp.where(valid, labels, 0)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, safe_labels[:, None], axis=-1)[:, 0]
+    return jnp.where(valid, lse - picked, 0.0)
+
+
+def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
+            cfg: CELossConfig, lm_head_b=None):
+    """Fused LMHead + CE (the reference's LMHead->loss_ctx.forward fusion,
+    lm_head/lm_head.py:20-49).
+
+    hidden: (B, L, H) compute-dtype; lm_head_w: (H, V);
+    shifted_labels/loss_weights: (B, L); global_denom: scalar (sum of weights
+    over the WHOLE optimizer batch, precomputed by the engine).
+
+    Returns (loss, sum_ce, num_tokens): `loss` is calibrated for backward;
+    sum_ce/num_tokens let the trainer log the plain mean CE.
+    """
+    b, l, h = hidden.shape
+    n = b * l
+    hidden = hidden.reshape(n, h)
+    labels = shifted_labels.reshape(n)
+    weights = loss_weights.reshape(n).astype(jnp.float32)
+
+    if cfg.mode == "eager" or n <= cfg.chunk_size:
+        logits = jnp.dot(hidden, lm_head_w, preferred_element_type=jnp.float32)
+        if lm_head_b is not None:
+            logits = logits + lm_head_b
+        ce = _ce_from_logits(logits, labels, cfg.ignore_idx)
+    else:
+        chunk = cfg.chunk_size
+        num_chunks = -(-n // chunk)
+        pad = num_chunks * chunk - n
+        if pad:
+            hidden = jnp.pad(hidden, ((0, pad), (0, 0)))
+            labels = jnp.pad(labels, (0, pad), constant_values=cfg.ignore_idx)
+        hidden = hidden.reshape(num_chunks, chunk, h)
+        labels_c = labels.reshape(num_chunks, chunk)
+
+        @jax.checkpoint
+        def chunk_fn(carry, xs):
+            h_c, lab_c = xs
+            logits = jnp.dot(h_c, lm_head_w, preferred_element_type=jnp.float32)
+            if lm_head_b is not None:
+                logits = logits + lm_head_b
+            return carry, _ce_from_logits(logits, lab_c, cfg.ignore_idx)
+
+        _, ce = jax.lax.scan(chunk_fn, 0.0, (hidden, labels_c))
+        ce = ce.reshape(-1)[:n]
+
+    loss = jnp.sum(ce * weights) / jnp.maximum(global_denom, 1e-8)
+    valid = shifted_labels.reshape(n) != cfg.ignore_idx
+    sum_ce = jnp.sum(ce * valid)
+    num_tokens = jnp.sum(valid)
+    return loss, sum_ce, num_tokens

@@ -1,0 +1,165 @@
+"""Dense decoder-only transformer.
+
+Reference: xtuner/v1/model/dense/dense.py (Dense, 362 LoC) + presets
+(qwen2.py, qwen3.py). TPU redesign: all decoder layers are *stacked* into one
+pytree and iterated with `lax.scan` (one trace/compile regardless of depth)
+with `jax.checkpoint` for per-layer rematerialisation — replacing the
+reference's per-layer FSDP wrapping + checkpoint_wrapper
+(dense/dense.py:187-305).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..checkpoint.spec import HFKey
+from ..loss.ce_loss import ce_loss
+from ..module.attention import MHAConfig, mha_forward, mha_param_specs
+from ..module.mlp import mlp_forward, mlp_param_specs
+from ..module.params import ParamSpec, cast_tree, stack_specs
+from ..module.rope import rope_cos_sin
+from ..ops.rms_norm import rms_norm
+from ..parallel.sharding import NULL_SHARD_CTX, ShardCtx
+from .base import ModelOutputs, TransformerConfig
+
+
+def _remat_policy(name: str):
+    if name == "none":
+        return "none"
+    if name == "full":
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"Unknown remat policy {name!r}")
+
+
+class DenseConfig(TransformerConfig):
+    def build(self) -> "Dense":
+        return Dense(self)
+
+
+class Dense:
+    """Pure-function model: `param_specs()` + `forward()` + `loss()`."""
+
+    def __init__(self, cfg: DenseConfig):
+        self.cfg = cfg
+
+    # ------------------------------------------------------------------
+    def layer_param_specs(self) -> dict:
+        cfg = self.cfg
+        return {
+            "attn": mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale),
+            "mlp": mlp_param_specs(cfg.hidden_size, cfg.intermediate_size, cfg.init_scale, cfg.mlp_bias),
+            "input_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
+            "post_attn_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
+        }
+
+    def param_specs(self) -> dict:
+        cfg = self.cfg
+        specs: dict = {
+            "embed": {"w": ParamSpec((cfg.vocab_size, cfg.hidden_size), ("vocab", "embed_shard"), scale=cfg.init_scale)},
+            "layers": stack_specs(self.layer_param_specs(), cfg.num_hidden_layers),
+            "final_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
+        }
+        if not cfg.tie_word_embeddings:
+            specs["lm_head"] = {"w": ParamSpec((cfg.hidden_size, cfg.vocab_size), ("embed_shard", "vocab"), scale=cfg.init_scale)}
+        return specs
+
+    # ------------------------------------------------------------------
+    def _layer_forward(self, x, lp, cfg, cos, sin, segment_ids, sc, compute_dtype):
+        lp = cast_tree(lp, compute_dtype)
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
+        h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
+                        window=cfg.sliding_window if cfg.use_sliding_window else None,
+                        attn_impl=cfg.attn_impl)
+        x = x + h
+        h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
+        h = mlp_forward(lp["mlp"], h, cfg.hidden_act)
+        x = x + h
+        return sc(x, "batch", "seq", None)
+
+    def forward(self, params, seq_ctx, sc: ShardCtx = NULL_SHARD_CTX,
+                compute_dtype=jnp.bfloat16, remat: str = "full"):
+        """-> final hidden states (B, L, H) in compute dtype."""
+        cfg = self.cfg
+        if seq_ctx.inputs_embeds is not None:
+            x = seq_ctx.inputs_embeds.astype(compute_dtype)
+        else:
+            x = jnp.take(params["embed"]["w"], seq_ctx.input_ids, axis=0).astype(compute_dtype)
+        x = sc(x, "batch", "seq", None)
+        cos, sin = rope_cos_sin(seq_ctx.position_ids, cfg.attention.head_dim, cfg.rope_theta,
+                                cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+        segment_ids = seq_ctx.segment_ids
+
+        def layer_fn(x, lp):
+            return self._layer_forward(x, lp, cfg, cos, sin, segment_ids, sc, compute_dtype), None
+
+        policy = _remat_policy(remat)
+        if policy != "none":
+            layer_fn = jax.checkpoint(layer_fn, policy=policy, prevent_cse=False)
+        x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+        x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
+                     cfg.rms_norm_type == "zero_centered")
+        return x.astype(compute_dtype)
+
+    def lm_head_weight(self, params):
+        if self.cfg.tie_word_embeddings:
+            return params["embed"]["w"].T
+        return params["lm_head"]["w"]
+
+    def loss(self, params, seq_ctx, shifted_labels, loss_weights, global_denom,
+             sc: ShardCtx = NULL_SHARD_CTX, compute_dtype=jnp.bfloat16,
+             remat: str = "full") -> ModelOutputs:
+        hidden = self.forward(params, seq_ctx, sc, compute_dtype, remat)
+        w = self.lm_head_weight(params).astype(compute_dtype)
+        loss, sum_ce, num_tokens = ce_loss(hidden, w, shifted_labels, loss_weights,
+                                           global_denom, self.cfg.lm_loss_cfg)
+        return ModelOutputs(loss=loss, sum_ce=sum_ce, num_tokens=num_tokens)
+
+    # ------------------------------------------------------------------
+    # HF interop (reference: to_hf_key_list converters, dense presets)
+    # ------------------------------------------------------------------
+    def hf_key_map(self) -> dict:
+        cfg = self.cfg
+        attn: dict = {
+            "q_proj": {"w": HFKey("model.layers.{layer}.self_attn.q_proj.weight", "linear")},
+            "k_proj": {"w": HFKey("model.layers.{layer}.self_attn.k_proj.weight", "linear")},
+            "v_proj": {"w": HFKey("model.layers.{layer}.self_attn.v_proj.weight", "linear")},
+            "o_proj": {"w": HFKey("model.layers.{layer}.self_attn.o_proj.weight", "linear")},
+        }
+        if cfg.attention.qkv_bias:
+            attn["q_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.q_proj.bias")
+            attn["k_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.k_proj.bias")
+            attn["v_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.v_proj.bias")
+        if cfg.attention.o_bias:
+            attn["o_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.o_proj.bias")
+        if cfg.attention.qk_norm:
+            attn["q_norm"] = HFKey("model.layers.{layer}.self_attn.q_norm.weight")
+            attn["k_norm"] = HFKey("model.layers.{layer}.self_attn.k_norm.weight")
+        if cfg.attention.with_sinks:
+            attn["sinks"] = HFKey("model.layers.{layer}.self_attn.sinks")
+        keymap: dict = {
+            "embed": {"w": HFKey("model.embed_tokens.weight")},
+            "layers": {
+                "attn": attn,
+                "mlp": {
+                    "gate_proj": {"w": HFKey("model.layers.{layer}.mlp.gate_proj.weight", "linear")},
+                    "up_proj": {"w": HFKey("model.layers.{layer}.mlp.up_proj.weight", "linear")},
+                    "down_proj": {"w": HFKey("model.layers.{layer}.mlp.down_proj.weight", "linear")},
+                },
+                "input_norm": HFKey("model.layers.{layer}.input_layernorm.weight"),
+                "post_attn_norm": HFKey("model.layers.{layer}.post_attention_layernorm.weight"),
+            },
+            "final_norm": HFKey("model.norm.weight"),
+        }
+        if cfg.mlp_bias:
+            keymap["layers"]["mlp"]["gate_proj"]["b"] = HFKey("model.layers.{layer}.mlp.gate_proj.bias")
+            keymap["layers"]["mlp"]["up_proj"]["b"] = HFKey("model.layers.{layer}.mlp.up_proj.bias")
+            keymap["layers"]["mlp"]["down_proj"]["b"] = HFKey("model.layers.{layer}.mlp.down_proj.bias")
+        if not cfg.tie_word_embeddings:
+            keymap["lm_head"] = {"w": HFKey("lm_head.weight", "linear")}
+        return keymap

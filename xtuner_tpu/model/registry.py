@@ -1,0 +1,42 @@
+"""Model registry: name -> config factory.
+
+Reference: model_mapping + get_model_config_from_hf (xtuner/v1/model/__init__.py:31-80).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable
+
+from . import qwen
+
+model_mapping: dict[str, Callable] = {
+    "qwen2-5-0.5b": qwen.qwen2_5_0_5b,
+    "qwen2-7b": qwen.qwen2_7b,
+    "qwen3-0-6b": qwen.qwen3_0_6b,
+    "qwen3-4b": qwen.qwen3_4b,
+    "qwen3-8b": qwen.qwen3_8b,
+}
+
+
+def register_model(name: str, factory: Callable) -> None:
+    model_mapping[name] = factory
+
+
+def get_model_config(name_or_path: str):
+    """Resolve a registry name or an HF checkpoint directory to a model config."""
+    if name_or_path in model_mapping:
+        return model_mapping[name_or_path]()
+    path = Path(name_or_path)
+    if path.exists() and (path / "config.json").exists():
+        from transformers import AutoConfig
+
+        hf_cfg = AutoConfig.from_pretrained(path, trust_remote_code=True)
+        if getattr(hf_cfg, "model_type", "") in ("qwen3_moe",):
+            from .moe import moe_config_from_hf
+
+            return moe_config_from_hf(hf_cfg)
+        return qwen.dense_config_from_hf(hf_cfg)
+    raise KeyError(
+        f"Unknown model {name_or_path!r}; known: {sorted(model_mapping)} or an HF checkpoint dir"
+    )

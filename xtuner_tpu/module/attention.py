@@ -1,0 +1,98 @@
+"""Multi-head (GQA) attention module.
+
+Reference: xtuner/v1/module/attention/mha.py (MultiHeadAttention, 475 LoC):
+GQA with qk-norm, optional output gate and GPT-OSS sinks, with Ulysses SP
+inlined as explicit all_to_alls. Here the module is a pure function; Ulysses
+is two sharding-constraint flips (seq-sharded -> head-sharded and back) that
+GSPMD lowers to ICI all_to_all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from pydantic import BaseModel, ConfigDict
+
+from ..ops.attention import attention
+from ..ops.rms_norm import rms_norm
+from ..ops.rotary import apply_rotary_emb
+from ..parallel.sharding import ShardCtx
+from .params import ParamSpec
+
+
+class MHAConfig(BaseModel):
+    """Mirrors the reference MHAConfig surface (module/attention/mha.py)."""
+
+    model_config = ConfigDict(extra="forbid")
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    qk_norm: bool = False
+    qkv_bias: bool = False
+    o_bias: bool = False
+    sliding_window: Optional[int] = None  # applied per-layer by the model
+    with_sinks: bool = False
+    rms_norm_eps: float = 1e-6
+    # dims of the projections
+    def q_dim(self) -> int:
+        return self.num_attention_heads * self.head_dim
+
+    def kv_dim(self) -> int:
+        return self.num_key_value_heads * self.head_dim
+
+
+def mha_param_specs(cfg: MHAConfig, hidden_size: int, init_scale: float = 0.02) -> dict:
+    specs: dict = {
+        "q_proj": {"w": ParamSpec((hidden_size, cfg.q_dim()), ("embed_shard", "heads"), scale=init_scale)},
+        "k_proj": {"w": ParamSpec((hidden_size, cfg.kv_dim()), ("embed_shard", "kv_heads"), scale=init_scale)},
+        "v_proj": {"w": ParamSpec((hidden_size, cfg.kv_dim()), ("embed_shard", "kv_heads"), scale=init_scale)},
+        "o_proj": {"w": ParamSpec((cfg.q_dim(), hidden_size), ("heads", "embed_shard"), scale=init_scale)},
+    }
+    if cfg.qkv_bias:
+        specs["q_proj"]["b"] = ParamSpec((cfg.q_dim(),), ("heads",), init="zeros")
+        specs["k_proj"]["b"] = ParamSpec((cfg.kv_dim(),), ("kv_heads",), init="zeros")
+        specs["v_proj"]["b"] = ParamSpec((cfg.kv_dim(),), ("kv_heads",), init="zeros")
+    if cfg.o_bias:
+        specs["o_proj"]["b"] = ParamSpec((hidden_size,), (None,), init="zeros")
+    if cfg.qk_norm:
+        specs["q_norm"] = ParamSpec((cfg.head_dim,), (None,), init="ones")
+        specs["k_norm"] = ParamSpec((cfg.head_dim,), (None,), init="ones")
+    if cfg.with_sinks:
+        specs["sinks"] = ParamSpec((cfg.num_attention_heads,), ("heads",), init="zeros")
+    return specs
+
+
+def _linear(x, p):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
+                sc: ShardCtx, window: Optional[int] = None, attn_impl: Optional[str] = None):
+    """x: (B, L, hidden) -> (B, L, hidden)."""
+    b, l, _ = x.shape
+    q = _linear(x, p["q_proj"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
+    k = _linear(x, p["k_proj"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
+    v = _linear(x, p["v_proj"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+
+    q, k = apply_rotary_emb(q, k, cos, sin)
+
+    # Ulysses: re-shard seq->heads going into attention (all_to_all over sp)
+    q = sc(q, "batch", None, "act_heads", None)
+    k = sc(k, "batch", None, "act_heads", None)
+    v = sc(v, "batch", None, "act_heads", None)
+
+    sinks = p["sinks"] if cfg.with_sinks else None
+    o = attention(q, k, v, segment_ids, causal=True, window=window, sinks=sinks, impl=attn_impl)
+
+    # Ulysses: back to seq-sharded
+    o = sc(o, "batch", "seq", None, None)
+    o = o.reshape(b, l, cfg.q_dim())
+    return _linear(o, p["o_proj"])

@@ -1,0 +1,99 @@
+"""Rotary embedding frequency computation + scaling variants.
+
+Reference: xtuner/v1/module/rope/rope.py (RopeScalingConfig types
+default/linear/dynamic/yarn/llama3, RotaryEmbedding :293). Computed on the fly
+from position ids — no cached buffers; XLA constant-folds the inv_freq math.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Literal, Optional
+
+import jax.numpy as jnp
+from pydantic import BaseModel, ConfigDict
+
+
+class RopeScalingConfig(BaseModel):
+    """Mirrors the reference RopeScalingConfig surface (rope.py:33-78)."""
+
+    model_config = ConfigDict(extra="forbid")
+    rope_type: Literal["default", "linear", "dynamic", "yarn", "llama3"] = "default"
+    factor: float = 1.0
+    # yarn
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    mscale: float = 1.0
+    mscale_all_dim: float = 0.0
+    original_max_position_embeddings: Optional[int] = None
+    # llama3
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+
+
+def _base_inv_freq(head_dim: int, theta: float):
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def compute_inv_freq_and_scale(head_dim: int, theta: float,
+                               scaling: Optional[RopeScalingConfig] = None,
+                               max_position_embeddings: int = 4096):
+    """Returns (inv_freq (head_dim//2,), attention_scaling scalar)."""
+    inv_freq = _base_inv_freq(head_dim, theta)
+    if scaling is None or scaling.rope_type == "default":
+        return inv_freq, 1.0
+    if scaling.rope_type == "linear":
+        return inv_freq / scaling.factor, 1.0
+    if scaling.rope_type == "dynamic":
+        # NTK-aware: rescale theta for the training max length
+        base = theta * (scaling.factor ** (head_dim / (head_dim - 2)))
+        return _base_inv_freq(head_dim, base), 1.0
+    if scaling.rope_type == "llama3":
+        orig = scaling.original_max_position_embeddings or max_position_embeddings
+        low_wl = orig / scaling.low_freq_factor
+        high_wl = orig / scaling.high_freq_factor
+        wavelen = 2 * math.pi / inv_freq
+        smooth = (orig / wavelen - scaling.low_freq_factor) / (
+            scaling.high_freq_factor - scaling.low_freq_factor
+        )
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = inv_freq / scaling.factor
+        blended = (1 - smooth) * scaled + smooth * inv_freq
+        out = jnp.where(wavelen > low_wl, scaled, jnp.where(wavelen < high_wl, inv_freq, blended))
+        return out, 1.0
+    if scaling.rope_type == "yarn":
+        orig = scaling.original_max_position_embeddings or max_position_embeddings
+
+        def find_dim(num_rot):
+            return (head_dim * math.log(orig / (num_rot * 2 * math.pi))) / (2 * math.log(theta))
+
+        low = max(math.floor(find_dim(scaling.beta_fast)), 0)
+        high = min(math.ceil(find_dim(scaling.beta_slow)), head_dim // 2 - 1)
+        ramp = jnp.clip(
+            (jnp.arange(head_dim // 2, dtype=jnp.float32) - low) / max(high - low, 1e-3), 0, 1
+        )
+        inv_freq_interp = inv_freq / scaling.factor
+        out = inv_freq_interp * ramp + inv_freq * (1 - ramp)
+
+        def get_mscale(scale, m):
+            if scale <= 1 or m == 0:
+                return 1.0
+            return 0.1 * m * math.log(scale) + 1.0
+
+        att_scale = get_mscale(scaling.factor, scaling.mscale) / get_mscale(
+            scaling.factor, scaling.mscale_all_dim
+        ) if scaling.mscale_all_dim else get_mscale(scaling.factor, scaling.mscale)
+        return out, float(att_scale)
+    raise ValueError(f"Unknown rope_type {scaling.rope_type}")
+
+
+def rope_cos_sin(position_ids, head_dim: int, theta: float,
+                 scaling: Optional[RopeScalingConfig] = None,
+                 max_position_embeddings: int = 4096):
+    """position_ids (B, L) int32 -> cos, sin (B, L, head_dim) fp32."""
+    inv_freq, att_scale = compute_inv_freq_and_scale(
+        head_dim, theta, scaling, max_position_embeddings
+    )
+    freqs = position_ids.astype(jnp.float32)[:, :, None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb) * att_scale, jnp.sin(emb) * att_scale

@@ -1,0 +1,153 @@
+"""Device mesh + logical-axis sharding.
+
+TPU-native replacement for the reference's FSDP2/DTensor runtime
+(xtuner/v1/config/fsdp.py, xtuner/v1/model/moe/moe.py:1342-1429): instead of
+wrapping modules with `fully_shard` and hand-building `(fsdp, ep)` DTensor
+meshes, we declare ONE global `jax.sharding.Mesh` and annotate every parameter
+and activation with *logical* axis names translated to mesh axes by a rules
+table (GSPMD then inserts all collectives).
+
+Mesh axes, outermost first:
+
+- ``dp``    pure data-parallel replicas (the reference's HSDP replicate dim)
+- ``fsdp``  data-parallel + parameter-sharding axis (ZeRO-3 / FSDP analog)
+- ``ep``    expert parallel: expert weights sharded, other params replicated,
+            tokens data-parallel (matches moe.py:1415-1429 semantics)
+- ``sp``    Ulysses sequence parallel: activations sharded on seq, attention
+            re-shards heads<->seq via all_to_all
+- ``tp``    tensor parallel (rarely needed; FSDP-first design like the reference)
+
+world = dp * fsdp * ep * sp * tp.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from pydantic import BaseModel, ConfigDict
+
+MESH_AXES = ("dp", "fsdp", "ep", "sp", "tp")
+
+# Logical axis -> physical mesh axes. A logical name may map to one mesh axis,
+# a tuple of mesh axes (dims multiply), or None (replicated).
+DEFAULT_SHARDING_RULES: tuple[tuple[str, Any], ...] = (
+    # data / activations
+    ("batch", ("dp", "fsdp", "ep")),  # packed rows: every non-sp/tp device is data-parallel
+    ("seq", "sp"),
+    ("act_embed", None),
+    ("act_heads", ("sp", "tp")),  # heads axis *inside* attention (Ulysses re-shard)
+    ("act_mlp", "tp"),
+    ("act_vocab", "tp"),
+    # weights (non-expert): one dim carries the FSDP shard
+    ("embed_shard", "fsdp"),
+    ("vocab", "tp"),
+    ("heads", "tp"),
+    ("mlp", "tp"),
+    ("kv_heads", "tp"),
+    ("qk_dim", None),
+    ("layers", None),
+    ("norm", None),
+    # expert weights
+    ("experts", "ep"),
+    ("expert_in", "fsdp"),
+    ("expert_out", None),
+)
+
+
+class MeshConfig(BaseModel):
+    """Parallelism layout. API analog of the reference's FSDPConfig
+    (xtuner/v1/config/fsdp.py) reinterpreted for GSPMD."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    dp_size: int = 1  # HSDP replicate dim; -1 = absorb remaining devices
+    fsdp_size: int = -1  # -1 = absorb all remaining devices
+    ep_size: int = 1
+    sp_size: int = 1
+    tp_size: int = 1
+    # logical->physical overrides, e.g. [("mlp", "fsdp")]
+    sharding_rules: list[tuple[str, Any]] = []
+    # mixed precision (reference MixedPrecisionPolicy analog)
+    param_dtype: str = "bfloat16"  # compute dtype for params
+    reduce_dtype: str = "float32"  # grad accumulation dtype
+    # per-layer rematerialisation (reference recompute_ratio, moe.py:1445-1503)
+    recompute_ratio: float = 1.0
+    remat_policy: str = "full"  # full | dots | none (jax.checkpoint policies)
+
+    def resolved_sizes(self, n_devices: int) -> dict[str, int]:
+        sizes = {
+            "dp": self.dp_size,
+            "fsdp": self.fsdp_size,
+            "ep": self.ep_size,
+            "sp": self.sp_size,
+            "tp": self.tp_size,
+        }
+        fixed = math.prod(v for v in sizes.values() if v != -1)
+        free = [k for k, v in sizes.items() if v == -1]
+        if len(free) > 1:
+            raise ValueError(f"At most one mesh axis may be -1, got {free}")
+        if free:
+            if n_devices % fixed != 0:
+                raise ValueError(f"{n_devices} devices not divisible by fixed axes product {fixed}")
+            sizes[free[0]] = n_devices // fixed
+        if math.prod(sizes.values()) != n_devices:
+            raise ValueError(f"mesh sizes {sizes} do not multiply to device count {n_devices}")
+        return sizes
+
+    def rules(self) -> dict[str, Any]:
+        rules = dict(DEFAULT_SHARDING_RULES)
+        rules.update(dict(self.sharding_rules))
+        return rules
+
+
+def build_mesh(config: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    sizes = config.resolved_sizes(len(devices))
+    shape = tuple(sizes[a] for a in MESH_AXES)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def logical_to_physical(spec: P | Sequence[Any], rules: dict[str, Any]) -> P:
+    """Translate a PartitionSpec of logical names into mesh-axis names.
+
+    Entries may be a logical name, a tuple of logical names (their mesh axes
+    concatenate), or None.
+    """
+    out: list[Any] = []
+    used: set[str] = set()
+    for entry in spec:
+        if entry is None:
+            out.append(None)
+            continue
+        names = entry if isinstance(entry, tuple) else (entry,)
+        axes: list[str] = []
+        for name in names:
+            phys = rules.get(name, None) if isinstance(name, str) else name
+            if phys is None:
+                continue
+            for ax in phys if isinstance(phys, tuple) else (phys,):
+                if ax in used:
+                    raise ValueError(f"mesh axis {ax!r} used twice in spec {tuple(spec)}")
+                used.add(ax)
+                axes.append(ax)
+        if not axes:
+            out.append(None)
+        elif len(axes) == 1:
+            out.append(axes[0])
+        else:
+            out.append(tuple(axes))
+    return P(*out)
+
+
+def named_sharding(mesh: Mesh, logical_spec: P | Sequence[Any], rules: dict[str, Any]) -> NamedSharding:
+    return NamedSharding(mesh, logical_to_physical(logical_spec, rules))
+
+
+def with_logical_constraint(x, logical_spec: P | Sequence[Any], mesh: Mesh, rules: dict[str, Any]):
+    """`lax.with_sharding_constraint` in logical-axis terms."""
+    return jax.lax.with_sharding_constraint(x, named_sharding(mesh, logical_spec, rules))
