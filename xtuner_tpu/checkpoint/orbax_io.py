@@ -1,0 +1,100 @@
+"""Sharded checkpoint save/resume via Orbax.
+
+Reference: the DCP layer (xtuner/v1/engine/train_engine.py:323-536 — sync/async
+dcp.save, .incomplete commit-rename, shm-staged writer, gloo side channel) plus
+the trainer's `.xtuner` meta bookkeeping (trainer.py:120-245,1251-1424).
+Orbax subsumes the machinery: async array writes, atomic finalization, and
+resharding-on-restore are built in; we keep the same layering (model state,
+optimizer state, dataloader/meta json, max-keep GC).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..utils.logger import get_logger
+
+logger = get_logger()
+
+
+class TrainCheckpointManager:
+    def __init__(self, work_dir: str | Path, max_keep: Optional[int] = None,
+                 async_save: bool = True):
+        self.ckpt_dir = Path(work_dir) / "checkpoints"
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.max_keep = max_keep
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler()) if async_save \
+            else ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+    def _step_dir(self, step: int) -> Path:
+        return self.ckpt_dir / f"step-{step}"
+
+    def list_steps(self) -> list[int]:
+        steps = []
+        for p in self.ckpt_dir.glob("step-*"):
+            if (p / "train_state.json").exists():  # only committed checkpoints
+                steps.append(int(p.name.split("-")[1]))
+        return sorted(steps)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.list_steps()
+        return steps[-1] if steps else None
+
+    # ------------------------------------------------------------------
+    def save(self, step: int, params, opt_state, train_state: dict[str, Any],
+             dataloader_state: Optional[dict] = None) -> None:
+        step_dir = self._step_dir(step)
+        self._ckptr.wait_until_finished() if hasattr(self._ckptr, "wait_until_finished") else None
+        self._ckptr.save(step_dir / "params", params, force=True)
+        self._ckptr.save(step_dir / "opt_state", opt_state, force=True)
+        # block so the json "commit marker" is only written after arrays land
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
+        if dataloader_state is not None:
+            (step_dir / "dataloader_state.json").write_text(json.dumps(dataloader_state))
+        (step_dir / "train_state.json").write_text(json.dumps(train_state))
+        logger.info(f"saved checkpoint step {step} -> {step_dir}")
+        self._gc()
+
+    def _gc(self) -> None:
+        if self.max_keep is None:
+            return
+        steps = self.list_steps()
+        for step in steps[: -self.max_keep]:
+            shutil.rmtree(self._step_dir(step), ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    def restore(self, step: int, params_template, opt_template):
+        """Templates: concrete sharded pytrees (current params/opt_state);
+        restored arrays are placed back onto each template leaf's sharding."""
+        import numpy as np
+
+        step_dir = self._step_dir(step)
+        restorer = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+        def load(subdir: str, template):
+            args = jax.tree.map(lambda x: ocp.RestoreArgs(restore_type=np.ndarray), template)
+            host = restorer.restore(step_dir / subdir, item=template, restore_args=args)
+            return jax.tree.map(
+                lambda h, t: jax.device_put(jnp_cast(h, t), t.sharding), host, template
+            )
+
+        def jnp_cast(h, t):
+            return h.astype(t.dtype) if hasattr(t, "dtype") and h.dtype != t.dtype else h
+
+        params = load("params", params_template)
+        opt_state = load("opt_state", opt_template)
+        train_state = json.loads((step_dir / "train_state.json").read_text())
+        dl_path = step_dir / "dataloader_state.json"
+        dataloader_state = json.loads(dl_path.read_text()) if dl_path.exists() else None
+        return params, opt_state, train_state, dataloader_state
+
+    def wait(self) -> None:
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()

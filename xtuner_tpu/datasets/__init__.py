@@ -1,0 +1,17 @@
+from .config import DataloaderConfig, DatasetConfig
+from .dataloader import Dataloader
+from .jsonl import JsonlDataset
+from .packing import SoftPackDataset
+from .sampler import ParallelSampler
+from .tokenize_fns import OpenaiSFTTokenizeFn, PretrainTokenizeFn
+
+__all__ = [
+    "DataloaderConfig",
+    "DatasetConfig",
+    "Dataloader",
+    "JsonlDataset",
+    "SoftPackDataset",
+    "ParallelSampler",
+    "OpenaiSFTTokenizeFn",
+    "PretrainTokenizeFn",
+]

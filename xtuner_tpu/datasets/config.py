@@ -1,0 +1,69 @@
+"""Dataset/dataloader configs.
+
+Reference: xtuner/v1/datasets/config.py (DatasetConfig/DataloaderConfig
+:277-379 — `build()` assembles datasets -> pack -> sampler -> dataloader).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Literal, Optional
+
+from pydantic import BaseModel, ConfigDict
+
+from .dataloader import Dataloader
+from .jsonl import JsonlDataset
+from .packing import HardPackDataset, SoftPackDataset
+from .sampler import ParallelSampler
+from .tokenize_fns import OpenaiSFTTokenizeFn, PretrainTokenizeFn
+
+
+class DatasetConfig(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    anno_path: str  # jsonl file or directory of jsonl files
+    name: str = ""
+    sample_ratio: float = 1.0
+    class_name: Literal["openai_sft", "pretrain"] = "openai_sft"
+    chat_template: str = "qwen"
+    max_length: Optional[int] = None
+
+
+class DataloaderConfig(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    datasets: list[DatasetConfig]
+    pack_max_length: int = 16384
+    pack_level: Literal["soft", "hard", "none"] = "soft"
+    num_workers: int = 0  # host prefetch threads (0 = synchronous)
+    cache_dir: Optional[str] = None
+    loss_reduction: Literal["token", "sample", "square"] = "token"
+    seed: int = 0
+    shuffle: bool = True
+
+    def build(self, tokenizer, global_batch_rows: int, micro_batch_rows: int) -> Dataloader:
+        datasets = []
+        for ds_cfg in self.datasets:
+            path = Path(ds_cfg.anno_path)
+            files = sorted(path.glob("*.jsonl")) if path.is_dir() else [path]
+            for f in files:
+                if ds_cfg.class_name == "openai_sft":
+                    fn = OpenaiSFTTokenizeFn(tokenizer, ds_cfg.chat_template, ds_cfg.max_length)
+                else:
+                    fn = PretrainTokenizeFn(tokenizer, max_length=ds_cfg.max_length)
+                datasets.append(
+                    JsonlDataset(f, fn, cache_dir=self.cache_dir,
+                                 sample_ratio=ds_cfg.sample_ratio, name=ds_cfg.name or f.stem)
+                )
+        if not datasets:
+            raise ValueError("No datasets found")
+        if self.pack_level == "soft":
+            packed = SoftPackDataset(datasets, self.pack_max_length, seed=self.seed)
+        elif self.pack_level == "hard":
+            packed = HardPackDataset(datasets, self.pack_max_length, seed=self.seed)
+        else:
+            packed = SoftPackDataset(datasets, self.pack_max_length, seed=self.seed)
+        sampler = ParallelSampler(len(packed), seed=self.seed, shuffle=self.shuffle)
+        return Dataloader(
+            packed, sampler, pack_max_length=self.pack_max_length,
+            global_batch_rows=global_batch_rows, micro_batch_rows=micro_batch_rows,
+            loss_reduction=self.loss_reduction, num_workers=self.num_workers,
+        )

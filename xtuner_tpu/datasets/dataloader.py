@@ -1,0 +1,71 @@
+"""Dataloader: yields (A, B, L) numpy step-batches with resume state.
+
+Reference: xtuner/v1/datasets/dataloader.py (BaseDataloader/Dataloader with
+load_state_dict/get_state_dict for mid-epoch resume). One "step batch" feeds
+one optimizer step: A = grad-accum micro-batches x B = packed rows each.
+A background thread keeps `prefetch` batches ready so host tokenization
+overlaps device compute (the reference uses torch dataloader worker procs).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .collator import sft_llm_collator
+
+
+class Dataloader:
+    def __init__(self, packed_dataset, sampler, pack_max_length: int,
+                 global_batch_rows: int, micro_batch_rows: int,
+                 loss_reduction: str = "token", num_workers: int = 0, prefetch: int = 2):
+        if global_batch_rows % micro_batch_rows != 0:
+            raise ValueError("global_batch_rows must be divisible by micro_batch_rows")
+        self.dataset = packed_dataset
+        self.sampler = sampler
+        self.pack_max_length = pack_max_length
+        self.global_batch_rows = global_batch_rows
+        self.micro_batch_rows = micro_batch_rows
+        self.grad_accum = global_batch_rows // micro_batch_rows
+        self.loss_reduction = loss_reduction
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._sampler_iter = iter(self.sampler)
+        self._queue: Optional[queue.Queue] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def __len__(self) -> int:
+        return max(len(self.dataset) // self.global_batch_rows, 1)
+
+    def _next_batch(self) -> dict[str, np.ndarray]:
+        rows = [self.dataset[next(self._sampler_iter)] for _ in range(self.global_batch_rows)]
+        batch = sft_llm_collator(rows, self.pack_max_length, self.loss_reduction)
+        a, b = self.grad_accum, self.micro_batch_rows
+        return {k: v.reshape(a, b, -1) for k, v in batch.items()}
+
+    def _worker(self):
+        while True:
+            self._queue.put(self._next_batch())
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            if self._thread is None:
+                self._queue = queue.Queue(maxsize=self.prefetch)
+                self._thread = threading.Thread(target=self._worker, daemon=True)
+                self._thread.start()
+            while True:
+                yield self._queue.get()
+        else:
+            while True:
+                yield self._next_batch()
+
+    # ------------------------------------------------------------------
+    def get_state_dict(self) -> dict:
+        return {"sampler": self.sampler.get_state_dict()}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.sampler.load_state_dict(state["sampler"])
+        self._sampler_iter = iter(self.sampler)

@@ -1,0 +1,231 @@
+"""TrainEngine: owns model params + optimizer state; one compiled step.
+
+Reference: xtuner/v1/engine/train_engine.py (TrainEngine :139 — grad-accum
+loop with per-micro-batch backward, mesh-aware grad-norm clipping, NaN step
+skipping, fp8 scale precompute). TPU redesign: ONE jitted function performs
+the whole optimizer step — `lax.scan` over micro-batches accumulates fp32
+grads, the global-norm clip is a plain `optax.global_norm` (grads are global
+arrays; the reference's placement-aware `_NormPartial` machinery in
+utils/grad_norm.py disappears), and non-finite steps are skipped with
+`lax.cond`. Params and optimizer state are donated, so memory = the
+steady-state reference layout (fp32 master + m + v + fp32 grads).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from pydantic import BaseModel, ConfigDict
+
+from ..config.optim import LRConfig, OptimConfig, build_lr_schedule, build_optimizer
+from ..data_proto import SequenceContext
+from ..model.base import TransformerConfig
+from ..module.params import count_params, init_params, param_shardings
+from ..parallel.mesh import MeshConfig, build_mesh, named_sharding
+from ..parallel.sharding import ShardCtx
+from ..utils.logger import get_logger
+
+logger = get_logger()
+
+
+class EngineConfig(BaseModel):
+    """Analog of reference EngineConfig (engine/config.py:17-28)."""
+
+    model_config = ConfigDict(extra="forbid", arbitrary_types_allowed=True)
+    model_cfg: Any
+    optim_cfg: OptimConfig
+    lr_cfg: LRConfig = LRConfig()
+    mesh_cfg: MeshConfig = MeshConfig()
+
+
+class TrainEngine:
+    def __init__(self, model_cfg: TransformerConfig, optim_cfg: OptimConfig,
+                 lr_cfg: LRConfig, mesh_cfg: MeshConfig, total_steps: int,
+                 mesh: Optional[Mesh] = None):
+        self.model_cfg = model_cfg
+        self.optim_cfg = optim_cfg
+        self.mesh_cfg = mesh_cfg
+        self.mesh = mesh if mesh is not None else build_mesh(mesh_cfg)
+        self.rules = mesh_cfg.rules()
+        self.sc = ShardCtx(self.mesh, self.rules)
+        self.model = model_cfg.build()
+        self.specs = self.model.param_specs()
+        self.shardings = param_shardings(self.specs, self.mesh, self.rules)
+        self.compute_dtype = jnp.dtype(mesh_cfg.param_dtype)
+        self.tx = build_optimizer(optim_cfg, lr_cfg, total_steps)
+        self.lr_schedule = build_lr_schedule(optim_cfg, lr_cfg, total_steps)
+        self.params = None
+        self.opt_state = None
+        self._step_fn = None
+        # (A, B, L) batch arrays: micro-batch dim replicated, batch over data axes, seq over sp
+        self.batch_sharding = named_sharding(self.mesh, P(None, "batch", "seq"), self.rules)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_params(self) -> int:
+        return count_params(self.specs)
+
+    def init_random(self, seed: int = 0) -> None:
+        """Distributed random init: jit with out_shardings so every shard is
+        initialized on its own device (the meta-device-then-shard dance of the
+        reference, train_engine.py:170-178, is a single jit here)."""
+        rng = jax.random.key(seed)
+        init = jax.jit(functools.partial(init_params, self.specs), out_shardings=self.shardings)
+        self.params = init(rng)
+        self.init_optimizer()
+
+    def init_optimizer(self) -> None:
+        """Optimizer state gets explicit NamedShardings: moment buffers are
+        co-sharded with their parameters (shape-matched), scalars replicated —
+        so checkpoint metadata round-trips and every array has a global layout."""
+        self.opt_state_shardings = self._opt_state_shardings()
+        self.opt_state = jax.jit(self.tx.init, out_shardings=self.opt_state_shardings)(self.params)
+
+    def _opt_state_shardings(self):
+        shapes = jax.eval_shape(self.tx.init, self.params)
+        by_shape = {}
+        for p, s in zip(jax.tree.leaves(self.params), jax.tree.leaves(self.shardings)):
+            by_shape.setdefault((p.shape, p.dtype.name), s)
+        replicated = NamedSharding(self.mesh, P())
+
+        def pick(leaf):
+            return by_shape.get((leaf.shape, leaf.dtype.name), replicated)
+
+        return jax.tree.map(pick, shapes)
+
+    def from_hf(self, hf_path: str) -> None:
+        """Stream an HF safetensors checkpoint into sharded params
+        (reference: engine.from_hf :250 -> BaseModel._load_params)."""
+        from ..checkpoint.hf import load_hf_checkpoint
+
+        self.params = load_hf_checkpoint(
+            hf_path, self.specs, self.model.hf_key_map(), self.shardings
+        )
+        self.init_optimizer()
+
+    def save_hf(self, hf_path: str) -> None:
+        from ..checkpoint.hf import save_hf_checkpoint
+
+        save_hf_checkpoint(hf_path, self.params, self.model.hf_key_map(), self.model_cfg)
+
+    # ------------------------------------------------------------------
+    def _build_step_fn(self):
+        model, sc, dtype = self.model, self.sc, self.compute_dtype
+        tx, schedule = self.tx, self.lr_schedule
+        max_norm = self.optim_cfg.max_grad_norm
+        skip_threshold = self.optim_cfg.skip_grad_norm_threshold
+        remat = self.mesh_cfg.remat_policy if self.mesh_cfg.recompute_ratio > 0 else "none"
+
+        def loss_fn(params, mb, denom):
+            seq_ctx = SequenceContext(
+                input_ids=mb["input_ids"],
+                segment_ids=mb["segment_ids"],
+                position_ids=mb["position_ids"],
+            )
+            out = model.loss(params, seq_ctx, mb["shifted_labels"], mb["loss_weights"],
+                             denom, sc=sc, compute_dtype=dtype, remat=remat)
+            return out.total_loss(), out
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def step_fn(params, opt_state, step, batch):
+            denom = jnp.sum(batch["loss_weights"].astype(jnp.float32))
+
+            def micro(grads_acc, mb):
+                (loss, out), grads = grad_fn(params, mb, denom)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return grads_acc, (loss, out.sum_ce, out.num_tokens)
+
+            zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+            num_micro = batch["input_ids"].shape[0]
+            if num_micro == 1:
+                mb0 = jax.tree.map(lambda x: x[0], batch)
+                grads, (losses, ces, toks) = micro(zeros, mb0)
+                losses, ces, toks = losses[None], ces[None], toks[None]
+            else:
+                grads, (losses, ces, toks) = jax.lax.scan(micro, zeros, batch)
+
+            grad_norm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, max_norm / (grad_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+            ok = jnp.isfinite(grad_norm)
+            if skip_threshold is not None:
+                ok = ok & (grad_norm < skip_threshold)
+
+            def do_update(args):
+                params, opt_state, grads = args
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_opt
+
+            def skip_update(args):
+                params, opt_state, _ = args
+                return params, opt_state
+
+            params_new, opt_new = jax.lax.cond(ok, do_update, skip_update,
+                                               (params, opt_state, grads))
+            metrics = {
+                "total_loss": jnp.sum(losses),
+                "reduced_llm_loss": jnp.sum(ces) / jnp.maximum(jnp.sum(toks), 1),
+                "grad_norm": grad_norm,
+                "lr": schedule(step),
+                "consumed_tokens": jnp.sum(toks),
+                "skipped": (~ok).astype(jnp.int32),
+            }
+            return params_new, opt_new, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def put_batch(self, batch: dict[str, np.ndarray]):
+        """Host batch (A, B, L) arrays -> device, sharded over (batch, seq)."""
+        sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        data_ways = sizes["dp"] * sizes["fsdp"] * sizes["ep"]
+        sample = next(iter(batch.values()))
+        a, b, l = sample.shape
+        if b % data_ways != 0:
+            raise ValueError(
+                f"micro-batch rows ({b}) must be divisible by dp*fsdp*ep ({data_ways}); "
+                f"raise micro_batch_rows/global_batch_rows or shrink the mesh's data axes"
+            )
+        if l % max(sizes["sp"], 1) != 0:
+            raise ValueError(f"pack_max_length ({l}) must be divisible by sp ({sizes['sp']})")
+        return {
+            k: jax.device_put(v, self.batch_sharding)
+            for k, v in batch.items()
+        }
+
+    def train_step(self, batch: dict[str, np.ndarray], step: int) -> dict[str, float]:
+        """One optimizer step over a grad-accum batch of shape (A, B, L)."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step_fn()
+        device_batch = self.put_batch(batch)
+        self.params, self.opt_state, metrics = self._step_fn(
+            self.params, self.opt_state, jnp.asarray(step, jnp.int32), device_batch
+        )
+        return metrics
+
+    def forward_only(self, batch: dict[str, np.ndarray]):
+        """Loss without grads (RL logprob recompute path uses a variant)."""
+        device_batch = self.put_batch(batch)
+        denom = jnp.sum(device_batch["loss_weights"].astype(jnp.float32))
+
+        @jax.jit
+        def fwd(params, mb):
+            seq_ctx = SequenceContext(
+                input_ids=mb["input_ids"], segment_ids=mb["segment_ids"],
+                position_ids=mb["position_ids"],
+            )
+            out = self.model.loss(params, seq_ctx, mb["shifted_labels"],
+                                  mb["loss_weights"], denom, sc=self.sc,
+                                  compute_dtype=self.compute_dtype)
+            return out
+
+        mb = jax.tree.map(lambda x: x.reshape(-1, x.shape[-1]), device_batch)
+        return fwd(self.params, mb)

@@ -1,0 +1,35 @@
+"""`xtuner-tpu <mode>` dispatcher (reference: xtuner/entry_point.py mode
+dispatcher — train/chat/convert/list-cfg...). No torchrun wrapping: JAX is
+single-controller; multihost launch is `python` on every host."""
+
+from __future__ import annotations
+
+import sys
+
+MODES = {
+    "train": "xtuner_tpu.train.cli.sft",
+    "sft": "xtuner_tpu.train.cli.sft",
+}
+
+HELP = """usage: xtuner-tpu <mode> [args]
+modes:
+  train | sft     supervised fine-tuning / pretraining (see --help)
+"""
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(HELP)
+        return
+    mode = sys.argv[1]
+    if mode not in MODES:
+        print(f"unknown mode {mode!r}\n{HELP}", file=sys.stderr)
+        sys.exit(2)
+    import importlib
+
+    module = importlib.import_module(MODES[mode])
+    module.main(sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Muon optimizer (momentum + Newton-Schulz orthogonalization).
+
+Reference: xtuner/v1/optim/muon.py (245-912) — a heavily distributed
+implementation: batched NS over DTensor shards, async gather/compute overlap,
+FSDP-mesh-aware expert subgroups, and a Triton NS kernel. Under GSPMD all of
+that collapses: parameters are global arrays, the NS iteration is five jnp
+matmuls XLA maps onto the MXU, and sharding propagation handles distribution.
+
+Matrix params (ndim>=2, excluding embeddings/lm_head) get Muon; everything
+else falls back to AdamW — same split as the reference (muon.py:139-244).
+Layer-stacked params (L, m, n) are orthogonalized per-layer via vmap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# quintic NS coefficients from the Muon paper/public impls
+_NS_COEFFS = (3.4445, -4.7750, 2.0315)
+
+
+def newton_schulz(g: jax.Array, steps: int = 5, eps: float = 1e-7) -> jax.Array:
+    """Orthogonalize the last two dims of g (bf16 compute, fp32 in/out)."""
+    a, b, c = _NS_COEFFS
+    transpose = g.shape[-2] > g.shape[-1]
+    x = g.astype(jnp.bfloat16)
+    if transpose:
+        x = jnp.swapaxes(x, -1, -2)
+    x = x / (jnp.linalg.norm(x, axis=(-2, -1), keepdims=True) + eps)
+
+    def body(_, x):
+        xxt = x @ jnp.swapaxes(x, -1, -2)
+        return a * x + (b * xxt + c * (xxt @ xxt)) @ x
+
+    x = jax.lax.fori_loop(0, steps, body, x)
+    if transpose:
+        x = jnp.swapaxes(x, -1, -2)
+    return x.astype(g.dtype)
+
+
+class MuonState(NamedTuple):
+    momentum: optax.Updates
+
+
+def scale_by_muon(momentum: float = 0.95, nesterov: bool = True, ns_steps: int = 5):
+    def init_fn(params):
+        return MuonState(momentum=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        buf = jax.tree.map(lambda m, g: momentum * m + g, state.momentum, updates)
+        eff = jax.tree.map(lambda m, g: g + momentum * m, buf, updates) if nesterov else buf
+
+        def orth(u):
+            if u.ndim == 2:
+                o = newton_schulz(u.astype(jnp.float32), ns_steps)
+                scale = jnp.sqrt(jnp.maximum(1.0, u.shape[-2] / u.shape[-1]))
+            else:  # (L, m, n) layer-stacked (or (E, m, n) experts)
+                o = jax.vmap(lambda x: newton_schulz(x, ns_steps))(u.astype(jnp.float32))
+                scale = jnp.sqrt(jnp.maximum(1.0, u.shape[-2] / u.shape[-1]))
+            return (o * scale).astype(u.dtype)
+
+        out = jax.tree.map(orth, eff)
+        return out, MuonState(momentum=buf)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _param_labels(params) -> dict:
+    def label(path, p):
+        keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if any(k in ("embed", "lm_head") for k in keys):
+            return "adamw"
+        return "muon" if p.ndim >= 2 else "adamw"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def muon_with_adamw_fallback(cfg, schedule) -> optax.GradientTransformation:
+    """cfg: config.optim.MuonConfig."""
+    muon = optax.chain(
+        scale_by_muon(cfg.momentum, cfg.nesterov, cfg.ns_steps),
+        optax.add_decayed_weights(cfg.weight_decay, mask=lambda p: jax.tree.map(lambda x: x.ndim >= 2, p)),
+        optax.scale_by_learning_rate(schedule),
+    )
+    lr_ratio = cfg.adamw_lr / cfg.lr if cfg.lr else 1.0
+    adamw = optax.adamw(
+        learning_rate=lambda step: schedule(step) * lr_ratio,
+        b1=cfg.adamw_betas[0], b2=cfg.adamw_betas[1], eps=cfg.adamw_eps,
+        weight_decay=cfg.weight_decay,
+        mask=lambda p: jax.tree.map(lambda x: x.ndim >= 2, p),
+    )
+    return optax.multi_transform({"muon": muon, "adamw": adamw}, _param_labels)

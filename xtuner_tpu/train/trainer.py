@@ -1,0 +1,193 @@
+"""Trainer: the SFT/pretrain driver.
+
+Reference: xtuner/v1/train/trainer.py (Trainer/TrainerConfig :469/:393,
+fit() :846-940). Same responsibilities — work-dir + experiment meta, tokenizer,
+dataloader, engine, LR schedule, checkpoint/resume, per-step metrics
+(lr/loss/grad_norm/tgs/eta), periodic save (ckpt + HF export) — with the
+distributed-runtime pieces (torchrun, NUMA binding, device meshes per rank,
+gc tuning) replaced by the single-controller JAX runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from ..config.optim import AdamWConfig, LRConfig, OptimConfig
+from ..datasets.config import DataloaderConfig
+from ..engine.train_engine import TrainEngine
+from ..model.base import TransformerConfig
+from ..parallel.mesh import MeshConfig
+from ..utils.logger import get_logger, log_file_handler
+from ..writer import JsonlWriter, TensorboardWriter
+
+logger = get_logger()
+
+
+class TrainerConfig(BaseModel):
+    model_config = ConfigDict(extra="forbid", arbitrary_types_allowed=True)
+    model_cfg: TransformerConfig
+    dataloader_cfg: DataloaderConfig
+    optim_cfg: OptimConfig = AdamWConfig()
+    lr_cfg: LRConfig = LRConfig()
+    mesh_cfg: MeshConfig = MeshConfig()
+    # batch geometry: rows are packed sequences of pack_max_length tokens
+    global_batch_rows: int = 8
+    micro_batch_rows: int = 1
+    total_steps: Optional[int] = None
+    epochs: float = 1.0
+    # io
+    load_from: Optional[str] = None  # HF checkpoint dir
+    tokenizer_path: Optional[str] = None  # None -> UTF8ByteTokenizer toy
+    work_dir: str = "work_dirs"
+    exp_name: str = "default"
+    checkpoint_interval: Optional[int] = None  # steps; None = only at end
+    checkpoint_max_keep: Optional[int] = 2
+    hf_interval: Optional[int] = None
+    resume: bool = False
+    log_interval: int = 1
+    seed: int = 0
+    exp_tracker: str = "jsonl"  # jsonl | tensorboard
+
+    def build(self) -> "Trainer":
+        return Trainer(self)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig):
+        self.cfg = cfg
+        self.work_dir = Path(cfg.work_dir) / cfg.exp_name
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        log_file_handler(str(self.work_dir / "rank0.log"))
+        self._write_meta()
+
+        self.tokenizer = self._build_tokenizer()
+        self._reconcile_config()
+        self.dataloader = cfg.dataloader_cfg.build(
+            self.tokenizer, cfg.global_batch_rows, cfg.micro_batch_rows
+        )
+        steps_per_epoch = len(self.dataloader)
+        self.total_steps = cfg.total_steps or max(int(steps_per_epoch * cfg.epochs), 1)
+
+        self.engine = TrainEngine(
+            cfg.model_cfg, cfg.optim_cfg, cfg.lr_cfg, cfg.mesh_cfg, self.total_steps
+        )
+        logger.info(
+            f"model: {self.engine.num_params/1e6:.1f}M params | mesh "
+            f"{dict(zip(self.engine.mesh.axis_names, self.engine.mesh.devices.shape))} | "
+            f"total_steps {self.total_steps}"
+        )
+        if cfg.load_from:
+            self.engine.from_hf(cfg.load_from)
+            logger.info(f"loaded HF checkpoint from {cfg.load_from}")
+        else:
+            self.engine.init_random(cfg.seed)
+
+        from ..checkpoint.orbax_io import TrainCheckpointManager
+
+        self.ckpt_mgr = TrainCheckpointManager(self.work_dir, cfg.checkpoint_max_keep)
+        writer_cls = JsonlWriter if cfg.exp_tracker == "jsonl" else TensorboardWriter
+        self.writer = writer_cls(self.work_dir)
+        self.start_step = 0
+        if cfg.resume:
+            self._maybe_resume()
+
+    # ------------------------------------------------------------------
+    def _write_meta(self) -> None:
+        """Experiment meta (.xtuner analog, trainer.py:120-245)."""
+        meta_path = self.work_dir / "xtuner_meta.json"
+        history = json.loads(meta_path.read_text()) if meta_path.exists() else {"exps": []}
+        history["exps"].append({
+            "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "config": json.loads(self.cfg.model_dump_json()) if hasattr(self, "cfg") else None,
+        })
+        meta_path.write_text(json.dumps(history, indent=1))
+
+    def _build_tokenizer(self):
+        if self.cfg.tokenizer_path:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(self.cfg.tokenizer_path, trust_remote_code=True)
+        from .toy_tokenizer import UTF8ByteTokenizer
+
+        logger.info("no tokenizer_path given; using UTF8ByteTokenizer toy tokenizer")
+        return UTF8ByteTokenizer()
+
+    def _reconcile_config(self) -> None:
+        """Config conflict resolution (reference trainer.py:1946-2026)."""
+        loss_red = self.cfg.model_cfg.lm_loss_cfg.loss_reduction
+        if self.cfg.dataloader_cfg.loss_reduction != loss_red:
+            self.cfg.dataloader_cfg.loss_reduction = loss_red
+
+    def _maybe_resume(self) -> None:
+        latest = self.ckpt_mgr.latest_step()
+        if latest is None:
+            logger.info("resume requested but no checkpoint found; starting fresh")
+            return
+        params, opt_state, train_state, dl_state = self.ckpt_mgr.restore(
+            latest, self.engine.params, self.engine.opt_state
+        )
+        self.engine.params, self.engine.opt_state = params, opt_state
+        self.start_step = train_state["step"]
+        if dl_state is not None:
+            self.dataloader.load_state_dict(dl_state)
+        logger.info(f"resumed from checkpoint step {latest}")
+
+    def _save(self, step: int) -> None:
+        self.ckpt_mgr.save(
+            step, self.engine.params, self.engine.opt_state,
+            train_state={"step": step},
+            dataloader_state=self.dataloader.get_state_dict(),
+        )
+
+    # ------------------------------------------------------------------
+    def fit(self) -> None:
+        cfg = self.cfg
+        data_iter = iter(self.dataloader)
+        tokens_per_step_max = cfg.global_batch_rows * cfg.dataloader_cfg.pack_max_length
+        n_chips = self.engine.mesh.devices.size
+        consumed_tokens = 0
+        t_start = time.time()
+
+        for step in range(self.start_step + 1, self.total_steps + 1):
+            t0 = time.time()
+            batch = next(data_iter)
+            t_data = time.time() - t0
+            metrics = self.engine.train_step(batch, step)
+            metrics = {k: float(v) for k, v in metrics.items()}  # blocks on device
+            step_time = time.time() - t0
+            consumed_tokens += int(metrics["consumed_tokens"])
+            tgs = tokens_per_step_max / step_time / n_chips
+            eta = (self.total_steps - step) * step_time
+            if step % cfg.log_interval == 0 or step == self.total_steps:
+                logger.info(
+                    f"Step {step}/{self.total_steps} lr {metrics['lr']:.3e} "
+                    f"text_tokens {metrics['consumed_tokens']:.0f} "
+                    f"reduced_llm_loss {metrics['reduced_llm_loss']:.4f} "
+                    f"grad_norm {metrics['grad_norm']:.4f} "
+                    f"tgs {tgs:.1f} data_time {t_data:.3f}s step_time {step_time:.3f}s "
+                    f"eta {eta/60:.1f}min"
+                )
+                self.writer.add_scalars(
+                    {**metrics, "tgs": tgs, "step_time": step_time, "data_time": t_data}, step
+                )
+            if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+                self._save(step)
+            if cfg.hf_interval and step % cfg.hf_interval == 0:
+                self.engine.save_hf(str(self.work_dir / f"hf-step-{step}"))
+
+        self._save(self.total_steps)
+        self.ckpt_mgr.wait()
+        total_time = time.time() - t_start
+        logger.info(
+            f"training done: {self.total_steps - self.start_step} steps, "
+            f"{consumed_tokens} tokens, {total_time/60:.1f} min"
+        )
+        if hasattr(self.writer, "close"):
+            self.writer.close()
