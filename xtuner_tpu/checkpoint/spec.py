@@ -21,6 +21,9 @@ class HFKey:
     #   "none":     identical layout (norms, biases, embeddings)
     #   "experts":  per-expert HF keys stacked on dim 0; template has {expert}
     transform: str = "none"
+    # stacked-layer params: our stack index i maps to HF layer i + layer_offset
+    # (MoE stacks start after first_k_dense_replace dense layers)
+    layer_offset: int = 0
     # if several of our params map to ONE fused HF tensor (or vice versa),
     # `fuse_dim` + `fuse_slice` describe the slice of the HF tensor we own.
     fuse_dim: Optional[int] = None

@@ -1,0 +1,280 @@
+"""Dropless MoE transformer — the flagship model family.
+
+Reference: xtuner/v1/model/moe/moe.py (MoE :181, MoEConfig :140-178) + presets
+(qwen3.py). TPU redesign notes:
+
+- Expert weights live stacked (E, in, out) with E sharded over the `ep` mesh
+  axis and the hidden dim over `fsdp` — the GSPMD expression of the
+  reference's `Shard(0)`-on-ep + FSDP placement (moe.py:1342-1429); XLA
+  derives the token redistribution collectives from the shardings.
+- The layer stack runs under `lax.scan`; per-layer aux losses (balancing,
+  z-loss) are collected as scan outputs and folded into the total loss — the
+  reference's AuxLossScaler gradient-grafting (aux_loss.py:10-31) is
+  unnecessary with a single backward pass.
+- first_k_dense_replace dense layers form their own scanned stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..checkpoint.spec import HFKey
+from ..loss.ce_loss import ce_loss
+from ..loss.moe_loss import balancing_loss, z_loss
+from ..module.attention import mha_forward, mha_param_specs
+from ..module.mlp import mlp_forward, mlp_param_specs
+from ..module.moe_layer import expert_mlp_param_specs, moe_mlp_forward
+from ..module.params import ParamSpec, cast_tree, stack_specs
+from ..module.rope import rope_cos_sin
+from ..module.router import GreedyRouterConfig, RouterConfig, router_param_specs
+from ..ops.rms_norm import rms_norm
+from ..parallel.sharding import NULL_SHARD_CTX, ShardCtx
+from .base import ModelOutputs
+from .dense import Dense, DenseConfig, _remat_policy
+
+
+class MoEConfig(DenseConfig):
+    """Field names mirror the reference MoEConfig (moe/moe.py:140-178)."""
+
+    n_routed_experts: int = 8
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 1024
+    first_k_dense_replace: int = 0
+    n_shared_experts: int = 0
+    router: RouterConfig = GreedyRouterConfig()
+    balancing_loss_coef: float = 0.0
+    z_loss_coef: float = 0.0
+    # note: `intermediate_size` is the DENSE layer / shared-expert width
+
+    def build(self) -> "MoE":
+        return MoE(self)
+
+
+class MoE(Dense):
+    def __init__(self, cfg: MoEConfig):
+        self.cfg = cfg
+
+    # ------------------------------------------------------------------
+    def moe_layer_param_specs(self) -> dict:
+        cfg = self.cfg
+        specs = {
+            "attn": mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale),
+            "input_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
+            "post_attn_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
+            "router": router_param_specs(cfg.router, cfg.hidden_size, cfg.n_routed_experts),
+            "experts": expert_mlp_param_specs(cfg.hidden_size, cfg.moe_intermediate_size,
+                                              cfg.n_routed_experts, cfg.init_scale),
+        }
+        if cfg.n_shared_experts > 0:
+            specs["shared_experts"] = mlp_param_specs(
+                cfg.hidden_size, cfg.moe_intermediate_size * cfg.n_shared_experts,
+                cfg.init_scale,
+            )
+        return specs
+
+    def param_specs(self) -> dict:
+        cfg = self.cfg
+        specs: dict = {
+            "embed": {"w": ParamSpec((cfg.vocab_size, cfg.hidden_size), ("vocab", "embed_shard"),
+                                     scale=cfg.init_scale)},
+            "final_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
+        }
+        if cfg.first_k_dense_replace > 0:
+            specs["dense_layers"] = stack_specs(self.layer_param_specs(), cfg.first_k_dense_replace)
+        n_moe = cfg.num_hidden_layers - cfg.first_k_dense_replace
+        specs["moe_layers"] = stack_specs(self.moe_layer_param_specs(), n_moe)
+        if not cfg.tie_word_embeddings:
+            specs["lm_head"] = {"w": ParamSpec((cfg.hidden_size, cfg.vocab_size),
+                                               ("embed_shard", "vocab"), scale=cfg.init_scale)}
+        return specs
+
+    # ------------------------------------------------------------------
+    def _moe_layer_forward(self, x, lp, cfg, cos, sin, segment_ids, valid, sc, compute_dtype):
+        lp = cast_tree(lp, compute_dtype)
+        zero_centered = cfg.rms_norm_type == "zero_centered"
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_centered)
+        h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
+                        window=cfg.sliding_window if cfg.use_sliding_window else None,
+                        attn_impl=cfg.attn_impl)
+        x = x + h
+        h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_centered)
+        moe_out, r, load = moe_mlp_forward(
+            lp["experts"], lp["router"], cfg.router, h,
+            num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
+            act=cfg.hidden_act, compute_dtype=compute_dtype,
+        )
+        if "shared_experts" in lp:
+            moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
+        x = x + moe_out
+        x = sc(x, "batch", "seq", None)
+        bal, _ = balancing_loss(r.probs, r.topk_idx, valid,
+                                cfg.n_routed_experts, cfg.num_experts_per_tok)
+        zl = z_loss(r.logits, valid)
+        return x, (bal, zl, load)
+
+    def forward(self, params, seq_ctx, sc: ShardCtx = NULL_SHARD_CTX,
+                compute_dtype=jnp.bfloat16, remat: str = "full"):
+        cfg = self.cfg
+        if seq_ctx.inputs_embeds is not None:
+            x = seq_ctx.inputs_embeds.astype(compute_dtype)
+        else:
+            x = jnp.take(params["embed"]["w"], seq_ctx.input_ids, axis=0).astype(compute_dtype)
+        x = sc(x, "batch", "seq", None)
+        cos, sin = rope_cos_sin(seq_ctx.position_ids, cfg.attention.head_dim, cfg.rope_theta,
+                                cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+        segment_ids = seq_ctx.segment_ids
+        valid = (segment_ids != 0).reshape(-1)
+        policy = _remat_policy(remat)
+
+        if cfg.first_k_dense_replace > 0:
+            def dense_fn(x, lp):
+                return self._layer_forward(x, lp, cfg, cos, sin, segment_ids, sc,
+                                           compute_dtype), None
+            if policy != "none":
+                dense_fn = jax.checkpoint(dense_fn, policy=policy, prevent_cse=False)
+            x, _ = jax.lax.scan(dense_fn, x, params["dense_layers"])
+
+        def moe_fn(x, lp):
+            return self._moe_layer_forward(x, lp, cfg, cos, sin, segment_ids, valid,
+                                           sc, compute_dtype)
+        if policy != "none":
+            moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
+        x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
+
+        x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
+                     cfg.rms_norm_type == "zero_centered")
+        self._last_aux = (bal, zl, load)  # per-layer arrays (scan outputs)
+        return x.astype(compute_dtype)
+
+    def loss(self, params, seq_ctx, shifted_labels, loss_weights, global_denom,
+             sc: ShardCtx = NULL_SHARD_CTX, compute_dtype=jnp.bfloat16,
+             remat: str = "full") -> ModelOutputs:
+        cfg = self.cfg
+        hidden = self.forward(params, seq_ctx, sc, compute_dtype, remat)
+        bal, zl, load = self._last_aux
+        w = self.lm_head_weight(params).astype(compute_dtype)
+        lm, sum_ce, num_tokens = ce_loss(hidden, w, shifted_labels, loss_weights,
+                                         global_denom, cfg.lm_loss_cfg)
+        out = ModelOutputs(loss=lm, sum_ce=sum_ce, num_tokens=num_tokens)
+        if cfg.balancing_loss_coef > 0:
+            out.balancing_loss = cfg.balancing_loss_coef * jnp.mean(bal)
+        if cfg.z_loss_coef > 0:
+            out.z_loss = cfg.z_loss_coef * jnp.mean(zl)
+        return out
+
+    # ------------------------------------------------------------------
+    def hf_key_map(self) -> dict:
+        cfg = self.cfg
+        base = super().hf_key_map()
+        dense_mlp = base["layers"].pop("mlp")
+        dense_part = base.pop("layers")
+        off = cfg.first_k_dense_replace
+
+        def shift(tree):
+            """MoE stack index i -> HF layer index i + first_k_dense_replace."""
+            if off == 0:
+                return tree
+            return jax.tree.map(
+                lambda leaf: HFKey(leaf.template, leaf.transform, layer_offset=off),
+                tree, is_leaf=lambda x: isinstance(x, HFKey),
+            )
+
+        moe_part = {
+            "attn": dense_part["attn"],
+            "input_norm": dense_part["input_norm"],
+            "post_attn_norm": dense_part["post_attn_norm"],
+            "router": {"w": HFKey("model.layers.{layer}.mlp.gate.weight", "linear")},
+            "experts": {
+                "gate_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.gate_proj.weight", "expert_linear"),
+                "up_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.up_proj.weight", "expert_linear"),
+                "down_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.down_proj.weight", "expert_linear"),
+            },
+        }
+        if cfg.router.router_type == "noaux":
+            moe_part["router"]["e_score_correction_bias"] = HFKey(
+                "model.layers.{layer}.mlp.gate.e_score_correction_bias"
+            )
+        if cfg.n_shared_experts > 0:
+            moe_part["shared_experts"] = {
+                "gate_proj": {"w": HFKey("model.layers.{layer}.mlp.shared_experts.gate_proj.weight", "linear")},
+                "up_proj": {"w": HFKey("model.layers.{layer}.mlp.shared_experts.up_proj.weight", "linear")},
+                "down_proj": {"w": HFKey("model.layers.{layer}.mlp.shared_experts.down_proj.weight", "linear")},
+            }
+        base["moe_layers"] = shift(moe_part)
+        if cfg.first_k_dense_replace > 0:
+            base["dense_layers"] = {**dense_part, "mlp": dense_mlp}
+        return base
+
+
+# ----------------------------------------------------------------------
+# Qwen3 MoE presets (reference: xtuner/v1/model/moe/qwen3.py:53,137,174)
+# ----------------------------------------------------------------------
+
+from ..module.attention import MHAConfig  # noqa: E402
+
+
+class Qwen3MoEConfig(MoEConfig):
+    model_type: Optional[str] = "qwen3_moe"
+
+
+def qwen3_moe_30b_a3() -> Qwen3MoEConfig:
+    return Qwen3MoEConfig(
+        vocab_size=151936,
+        max_position_embeddings=40960,
+        eos_token_id=151645,
+        pad_token_id=151643,
+        num_hidden_layers=48,
+        hidden_size=2048,
+        intermediate_size=6144,
+        moe_intermediate_size=768,
+        n_routed_experts=128,
+        num_experts_per_tok=8,
+        rms_norm_eps=1e-6,
+        hidden_act="silu",
+        rope_theta=1000000.0,
+        balancing_loss_coef=0.001,
+        router=GreedyRouterConfig(scoring_func="softmax", norm_topk_prob=True),
+        attention=MHAConfig(num_attention_heads=32, num_key_value_heads=4, head_dim=128,
+                            qk_norm=True),
+    )
+
+
+def qwen3_moe_235b_a22() -> Qwen3MoEConfig:
+    cfg = qwen3_moe_30b_a3()
+    return cfg.model_copy(update=dict(
+        num_hidden_layers=94,
+        hidden_size=4096,
+        intermediate_size=12288,
+        moe_intermediate_size=1536,
+        attention=MHAConfig(num_attention_heads=64, num_key_value_heads=4, head_dim=128,
+                            qk_norm=True),
+    ))
+
+
+def moe_config_from_hf(hf_cfg) -> Qwen3MoEConfig:
+    head_dim = getattr(hf_cfg, "head_dim", None) or hf_cfg.hidden_size // hf_cfg.num_attention_heads
+    return Qwen3MoEConfig(
+        vocab_size=hf_cfg.vocab_size,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        eos_token_id=hf_cfg.eos_token_id,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        moe_intermediate_size=hf_cfg.moe_intermediate_size,
+        n_routed_experts=hf_cfg.num_experts,
+        num_experts_per_tok=hf_cfg.num_experts_per_tok,
+        rms_norm_eps=hf_cfg.rms_norm_eps,
+        hidden_act=hf_cfg.hidden_act,
+        rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+        tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+        router=GreedyRouterConfig(norm_topk_prob=getattr(hf_cfg, "norm_topk_prob", True)),
+        attention=MHAConfig(
+            num_attention_heads=hf_cfg.num_attention_heads,
+            num_key_value_heads=hf_cfg.num_key_value_heads,
+            head_dim=head_dim,
+            qk_norm=True,
+        ),
+    )

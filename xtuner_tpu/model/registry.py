@@ -10,12 +10,22 @@ from typing import Callable
 
 from . import qwen
 
+def _moe_presets():
+    from . import moe
+
+    return {
+        "qwen3-moe-30b-a3": moe.qwen3_moe_30b_a3,
+        "qwen3-moe-235b-a22": moe.qwen3_moe_235b_a22,
+    }
+
+
 model_mapping: dict[str, Callable] = {
     "qwen2-5-0.5b": qwen.qwen2_5_0_5b,
     "qwen2-7b": qwen.qwen2_7b,
     "qwen3-0-6b": qwen.qwen3_0_6b,
     "qwen3-4b": qwen.qwen3_4b,
     "qwen3-8b": qwen.qwen3_8b,
+    **_moe_presets(),
 }
 
 

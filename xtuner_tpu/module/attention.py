@@ -84,15 +84,18 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
 
     q, k = apply_rotary_emb(q, k, cos, sin)
 
-    # Ulysses: re-shard seq->heads going into attention (all_to_all over sp)
-    q = sc(q, "batch", None, "act_heads", None)
-    k = sc(k, "batch", None, "act_heads", None)
-    v = sc(v, "batch", None, "act_heads", None)
-
     sinks = p["sinks"] if cfg.with_sinks else None
-    o = attention(q, k, v, segment_ids, causal=True, window=window, sinks=sinks, impl=attn_impl)
-
-    # Ulysses: back to seq-sharded
+    # Ulysses handled inside `attention`: Pallas impls run under shard_map
+    # (heads over sp/tp, seq gathered); jnp impls re-shard via constraints.
+    if attn_impl in (None, "pallas"):
+        o = attention(q, k, v, segment_ids, causal=True, window=window, sinks=sinks,
+                      impl=attn_impl, sc=sc)
+    else:
+        q = sc(q, "batch", None, "act_heads", None)
+        k = sc(k, "batch", None, "act_heads", None)
+        v = sc(v, "batch", None, "act_heads", None)
+        o = attention(q, k, v, segment_ids, causal=True, window=window, sinks=sinks,
+                      impl=attn_impl)
     o = sc(o, "batch", "seq", None, None)
     o = o.reshape(b, l, cfg.q_dim())
     return _linear(o, p["o_proj"])

@@ -1,0 +1,55 @@
+"""MoE decoder-layer building blocks: expert MLP + dispatch pipeline.
+
+Reference: xtuner/v1/module/decoder_layer/moe_decoder_layer.py (6-phase
+dispatcher pipeline, intra-layer micro-batch interleaving, comm/compute event
+sync) + grouped_linear/moe_group_linear.py. TPU redesign: the whole pipeline
+is permute -> ragged grouped GEMMs -> weighted scatter-add combine; XLA's
+latency-hiding scheduler overlaps the EP collectives that GSPMD inserts, so
+the reference's cuda-event choreography has no analog here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.act_fn import get_act_fn
+from ..ops.moe import grouped_gemm, permute, unpermute
+from .params import ParamSpec
+from .router import RouterConfig, RouterOutput, route, router_param_specs
+
+
+def expert_mlp_param_specs(hidden_size: int, moe_intermediate_size: int,
+                           num_experts: int, init_scale: float = 0.02) -> dict:
+    """Per-expert fused weights, expert dim sharded over ep, hidden over fsdp
+    (reference: GroupedLinear Shard(0) on ep_mesh, moe_group_linear.py:12-50)."""
+    e, h, f = num_experts, hidden_size, moe_intermediate_size
+    return {
+        "gate_proj": ParamSpec((e, h, f), ("experts", "expert_in", "expert_out"), scale=init_scale),
+        "up_proj": ParamSpec((e, h, f), ("experts", "expert_in", "expert_out"), scale=init_scale),
+        "down_proj": ParamSpec((e, f, h), ("experts", "expert_out", "expert_in"), scale=init_scale),
+    }
+
+
+def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
+                    x, *, num_experts: int, top_k: int, act: str = "silu",
+                    compute_dtype=jnp.bfloat16):
+    """x: (B, L, H) -> (out (B, L, H), RouterOutput, expert_load (E,)).
+
+    Dropless: every routed token is computed (no capacity factor)."""
+    b, l, h = x.shape
+    x2d = x.reshape(b * l, h)
+    r: RouterOutput = route(router_p, router_cfg, x2d, top_k)
+
+    info = permute(x2d.astype(compute_dtype), r.topk_idx, num_experts,
+                   topk_weights=r.topk_weights)
+    gate = grouped_gemm(info.sorted_tokens, p["gate_proj"].astype(compute_dtype),
+                        info.group_sizes)
+    up = grouped_gemm(info.sorted_tokens, p["up_proj"].astype(compute_dtype),
+                      info.group_sizes)
+    hidden = (get_act_fn(act)(gate) * up).astype(compute_dtype)
+    out = grouped_gemm(hidden, p["down_proj"].astype(compute_dtype), info.group_sizes)
+    combined = unpermute(out, info, b * l)
+    return combined.reshape(b, l, h).astype(compute_dtype), r, info.group_sizes

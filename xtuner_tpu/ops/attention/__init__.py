@@ -38,5 +38,69 @@ def get_attention(impl: Optional[str] = None):
 
 
 def attention(q, k, v, segment_ids, *, causal: bool = True, scale: Optional[float] = None,
-              window: Optional[int] = None, sinks=None, impl: Optional[str] = None):
-    return get_attention(impl)(q, k, v, segment_ids, causal=causal, scale=scale, window=window, sinks=sinks)
+              window: Optional[int] = None, sinks=None, impl: Optional[str] = None,
+              sc=None):
+    """sc: optional ShardCtx. With a mesh present and a Pallas impl, attention
+    runs under shard_map: heads sharded over (sp, tp), sequence gathered —
+    the Ulysses layout (reference mha.py:365-390) with the all_to_alls
+    inserted by GSPMD at the shard_map boundary."""
+    fn = get_attention(impl)
+    if sc is None or sc.mesh is None or fn.__name__ != "flash_attention":
+        return fn(q, k, v, segment_ids, causal=causal, scale=scale, window=window, sinks=sinks)
+    return _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window, sinks, sc)
+
+
+def _axes_of(rules, name):
+    phys = rules.get(name)
+    if phys is None:
+        return ()
+    return phys if isinstance(phys, tuple) else (phys,)
+
+
+def _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window, sinks, sc):
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from .reference import repeat_kv
+
+    mesh = sc.mesh
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    batch_axes = tuple(a for a in _axes_of(sc.rules, "batch") if sizes.get(a, 1) > 1)
+    head_axes = tuple(a for a in _axes_of(sc.rules, "act_heads") if sizes.get(a, 1) > 1)
+    head_ways = 1
+    for a in head_axes:
+        head_ways *= sizes[a]
+    if head_ways == 1 and not batch_axes:
+        return fn(q, k, v, segment_ids, causal=causal, scale=scale, window=window, sinks=sinks)
+
+    hq, hkv = q.shape[2], k.shape[2]
+    if head_ways > 1 and hkv % head_ways != 0:
+        # Ulysses with sp > kv_heads: physically repeat kv groups (mha.py:368-371)
+        rep = -(-head_ways // hkv)
+        k = repeat_kv(k, rep)
+        v = repeat_kv(v, rep)
+        hkv *= rep
+    if hq % head_ways != 0:
+        raise ValueError(f"q heads ({hq}) must divide over sp*tp ({head_ways})")
+
+    qspec = P(batch_axes or None, None, head_axes or None, None)
+    segspec = P(batch_axes or None, None)
+    sinkspec = P(head_axes or None)
+
+    def local_attn(q, k, v, seg, sinks_arg):
+        return fn(q, k, v, seg, causal=causal, scale=scale, window=window, sinks=sinks_arg)
+
+    if sinks is None:
+        wrapped = jax.shard_map(
+            lambda q_, k_, v_, s_: local_attn(q_, k_, v_, s_, None),
+            mesh=mesh, in_specs=(qspec, qspec, qspec, segspec), out_specs=qspec,
+            check_vma=False,
+        )
+        return wrapped(q, k, v, segment_ids)
+    wrapped = jax.shard_map(
+        local_attn, mesh=mesh,
+        in_specs=(qspec, qspec, qspec, segspec, sinkspec), out_specs=qspec,
+        check_vma=False,
+    )
+    return wrapped(q, k, v, segment_ids, sinks)

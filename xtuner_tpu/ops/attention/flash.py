@@ -1,0 +1,401 @@
+"""Pallas TPU flash attention for packed varlen sequences.
+
+The TPU replacement for the reference's flash-attn 2/3 CUDA wrappers
+(xtuner/v1/ops/flash_attn/gpu.py) and the Triton sink kernel
+(flash_sink_varlen_attn_gpt_oss.py). Design:
+
+- Packed documents are expressed with *segment ids* (non-decreasing along the
+  row, 0 = padding); the mask (seg_q == seg_k) & causal & valid is evaluated
+  per (q-block, k-block) tile — the block-diagonal structure the reference
+  builds from cu_seqlens.
+- Online softmax with fp32 running max/denominator scratch; bf16 inputs hit
+  the MXU, accumulation in fp32.
+- Causality prunes both compute and DMA: the k-block index map clamps j to i,
+  so skipped tiles re-reference an already-resident block (no new fetch),
+  and `pl.when` skips their compute. Segment structure additionally skips
+  compute of cross-document tiles.
+- GQA is folded into the index maps (q head h reads kv head h // ratio); kv
+  tensors are never materially repeated.
+- Sliding window and GPT-OSS attention sinks supported; sinks receive exact
+  gradients via the saved logsumexp (computed outside the kernel).
+- Backward = two flash kernels (dq over q-blocks; dk/dv over k-blocks with
+  per-q-head outputs group-summed outside), using saved (out, lse) residuals.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+BIG_LSE = 1e30  # lse sentinel for fully-masked (padding) rows
+
+
+def _tile_mask(qpos, kpos, qseg, kseg, causal: bool, window: Optional[int]):
+    """(bq, bk) boolean mask for one tile. qpos/kpos (bq,)/(bk,) int32."""
+    mask = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] != 0)
+    if causal:
+        mask &= qpos[:, None] >= kpos[None, :]
+    if window is not None:
+        mask &= (qpos[:, None] - kpos[None, :]) < window
+    return mask
+
+
+def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, causal, window,
+                block_q, block_k):
+    # grid order (b, i, h, j): heads iterate *inside* a q-block so the
+    # full-head lse output block stays resident until all head rows are written
+    b, i, h, j = (pl.program_id(x) for x in range(4))
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qseg = qseg_ref[0]
+    kseg = kseg_ref[0]
+    # block-level skip: causal (j beyond i) and segment disjointness.
+    causal_needed = (j * block_k <= i * block_q + block_q - 1) if causal else True
+    seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
+        jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
+    needed = causal_needed & seg_needed
+
+    @pl.when(needed)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+        kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+        mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        p = jnp.where(mask, p, 0.0)
+        l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        m = m_scr[:, 0]
+        l_total = l_scr[:, 0]
+        valid = l_total > 0
+        o_ref[0, 0] = jnp.where(
+            valid[:, None], acc_scr[:] / jnp.maximum(l_total, 1e-37)[:, None], 0.0
+        ).astype(o_ref.dtype)
+        lse = jnp.where(valid, m + jnp.log(jnp.maximum(l_total, 1e-37)), BIG_LSE)
+        lse_ref[0, h] = lse
+
+
+def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_scr, *, scale, causal, window, block_q, block_k):
+    b, h, i, j = (pl.program_id(x) for x in range(4))
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qseg = qseg_ref[0]
+    kseg = kseg_ref[0]
+    causal_needed = (j * block_k <= i * block_q + block_q - 1) if causal else True
+    seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
+        jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
+
+    @pl.when(causal_needed & seg_needed)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+        kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+        mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, h][:, None]), 0.0)
+        dp = jax.lax.dot_general(do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, h][:, None]) * scale
+        dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal, window,
+                block_q, block_k):
+    b, h, j, i = (pl.program_id(x) for x in range(4))  # note: kv block j outer, q block i inner
+    nq = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qseg = qseg_ref[0]
+    kseg = kseg_ref[0]
+    causal_needed = (i * block_q + block_q - 1 >= j * block_k) if causal else True
+    seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
+        jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
+
+    @pl.when(causal_needed & seg_needed)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+        kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+        mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, h][:, None]), 0.0)
+        do = do_ref[0, 0]
+        dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, h][:, None]) * scale
+        dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# ----------------------------------------------------------------------
+# host-side wrappers
+# ----------------------------------------------------------------------
+
+def _pick_block(l: int, preferred: int) -> int:
+    b = min(preferred, l)
+    while l % b:
+        b //= 2
+    return max(b, 128) if l % max(b, 128) == 0 else b
+
+
+def _pad_len(l: int, block: int) -> int:
+    return (block - l % block) % block
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+)
+def _flash(q, k, v, segment_ids, sinks, scale, causal, window, block_q, block_k, interpret):
+    out, _ = _flash_fwd_rule(q, k, v, segment_ids, sinks, scale, causal, window,
+                             block_q, block_k, interpret)
+    return out
+
+
+def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
+                   block_q, block_k, interpret):
+    """q: (B, Hq, L, D); k, v: (B, Hkv, L, D); segment_ids: (B, L).
+    Returns (out (B, Hq, L, D), lse (B, Hq, L) fp32)."""
+    b, hq, l, d = q.shape
+    hkv = k.shape[1]
+    ratio = hq // hkv
+    nq, nk = l // block_q, l // block_k
+
+    operands = (segment_ids, segment_ids, q, k, v)
+    grid = (b, nq, hq, nk)
+    kern = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, block_q), lambda b_, i_, h_, j_: (b_, i_)),  # qseg
+        pl.BlockSpec((1, block_k), lambda b_, i_, h_, j_: (b_, j_)),  # kseg
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda b_, i_, h_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda b_, i_, h_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
+        pl.BlockSpec((1, hq, block_q), lambda b_, i_, h_, j_: (b_, 0, i_)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, l, d), q.dtype),
+        jax.ShapeDtypeStruct((b, hq, l), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    out, lse = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    if sinks is not None:
+        # fold the sink column into out/lse outside the kernel:
+        # lse' = log(exp(lse) + exp(sink)); out' = out * exp(lse - lse')
+        sink_b = sinks.astype(jnp.float32)[None, :, None]
+        lse_new = jnp.logaddexp(lse, sink_b)
+        out = (out.astype(jnp.float32) * jnp.exp(lse - lse_new)[..., None]).astype(out.dtype)
+        lse = lse_new
+    return out, lse
+
+
+def _flash_fwd_rule(q, k, v, segment_ids, sinks, scale, causal, window,
+                    block_q, block_k, interpret):
+    out, lse = _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
+                              block_q, block_k, interpret)
+    return out, (q, k, v, segment_ids, sinks, out, lse)
+
+
+def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
+    q, k, v, segment_ids, sinks, out, lse = res
+    b, hq, l, d = q.shape
+    hkv = k.shape[1]
+    ratio = hq // hkv
+    nq, nk = l // block_q, l // block_k
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Hq,L)
+
+    common_specs = [
+        pl.BlockSpec((1, block_q), lambda b_, h_, i_, j_: (b_, i_)),  # qseg
+        pl.BlockSpec((1, block_k), lambda b_, h_, i_, j_: (b_, j_)),  # kseg
+    ]
+
+    # ---- dq ----
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, causal=causal, window=window,
+                          block_q=block_q, block_k=block_k),
+        grid=(b, hq, nq, nk),
+        in_specs=common_specs + [
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i_, j_: (b_, h_, i_, 0)),  # q
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, i_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),  # k
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda b_, h_, i_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),  # v
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i_, j_: (b_, h_, i_, 0)),  # do
+            pl.BlockSpec((1, hq, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # lse
+            pl.BlockSpec((1, hq, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # delta
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i_, j_: (b_, h_, i_, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, l, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(segment_ids, segment_ids, q, k, v, g, lse, delta)
+
+    # ---- dk / dv (per q-head, group-summed afterwards) ----
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, causal=causal, window=window,
+                          block_q=block_q, block_k=block_k),
+        grid=(b, hq, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b_, h_, j_, i_: (b_, i_)),  # qseg
+            pl.BlockSpec((1, block_k), lambda b_, h_, j_, i_: (b_, j_)),  # kseg
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, j_, i_: (b_, h_, jnp.maximum(i_, j_) if causal else i_, 0)),  # q
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_ // ratio, j_, 0)),  # k
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_ // ratio, j_, 0)),  # v
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b_, h_, j_, i_: (b_, h_, jnp.maximum(i_, j_) if causal else i_, 0)),  # do
+            pl.BlockSpec((1, hq, block_q),
+                         lambda b_, h_, j_, i_: (b_, 0, jnp.maximum(i_, j_) if causal else i_)),  # lse
+            pl.BlockSpec((1, hq, block_q),
+                         lambda b_, h_, j_, i_: (b_, 0, jnp.maximum(i_, j_) if causal else i_)),  # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_, j_, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_, j_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, l, d), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(segment_ids, segment_ids, q, k, v, g, lse, delta)
+
+    if ratio > 1:
+        dk = dk_h.reshape(b, hkv, ratio, l, d).sum(axis=2).astype(k.dtype)
+        dv = dv_h.reshape(b, hkv, ratio, l, d).sum(axis=2).astype(v.dtype)
+    else:
+        dk, dv = dk_h.astype(k.dtype), dv_h.astype(v.dtype)
+
+    if sinks is not None:
+        # ds_sink = -p_sink * delta summed over batch and rows
+        p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)  # (B,Hq,L)
+        dsinks = -(p_sink * delta).sum(axis=(0, 2)).astype(sinks.dtype)
+    else:
+        dsinks = None
+    return dq, dk, dv, None, dsinks
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(q, k, v, segment_ids, *, causal: bool = True,
+                    scale: Optional[float] = None, window: Optional[int] = None,
+                    sinks=None, block_q: int = 512, block_k: int = 512,
+                    interpret: Optional[bool] = None):
+    """Public entry. q: (B, L, Hq, D); k, v: (B, L, Hkv, D); seg: (B, L).
+
+    Returns (B, L, Hq, D) in q.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    b, l, hq, d = q.shape
+    scale = scale if scale is not None else d ** -0.5
+    # the causal DMA clamp (j -> min(j, i)) requires block_q == block_k
+    block = _pick_block(l, min(block_q, block_k))
+    pad = _pad_len(l, block)
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        segment_ids = jnp.pad(segment_ids, ((0, 0), (0, pad)))
+        block = _pick_block(l + pad, block)
+    block_q = block_k = block
+
+    qt = jnp.swapaxes(q, 1, 2)  # (B, Hq, L, D)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    out = _flash(qt, kt, vt, segment_ids, sinks, scale, causal, window,
+                 block_q, block_k, interpret)
+    out = jnp.swapaxes(out, 1, 2)
+    if pad:
+        out = out[:, :l]
+    return out
