@@ -1,0 +1,275 @@
+"""HuggingFace safetensors import/export.
+
+Reference: the LoadSpec system (xtuner/v1/model/base.py:1030-1171 `_init_load_spec`,
+:2030-2112 `_load_params` streamed per-param DTensor loads, :1742-2029 `save_hf`
+with chunked <=3.6GB safetensors and DTensor re-gather). TPU redesign:
+
+- Load: for each param leaf, `jax.make_array_from_callback` asks for exactly
+  the slices each local shard needs; we map those global slices through the
+  HFKey transform (transpose for nn.Linear layout, per-layer/per-expert
+  stacking) onto safetensors `get_slice` range reads — no full tensor is ever
+  materialized on host, so 200B+ checkpoints stream straight into the sharded
+  param tree (hard part #3 of SURVEY.md §7).
+- Save: stacked params are gathered layer-by-layer (device slice -> host) and
+  written into size-capped safetensors chunks with an HF weight_map index.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from ..module.params import ParamSpec
+from ..utils.logger import get_logger
+from .spec import HFKey
+
+logger = get_logger()
+
+MAX_SHARD_BYTES = int(3.6 * 1024**3)
+
+
+class HFCheckpointReader:
+    """Lazy safetensors reader keyed by the weight_map index
+    (reference: HFCheckpointLoader, train_engine.py:87-136)."""
+
+    def __init__(self, hf_path: str | Path):
+        self.path = Path(hf_path)
+        index_file = self.path / "model.safetensors.index.json"
+        if index_file.exists():
+            self.weight_map: dict[str, str] = json.loads(index_file.read_text())["weight_map"]
+        else:
+            single = self.path / "model.safetensors"
+            if not single.exists():
+                raise FileNotFoundError(f"No safetensors found under {self.path}")
+            from safetensors import safe_open
+
+            with safe_open(single, framework="np") as f:
+                keys = list(f.keys())
+            self.weight_map = {k: "model.safetensors" for k in keys}
+        self._open_files: dict[str, Any] = {}
+
+    def _file(self, name: str):
+        if name not in self._open_files:
+            from safetensors import safe_open
+
+            self._open_files[name] = safe_open(self.path / name, framework="np")
+        return self._open_files[name]
+
+    def has(self, key: str) -> bool:
+        return key in self.weight_map
+
+    def get_slice(self, key: str):
+        if key not in self.weight_map:
+            raise KeyError(f"HF checkpoint missing key {key!r}")
+        return self._file(self.weight_map[key]).get_slice(key)
+
+    def get(self, key: str) -> np.ndarray:
+        return self._file(self.weight_map[key]).get_tensor(key)
+
+
+def _slices_to_ranges(idx: tuple, shape: tuple) -> list[tuple[int, int]]:
+    out = []
+    for sl, dim in zip(idx, shape):
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else dim
+        out.append((start, stop))
+    return out
+
+
+def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
+                     idx: tuple, stacked: bool) -> np.ndarray:
+    """Read the global slice `idx` of OUR param layout from the HF files."""
+    ranges = _slices_to_ranges(idx, spec.shape)
+
+    def read_2d_t(hf_key: str, in_r, out_r) -> np.ndarray:
+        # HF nn.Linear weight is (out, in); ours is (in, out)
+        sl = reader.get_slice(hf_key)
+        return np.ascontiguousarray(
+            sl[out_r[0]:out_r[1], in_r[0]:in_r[1]].T
+        )
+
+    if key.transform == "expert_linear":
+        # ours: (layers?, E, in, out); HF: per-(layer, expert) (out, in) tensors
+        if stacked:
+            (l0, l1), (e0, e1), in_r, out_r = ranges
+            layers = range(l0, l1)
+        else:
+            (e0, e1), in_r, out_r = ranges
+            layers = [None]
+        blocks = []
+        for li in layers:
+            experts = [
+                read_2d_t(
+                    key.template.format(layer=(li + key.layer_offset) if li is not None else 0,
+                                        expert=ei),
+                    in_r, out_r,
+                )
+                for ei in range(e0, e1)
+            ]
+            blocks.append(np.stack(experts))
+        arr = np.stack(blocks) if stacked else blocks[0]
+        return arr
+
+    if stacked:
+        (l0, l1), *rest = ranges
+        parts = []
+        for li in range(l0, l1):
+            hf_key = key.template.format(layer=li + key.layer_offset)
+            if key.transform == "linear":
+                in_r, out_r = rest
+                parts.append(read_2d_t(hf_key, in_r, out_r))
+            else:
+                sl = reader.get_slice(hf_key)
+                index = tuple(slice(a, b) for a, b in rest)
+                parts.append(np.asarray(sl[index] if rest else reader.get(hf_key)))
+        return np.stack(parts)
+
+    hf_key = key.template
+    if key.transform == "linear":
+        in_r, out_r = ranges
+        return read_2d_t(hf_key, in_r, out_r)
+    sl = reader.get_slice(hf_key)
+    index = tuple(slice(a, b) for a, b in ranges)
+    return np.asarray(sl[index]) if ranges else reader.get(hf_key)
+
+
+def _is_stacked(key: HFKey) -> bool:
+    return "{layer}" in key.template
+
+
+def load_hf_checkpoint(hf_path: str | Path, specs, key_map, shardings):
+    """-> param pytree matching `specs`, sharded per `shardings`."""
+    reader = HFCheckpointReader(hf_path)
+
+    def load_leaf(spec: ParamSpec, key: Optional[HFKey], sharding):
+        if key is None:
+            raise ValueError("param has no HF key mapping")
+        stacked = _is_stacked(key)
+
+        def cb(idx):
+            arr = _read_leaf_slice(reader, key, spec, idx, stacked)
+            return arr.astype(np.dtype(spec.dtype))
+
+        return jax.make_array_from_callback(spec.shape, sharding, cb)
+
+    flat_specs, treedef = jax.tree.flatten(specs, is_leaf=lambda x: isinstance(x, ParamSpec))
+    flat_keys = treedef.flatten_up_to(key_map)
+    flat_shardings = jax.tree.leaves(shardings)
+    params = [
+        load_leaf(s, k, sh) for s, k, sh in zip(flat_specs, flat_keys, flat_shardings)
+    ]
+    logger.info(f"loaded {len(params)} params from HF checkpoint {hf_path}")
+    return jax.tree.unflatten(treedef, params)
+
+
+# ----------------------------------------------------------------------
+# save
+# ----------------------------------------------------------------------
+
+class _ChunkedWriter:
+    """Accumulate tensors and flush into size-capped safetensors shards
+    (reference `_iter_hf_save_chunks`, base.py:1742)."""
+
+    def __init__(self, out_dir: Path):
+        self.out_dir = out_dir
+        self.buffer: dict[str, np.ndarray] = {}
+        self.buffer_bytes = 0
+        self.files: list[dict[str, np.ndarray]] = []
+
+    def add(self, key: str, tensor: np.ndarray) -> None:
+        self.buffer[key] = tensor
+        self.buffer_bytes += tensor.nbytes
+        if self.buffer_bytes >= MAX_SHARD_BYTES:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.buffer:
+            self.files.append(self.buffer)
+            self.buffer = {}
+            self.buffer_bytes = 0
+
+    def finalize(self) -> None:
+        from safetensors.numpy import save_file
+
+        self.flush()
+        n = len(self.files)
+        weight_map = {}
+        if n == 1:
+            save_file(self.files[0], self.out_dir / "model.safetensors")
+            return
+        for i, chunk in enumerate(self.files, start=1):
+            name = f"model-{i:05d}-of-{n:05d}.safetensors"
+            save_file(chunk, self.out_dir / name)
+            for k in chunk:
+                weight_map[k] = name
+        total = sum(t.nbytes for c in self.files for t in c.values())
+        (self.out_dir / "model.safetensors.index.json").write_text(
+            json.dumps({"metadata": {"total_size": total}, "weight_map": weight_map}, indent=1)
+        )
+
+
+def _to_hf_tensor(arr: np.ndarray, transform: str) -> np.ndarray:
+    if transform in ("linear", "expert_linear"):
+        return np.ascontiguousarray(arr.T)
+    return arr
+
+
+def save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None) -> None:
+    """Gather sharded params (layer-by-layer for stacked) -> HF safetensors."""
+    out_dir = Path(hf_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    writer = _ChunkedWriter(out_dir)
+
+    flat_params, treedef = jax.tree.flatten(params)
+    flat_keys = treedef.flatten_up_to(key_map)
+    for p, key in zip(flat_params, flat_keys):
+        if key.transform == "expert_linear":
+            stacked = p.ndim == 4
+            n_layers = p.shape[0] if stacked else 1
+            for li in range(n_layers):
+                layer_slice = np.asarray(jax.device_get(p[li] if stacked else p))
+                for ei in range(layer_slice.shape[0]):
+                    hf_key = key.template.format(layer=li + key.layer_offset, expert=ei)
+                    writer.add(hf_key, _to_hf_tensor(layer_slice[ei], key.transform))
+        elif _is_stacked(key):
+            for li in range(p.shape[0]):
+                hf_key = key.template.format(layer=li + key.layer_offset)
+                writer.add(hf_key, _to_hf_tensor(np.asarray(jax.device_get(p[li])), key.transform))
+        else:
+            writer.add(key.template, _to_hf_tensor(np.asarray(jax.device_get(p)), key.transform))
+    writer.finalize()
+    if model_cfg is not None and getattr(model_cfg, "model_type", None):
+        _write_hf_config(out_dir, model_cfg)
+    logger.info(f"saved HF checkpoint -> {out_dir}")
+
+
+def _write_hf_config(out_dir: Path, cfg) -> None:
+    """Minimal HF config.json so transformers can reload the export."""
+    attn = cfg.attention
+    config = {
+        "architectures": [],
+        "model_type": cfg.model_type,
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": attn.num_attention_heads,
+        "num_key_value_heads": attn.num_key_value_heads,
+        "head_dim": attn.head_dim,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "hidden_act": cfg.hidden_act,
+        "rope_theta": cfg.rope_theta,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "eos_token_id": cfg.eos_token_id,
+        "torch_dtype": "bfloat16",
+    }
+    for extra in ("n_routed_experts", "num_experts_per_tok", "moe_intermediate_size"):
+        if hasattr(cfg, extra):
+            config[{"n_routed_experts": "num_experts"}.get(extra, extra)] = getattr(cfg, extra)
+    (out_dir / "config.json").write_text(json.dumps(config, indent=1))

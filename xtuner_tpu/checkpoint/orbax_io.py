@@ -26,7 +26,7 @@ logger = get_logger()
 class TrainCheckpointManager:
     def __init__(self, work_dir: str | Path, max_keep: Optional[int] = None,
                  async_save: bool = True):
-        self.ckpt_dir = Path(work_dir) / "checkpoints"
+        self.ckpt_dir = Path(work_dir).resolve() / "checkpoints"  # orbax requires absolute paths
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         self.max_keep = max_keep
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler()) if async_save \

@@ -107,7 +107,7 @@ def dense_config_from_hf(hf_cfg: Any) -> DenseConfig:
     return cls(
         vocab_size=hf_cfg.vocab_size,
         max_position_embeddings=hf_cfg.max_position_embeddings,
-        eos_token_id=hf_cfg.eos_token_id,
+        eos_token_id=hf_cfg.eos_token_id if hf_cfg.eos_token_id is not None else 0,
         num_hidden_layers=hf_cfg.num_hidden_layers,
         hidden_size=hf_cfg.hidden_size,
         intermediate_size=hf_cfg.intermediate_size,

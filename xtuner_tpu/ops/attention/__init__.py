@@ -44,6 +44,10 @@ def attention(q, k, v, segment_ids, *, causal: bool = True, scale: Optional[floa
     runs under shard_map: heads sharded over (sp, tp), sequence gathered —
     the Ulysses layout (reference mha.py:365-390) with the all_to_alls
     inserted by GSPMD at the shard_map boundary."""
+    if impl is None and q.shape[-1] % 128 != 0:
+        # head_dim must be lane-aligned for the Pallas kernel; small/odd head
+        # dims (tiny test models) take the XLA path instead
+        impl = "reference"
     fn = get_attention(impl)
     if sc is None or sc.mesh is None or fn.__name__ != "flash_attention":
         return fn(q, k, v, segment_ids, causal=causal, scale=scale, window=window, sinks=sinks)

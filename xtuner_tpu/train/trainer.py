@@ -177,7 +177,8 @@ class Trainer:
                 self.writer.add_scalars(
                     {**metrics, "tgs": tgs, "step_time": step_time, "data_time": t_data}, step
                 )
-            if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+            if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0 \
+                    and step != self.total_steps:
                 self._save(step)
             if cfg.hf_interval and step % cfg.hf_interval == 0:
                 self.engine.save_hf(str(self.work_dir / f"hf-step-{step}"))
