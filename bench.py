@@ -51,22 +51,30 @@ def main() -> None:
     # warmup (compile)
     for step in range(1, 3):
         m = engine.train_step(batch, step)
-        jax.block_until_ready(m["total_loss"])
+        float(m["total_loss"])  # force full sync
 
     n_steps = 8
-    t0 = time.time()
+    times = []
     for step in range(3, 3 + n_steps):
+        t0 = time.time()
         m = engine.train_step(batch, step)
-    jax.block_until_ready(m["total_loss"])
-    dt = time.time() - t0
+        float(m["total_loss"])  # sync each step
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
 
-    tokens_per_sec_chip = tokens_per_step * n_steps / dt / n_dev
-    baseline = 2000.0  # reference BF16 tokens/GPU/s
+    tokens_per_sec_chip = tokens_per_step / dt / n_dev
+    n_params = engine.num_params
+    # 6*P per token (fwd+bwd) + attention flops; remat adds ~fwd again (x8 total)
+    flops_per_token = 6 * n_params + 12 * cfg.num_hidden_layers * cfg.hidden_size * seq_len // 2
+    mfu = flops_per_token * tokens_per_sec_chip / 197e12  # v5e bf16 peak/chip
+    baseline = 2000.0  # reference BF16 tokens/GPU/s (H100-class; see BASELINE.md)
     print(json.dumps({
         "metric": "dense0.6b_sft_tokens_per_sec_per_chip",
         "value": round(tokens_per_sec_chip, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_sec_chip / baseline, 3),
+        "mfu": round(mfu, 4),
+        "step_time_s": round(dt, 3),
     }))
 
 

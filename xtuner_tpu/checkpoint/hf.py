@@ -146,9 +146,15 @@ def load_hf_checkpoint(hf_path: str | Path, specs, key_map, shardings):
     """-> param pytree matching `specs`, sharded per `shardings`."""
     reader = HFCheckpointReader(hf_path)
 
-    def load_leaf(spec: ParamSpec, key: Optional[HFKey], sharding):
+    init_rng = jax.random.key(0)
+
+    def load_leaf(i: int, spec: ParamSpec, key: Optional[HFKey], sharding):
         if key is None:
             raise ValueError("param has no HF key mapping")
+        if key.template == "<random>":
+            # param not present in the HF checkpoint (e.g. fresh LoRA adapters)
+            init = jax.jit(spec.initializer(), out_shardings=sharding)
+            return init(jax.random.fold_in(init_rng, i))
         stacked = _is_stacked(key)
 
         def cb(idx):
@@ -161,7 +167,8 @@ def load_hf_checkpoint(hf_path: str | Path, specs, key_map, shardings):
     flat_keys = treedef.flatten_up_to(key_map)
     flat_shardings = jax.tree.leaves(shardings)
     params = [
-        load_leaf(s, k, sh) for s, k, sh in zip(flat_specs, flat_keys, flat_shardings)
+        load_leaf(i, s, k, sh)
+        for i, (s, k, sh) in enumerate(zip(flat_specs, flat_keys, flat_shardings))
     ]
     logger.info(f"loaded {len(params)} params from HF checkpoint {hf_path}")
     return jax.tree.unflatten(treedef, params)

@@ -59,6 +59,16 @@ class TrainEngine:
         self.shardings = param_shardings(self.specs, self.mesh, self.rules)
         self.compute_dtype = jnp.dtype(mesh_cfg.param_dtype)
         self.tx = build_optimizer(optim_cfg, lr_cfg, total_steps)
+        # LoRA / freezing: 'freeze'-labelled params get no updates and their
+        # grad computation is dead-code-eliminated via stop_gradient
+        self.param_labels = None
+        if getattr(model_cfg, "lora_cfg", None) is not None:
+            from ..module.lora import lora_param_labels
+
+            self.param_labels = lora_param_labels(self.specs, model_cfg.lora_cfg)
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "freeze": optax.set_to_zero()}, self.param_labels
+            )
         self.lr_schedule = build_lr_schedule(optim_cfg, lr_cfg, total_steps)
         self.params = None
         self.opt_state = None
@@ -112,6 +122,13 @@ class TrainEngine:
     def save_hf(self, hf_path: str) -> None:
         from ..checkpoint.hf import save_hf_checkpoint
 
+        if self.param_labels is not None:
+            # merged export: fold adapters into base weights; use the no-LoRA
+            # key map so exported files are a standard HF checkpoint
+            params = self.model.merge_lora(self.params)
+            plain_cfg = self.model_cfg.model_copy(update={"lora_cfg": None})
+            save_hf_checkpoint(hf_path, params, plain_cfg.build().hf_key_map(), self.model_cfg)
+            return
         save_hf_checkpoint(hf_path, self.params, self.model.hf_key_map(), self.model_cfg)
 
     # ------------------------------------------------------------------
@@ -122,7 +139,13 @@ class TrainEngine:
         skip_threshold = self.optim_cfg.skip_grad_norm_threshold
         remat = self.mesh_cfg.remat_policy if self.mesh_cfg.recompute_ratio > 0 else "none"
 
+        param_labels = self.param_labels
+
         def loss_fn(params, mb, denom):
+            if param_labels is not None:
+                from ..module.lora import freeze_stop_gradient
+
+                params = freeze_stop_gradient(params, param_labels)
             seq_ctx = SequenceContext(
                 input_ids=mb["input_ids"],
                 segment_ids=mb["segment_ids"],

@@ -21,6 +21,7 @@ from pydantic import BaseModel as PydanticBaseModel, ConfigDict
 
 from ..loss.ce_loss import CELossConfig
 from ..module.attention import MHAConfig
+from ..module.lora import LoraConfig
 from ..module.rope import RopeScalingConfig
 
 
@@ -80,6 +81,7 @@ class TransformerConfig(PydanticBaseModel):
     # ---- knobs the engine reads ----
     init_scale: float = 0.02
     attn_impl: Optional[str] = None  # None = device default
+    lora_cfg: Optional[LoraConfig] = None  # v0 peft-LoRA capability
 
     def build(self):
         raise NotImplementedError

@@ -52,8 +52,9 @@ class Dense:
     def layer_param_specs(self) -> dict:
         cfg = self.cfg
         return {
-            "attn": mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale),
-            "mlp": mlp_param_specs(cfg.hidden_size, cfg.intermediate_size, cfg.init_scale, cfg.mlp_bias),
+            "attn": mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale, cfg.lora_cfg),
+            "mlp": mlp_param_specs(cfg.hidden_size, cfg.intermediate_size, cfg.init_scale,
+                                   cfg.mlp_bias, cfg.lora_cfg),
             "input_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
             "post_attn_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
         }
@@ -72,13 +73,14 @@ class Dense:
     # ------------------------------------------------------------------
     def _layer_forward(self, x, lp, cfg, cos, sin, segment_ids, sc, compute_dtype):
         lp = cast_tree(lp, compute_dtype)
+        lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
         h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                         window=cfg.sliding_window if cfg.use_sliding_window else None,
-                        attn_impl=cfg.attn_impl)
+                        attn_impl=cfg.attn_impl, lora_scaling=lora_s)
         x = x + h
         h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
-        h = mlp_forward(lp["mlp"], h, cfg.hidden_act)
+        h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s)
         x = x + h
         return sc(x, "batch", "seq", None)
 
@@ -123,6 +125,34 @@ class Dense:
     # ------------------------------------------------------------------
     # HF interop (reference: to_hf_key_list converters, dense presets)
     # ------------------------------------------------------------------
+    def _mlp_key_map(self) -> dict:
+        cfg = self.cfg
+        mlp = {
+            "gate_proj": {"w": HFKey("model.layers.{layer}.mlp.gate_proj.weight", "linear")},
+            "up_proj": {"w": HFKey("model.layers.{layer}.mlp.up_proj.weight", "linear")},
+            "down_proj": {"w": HFKey("model.layers.{layer}.mlp.down_proj.weight", "linear")},
+        }
+        if cfg.lora_cfg is not None:
+            for name in list(mlp):
+                if name in cfg.lora_cfg.target_modules:
+                    mlp[name]["lora_a"] = HFKey("<random>")
+                    mlp[name]["lora_b"] = HFKey("<random>")
+        return mlp
+
+    def merge_lora(self, params):
+        from ..module.lora import merge_lora
+
+        if self.cfg.lora_cfg is None:
+            return params
+        return merge_lora(params, self.cfg.lora_cfg.scaling)
+
+    def param_labels(self, params):
+        """'train'/'freeze' labels for the optimizer (LoRA freezes the base)."""
+        from ..module.lora import lora_param_labels
+
+        if self.cfg.lora_cfg is None:
+            return jax.tree.map(lambda _: "train", params)
+        return lora_param_labels(params, self.cfg.lora_cfg)
     def hf_key_map(self) -> dict:
         cfg = self.cfg
         attn: dict = {
@@ -131,6 +161,11 @@ class Dense:
             "v_proj": {"w": HFKey("model.layers.{layer}.self_attn.v_proj.weight", "linear")},
             "o_proj": {"w": HFKey("model.layers.{layer}.self_attn.o_proj.weight", "linear")},
         }
+        if cfg.lora_cfg is not None:
+            for name in list(attn):
+                if name in cfg.lora_cfg.target_modules:
+                    attn[name]["lora_a"] = HFKey("<random>")
+                    attn[name]["lora_b"] = HFKey("<random>")
         if cfg.attention.qkv_bias:
             attn["q_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.q_proj.bias")
             attn["k_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.k_proj.bias")
@@ -146,11 +181,7 @@ class Dense:
             "embed": {"w": HFKey("model.embed_tokens.weight")},
             "layers": {
                 "attn": attn,
-                "mlp": {
-                    "gate_proj": {"w": HFKey("model.layers.{layer}.mlp.gate_proj.weight", "linear")},
-                    "up_proj": {"w": HFKey("model.layers.{layer}.mlp.up_proj.weight", "linear")},
-                    "down_proj": {"w": HFKey("model.layers.{layer}.mlp.down_proj.weight", "linear")},
-                },
+                "mlp": self._mlp_key_map(),
                 "input_norm": HFKey("model.layers.{layer}.input_layernorm.weight"),
                 "post_attn_norm": HFKey("model.layers.{layer}.post_attention_layernorm.weight"),
             },

@@ -18,6 +18,7 @@ from ..ops.attention import attention
 from ..ops.rms_norm import rms_norm
 from ..ops.rotary import apply_rotary_emb
 from ..parallel.sharding import ShardCtx
+from .lora import LoraConfig, add_lora_specs, lora_linear
 from .params import ParamSpec
 
 
@@ -42,13 +43,16 @@ class MHAConfig(BaseModel):
         return self.num_key_value_heads * self.head_dim
 
 
-def mha_param_specs(cfg: MHAConfig, hidden_size: int, init_scale: float = 0.02) -> dict:
+def mha_param_specs(cfg: MHAConfig, hidden_size: int, init_scale: float = 0.02,
+                    lora: Optional[LoraConfig] = None) -> dict:
     specs: dict = {
         "q_proj": {"w": ParamSpec((hidden_size, cfg.q_dim()), ("embed_shard", "heads"), scale=init_scale)},
         "k_proj": {"w": ParamSpec((hidden_size, cfg.kv_dim()), ("embed_shard", "kv_heads"), scale=init_scale)},
         "v_proj": {"w": ParamSpec((hidden_size, cfg.kv_dim()), ("embed_shard", "kv_heads"), scale=init_scale)},
         "o_proj": {"w": ParamSpec((cfg.q_dim(), hidden_size), ("heads", "embed_shard"), scale=init_scale)},
     }
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        add_lora_specs(specs[name], name, specs[name]["w"], lora)
     if cfg.qkv_bias:
         specs["q_proj"]["b"] = ParamSpec((cfg.q_dim(),), ("heads",), init="zeros")
         specs["k_proj"]["b"] = ParamSpec((cfg.kv_dim(),), ("kv_heads",), init="zeros")
@@ -63,16 +67,13 @@ def mha_param_specs(cfg: MHAConfig, hidden_size: int, init_scale: float = 0.02) 
     return specs
 
 
-def _linear(x, p):
-    y = x @ p["w"]
-    if "b" in p:
-        y = y + p["b"]
-    return y
-
-
 def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
-                sc: ShardCtx, window: Optional[int] = None, attn_impl: Optional[str] = None):
+                sc: ShardCtx, window: Optional[int] = None, attn_impl: Optional[str] = None,
+                lora_scaling: float = 1.0):
     """x: (B, L, hidden) -> (B, L, hidden)."""
+    def _linear(x, p):
+        return lora_linear(x, p, lora_scaling)
+
     b, l, _ = x.shape
     q = _linear(x, p["q_proj"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
     k = _linear(x, p["k_proj"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)

@@ -3,12 +3,15 @@ xtuner/v1/module/decoder_layer/dense_decoder_layer.py."""
 
 from __future__ import annotations
 
+from typing import Optional
+
 from ..ops.act_fn import get_act_fn
+from .lora import LoraConfig, add_lora_specs, lora_linear
 from .params import ParamSpec
 
 
 def mlp_param_specs(hidden_size: int, intermediate_size: int, init_scale: float = 0.02,
-                    bias: bool = False) -> dict:
+                    bias: bool = False, lora: Optional[LoraConfig] = None) -> dict:
     specs = {
         "gate_proj": {"w": ParamSpec((hidden_size, intermediate_size), ("embed_shard", "mlp"), scale=init_scale)},
         "up_proj": {"w": ParamSpec((hidden_size, intermediate_size), ("embed_shard", "mlp"), scale=init_scale)},
@@ -18,17 +21,12 @@ def mlp_param_specs(hidden_size: int, intermediate_size: int, init_scale: float 
         specs["gate_proj"]["b"] = ParamSpec((intermediate_size,), ("mlp",), init="zeros")
         specs["up_proj"]["b"] = ParamSpec((intermediate_size,), ("mlp",), init="zeros")
         specs["down_proj"]["b"] = ParamSpec((hidden_size,), (None,), init="zeros")
+    for name in ("gate_proj", "up_proj", "down_proj"):
+        add_lora_specs(specs[name], name, specs[name]["w"], lora)
     return specs
 
 
-def _linear(x, p):
-    y = x @ p["w"]
-    if "b" in p:
-        y = y + p["b"]
-    return y
-
-
-def mlp_forward(p: dict, x, act: str = "silu"):
-    gate = _linear(x, p["gate_proj"])
-    up = _linear(x, p["up_proj"])
-    return _linear(get_act_fn(act)(gate) * up, p["down_proj"])
+def mlp_forward(p: dict, x, act: str = "silu", lora_scaling: float = 1.0):
+    gate = lora_linear(x, p["gate_proj"], lora_scaling)
+    up = lora_linear(x, p["up_proj"], lora_scaling)
+    return lora_linear(get_act_fn(act)(gate) * up, p["down_proj"], lora_scaling)
