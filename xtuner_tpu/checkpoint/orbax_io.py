@@ -95,6 +95,17 @@ class TrainCheckpointManager:
         dataloader_state = json.loads(dl_path.read_text()) if dl_path.exists() else None
         return params, opt_state, train_state, dataloader_state
 
+    def restore_params(self, step: int, params_template):
+        """Model weights only (checkpoint-convert path)."""
+        import numpy as np
+
+        step_dir = self._step_dir(step)
+        restorer = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        args = jax.tree.map(lambda x: ocp.RestoreArgs(restore_type=np.ndarray), params_template)
+        host = restorer.restore(step_dir / "params", item=params_template, restore_args=args)
+        train_state = json.loads((step_dir / "train_state.json").read_text())
+        return jax.tree.map(lambda h, t: jax.device_put(h, t.sharding), host, params_template), train_state
+
     def wait(self) -> None:
         if hasattr(self._ckptr, "wait_until_finished"):
             self._ckptr.wait_until_finished()

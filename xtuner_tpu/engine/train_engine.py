@@ -132,20 +132,12 @@ class TrainEngine:
         save_hf_checkpoint(hf_path, self.params, self.model.hf_key_map(), self.model_cfg)
 
     # ------------------------------------------------------------------
-    def _build_step_fn(self):
+    def _default_loss_fn(self):
+        """SFT loss: model.loss with the calibrated CE (trainer path)."""
         model, sc, dtype = self.model, self.sc, self.compute_dtype
-        tx, schedule = self.tx, self.lr_schedule
-        max_norm = self.optim_cfg.max_grad_norm
-        skip_threshold = self.optim_cfg.skip_grad_norm_threshold
         remat = self.mesh_cfg.remat_policy if self.mesh_cfg.recompute_ratio > 0 else "none"
 
-        param_labels = self.param_labels
-
         def loss_fn(params, mb, denom):
-            if param_labels is not None:
-                from ..module.lora import freeze_stop_gradient
-
-                params = freeze_stop_gradient(params, param_labels)
             seq_ctx = SequenceContext(
                 input_ids=mb["input_ids"],
                 segment_ids=mb["segment_ids"],
@@ -153,26 +145,45 @@ class TrainEngine:
             )
             out = model.loss(params, seq_ctx, mb["shifted_labels"], mb["loss_weights"],
                              denom, sc=sc, compute_dtype=dtype, remat=remat)
-            return out.total_loss(), out
+            return out.total_loss(), {"sum_ce": out.sum_ce, "num_tokens": out.num_tokens}
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        return loss_fn
+
+    def _build_step_fn(self, loss_fn=None):
+        """loss_fn(params, mb, denom) -> (scalar loss, dict of scalar metrics);
+        metric values are summed across grad-accum micro-batches."""
+        tx, schedule = self.tx, self.lr_schedule
+        max_norm = self.optim_cfg.max_grad_norm
+        skip_threshold = self.optim_cfg.skip_grad_norm_threshold
+        inner_loss_fn = loss_fn or self._default_loss_fn()
+        param_labels = self.param_labels
+
+        def wrapped_loss(params, mb, denom):
+            if param_labels is not None:
+                from ..module.lora import freeze_stop_gradient
+
+                params = freeze_stop_gradient(params, param_labels)
+            loss, mets = inner_loss_fn(params, mb, denom)
+            return loss, {"total_loss": loss, **mets}
+
+        grad_fn = jax.value_and_grad(wrapped_loss, has_aux=True)
 
         def step_fn(params, opt_state, step, batch):
             denom = jnp.sum(batch["loss_weights"].astype(jnp.float32))
 
             def micro(grads_acc, mb):
-                (loss, out), grads = grad_fn(params, mb, denom)
+                (_, mets), grads = grad_fn(params, mb, denom)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return grads_acc, (loss, out.sum_ce, out.num_tokens)
+                return grads_acc, mets
 
             zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
             num_micro = batch["input_ids"].shape[0]
             if num_micro == 1:
                 mb0 = jax.tree.map(lambda x: x[0], batch)
-                grads, (losses, ces, toks) = micro(zeros, mb0)
-                losses, ces, toks = losses[None], ces[None], toks[None]
+                grads, mets = micro(zeros, mb0)
+                mets = jax.tree.map(lambda m: m[None], mets)
             else:
-                grads, (losses, ces, toks) = jax.lax.scan(micro, zeros, batch)
+                grads, mets = jax.lax.scan(micro, zeros, batch)
 
             grad_norm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, max_norm / (grad_norm + 1e-6))
@@ -193,14 +204,16 @@ class TrainEngine:
 
             params_new, opt_new = jax.lax.cond(ok, do_update, skip_update,
                                                (params, opt_state, grads))
-            metrics = {
-                "total_loss": jnp.sum(losses),
-                "reduced_llm_loss": jnp.sum(ces) / jnp.maximum(jnp.sum(toks), 1),
+            metrics = {k: jnp.sum(v) for k, v in mets.items()}
+            if "sum_ce" in metrics:
+                metrics["reduced_llm_loss"] = metrics.pop("sum_ce") / jnp.maximum(
+                    metrics.get("num_tokens", 1), 1)
+                metrics["consumed_tokens"] = metrics.pop("num_tokens")
+            metrics.update({
                 "grad_norm": grad_norm,
                 "lr": schedule(step),
-                "consumed_tokens": jnp.sum(toks),
                 "skipped": (~ok).astype(jnp.int32),
-            }
+            })
             return params_new, opt_new, metrics
 
         return jax.jit(step_fn, donate_argnums=(0, 1))

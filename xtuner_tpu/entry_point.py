@@ -9,11 +9,17 @@ import sys
 MODES = {
     "train": "xtuner_tpu.train.cli.sft",
     "sft": "xtuner_tpu.train.cli.sft",
+    "rl": "xtuner_tpu.train.cli.rl",
+    "chat": "xtuner_tpu.train.cli.chat",
+    "convert": "xtuner_tpu.train.cli.convert",
 }
 
 HELP = """usage: xtuner-tpu <mode> [args]
 modes:
   train | sft     supervised fine-tuning / pretraining (see --help)
+  rl              GRPO reinforcement learning
+  chat            interactive chat REPL against an HF checkpoint
+  convert         orbax training checkpoint -> HF safetensors export
 """
 
 

@@ -120,3 +120,31 @@ def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
     sum_ce = jnp.sum(ce * valid)
     num_tokens = jnp.sum(valid)
     return loss, sum_ce, num_tokens
+
+
+def per_token_logprobs(hidden, lm_head_w, shifted_labels, chunk_size: int = 1024,
+                       ignore_idx: int = IGNORE_IDX):
+    """(B, L) log p(label_t | context) — differentiable, logits never
+    materialized (the RL actor/ref logprob path; reference rl/loss/base_loss.py
+    recomputes actor logprobs through the same chunked machinery)."""
+    b, l, h = hidden.shape
+    n = b * l
+    hidden = hidden.reshape(n, h)
+    labels = shifted_labels.reshape(n)
+    chunk = min(chunk_size, n)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        hidden = jnp.pad(hidden, ((0, pad), (0, 0)))
+        labels = jnp.pad(labels, (0, pad), constant_values=ignore_idx)
+
+    @jax.checkpoint
+    def chunk_fn(carry, xs):
+        h_c, lab_c = xs
+        logits = jnp.dot(h_c, lm_head_w, preferred_element_type=jnp.float32)
+        return carry, -_ce_from_logits(logits, lab_c, ignore_idx)
+
+    _, lps = jax.lax.scan(chunk_fn, 0.0,
+                          (hidden.reshape(num_chunks, chunk, h),
+                           labels.reshape(num_chunks, chunk)))
+    return lps.reshape(-1)[:n].reshape(b, l)

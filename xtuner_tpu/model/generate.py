@@ -1,0 +1,199 @@
+"""Batch text generation with a KV cache (engine-native inference).
+
+Reference: GenerateConfig (xtuner/v1/config/generate.py) + the MHA
+prefill/decode paths used for engine-native generation and RL tests
+(SURVEY.md §3.5). TPU design: the KV cache is a stacked (n_layers, B, S, Hkv, D)
+pytree threaded through the same `lax.scan` as training; decode is a
+`lax.scan` over steps — one compiled program for the whole generation.
+Works for Dense and MoE models (layer type dispatched by param keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from ..module.attention import mha_cached_forward
+from ..module.mlp import mlp_forward
+from ..module.params import cast_tree
+from ..module.rope import rope_cos_sin
+from ..ops.rms_norm import rms_norm
+
+
+class GenerateConfig(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    max_new_tokens: int = 128
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0  # 0 = disabled
+    do_sample: bool = True
+    eos_token_id: Optional[int] = None
+    max_length: int = 2048  # cache size (prompt + generation)
+
+
+def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
+                  compute_dtype, kv_mask=None):
+    lp = cast_tree(lp, compute_dtype)
+    zero_c = cfg.rms_norm_type == "zero_centered"
+    lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_c)
+    h, cache_k, cache_v = mha_cached_forward(
+        lp["attn"], cfg.attention, h, cos, sin, cache_k, cache_v, cache_len,
+        window=cfg.sliding_window if cfg.use_sliding_window else None, lora_scaling=lora_s,
+        kv_mask=kv_mask)
+    x = x + h
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_c)
+    if "experts" in lp:
+        from ..module.moe_layer import moe_mlp_forward
+
+        moe_out, _, _ = moe_mlp_forward(
+            lp["experts"], lp["router"], cfg.router, h,
+            num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
+            act=cfg.hidden_act, compute_dtype=compute_dtype)
+        if "shared_experts" in lp:
+            moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
+        h = moe_out
+    else:
+        h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s)
+    return x + h, cache_k, cache_v
+
+
+def _stacks(model, params):
+    """[(layer_params_stacked, n_layers), ...] in forward order."""
+    out = []
+    if "dense_layers" in params:
+        out.append(params["dense_layers"])
+    if "layers" in params:
+        out.append(params["layers"])
+    if "moe_layers" in params:
+        out.append(params["moe_layers"])
+    return out
+
+
+def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):
+    cfg = model.cfg
+    attn = cfg.attention
+    shape = (batch_size, max_length, attn.num_key_value_heads, attn.head_dim)
+    caches = []
+    for stack in _stacks(model, model.param_specs()):
+        n = jax.tree.leaves(stack, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
+        caches.append((jnp.zeros((n, *shape), dtype), jnp.zeros((n, *shape), dtype)))
+    return caches
+
+
+def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dtype,
+                    kv_mask=None):
+    """ids: (B, C) -> (logits (B, C, V), new caches)."""
+    cfg = model.cfg
+    x = jnp.take(params["embed"]["w"], ids, axis=0).astype(compute_dtype)
+    cos, sin = rope_cos_sin(positions, cfg.attention.head_dim, cfg.rope_theta,
+                            cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+    new_caches = []
+    for stack, (ck, cv) in zip(_stacks(model, params), caches):
+        def body(x, xs):
+            lp, ck_l, cv_l = xs
+            x, ck_l, cv_l = _layer_cached(model, lp, cfg, x, cos, sin, ck_l, cv_l,
+                                          cache_len, compute_dtype, kv_mask)
+            return x, (ck_l, cv_l)
+
+        x, (ck, cv) = jax.lax.scan(body, x, (stack, ck, cv))
+        new_caches.append((ck, cv))
+    x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
+                 cfg.rms_norm_type == "zero_centered")
+    logits = jnp.dot(x.astype(compute_dtype), model.lm_head_weight(params).astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+def _sample(logits, rng, gen_cfg: GenerateConfig):
+    """logits (B, V) fp32 -> token ids (B,)."""
+    if not gen_cfg.do_sample or gen_cfg.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / gen_cfg.temperature
+    if gen_cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -gen_cfg.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen_cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < gen_cfg.top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits).astype(jnp.int32)
+
+
+def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
+             rng=None, compute_dtype=jnp.bfloat16, pad_token_id: int = 0,
+             return_logprobs: bool = False):
+    """prompt_ids: (B, P) int32, left-padded with pad_token_id.
+
+    Returns dict with `sequences` (B, P+N), `num_generated`, and optionally
+    per-step `logprobs` (B, N) of the sampled tokens (RL rollout needs them).
+    """
+    cfg = model.cfg
+    rng = rng if rng is not None else jax.random.key(0)
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, p = prompt_ids.shape
+    n_new = gen_cfg.max_new_tokens
+    max_len = p + n_new
+    eos = gen_cfg.eos_token_id if gen_cfg.eos_token_id is not None else cfg.eos_token_id
+
+    caches = init_cache(model, b, max_len, compute_dtype)
+    prompt_mask = prompt_ids != pad_token_id
+    positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
+
+    kv_mask0 = jnp.concatenate([prompt_mask, jnp.zeros((b, n_new), bool)], axis=1)
+
+    def run(params, prompt_ids, positions, kv_mask0, caches, rng):
+        logits, caches = _forward_cached(model, params, prompt_ids, positions, caches,
+                                         jnp.int32(0), compute_dtype, kv_mask0)
+        last = logits[:, -1]
+        rng, step_rng = jax.random.split(rng)
+        next_tok = _sample(last, step_rng, gen_cfg)
+        lp0 = jax.nn.log_softmax(last, axis=-1)
+        lp0 = jnp.take_along_axis(lp0, next_tok[:, None], axis=-1)[:, 0]
+
+        def step(carry, i):
+            caches, tok, pos, rng, done, lp_prev = carry
+            kv_mask = kv_mask0 | (jnp.arange(max_len)[None, :] <= p + i)
+            logits, caches = _forward_cached(model, params, tok[:, None], pos[:, None] + 1,
+                                             caches, p + i, compute_dtype, kv_mask)
+            last = logits[:, -1]
+            rng, step_rng = jax.random.split(rng)
+            new_tok = _sample(last, step_rng, gen_cfg)
+            lp = jax.nn.log_softmax(last, axis=-1)
+            lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
+            new_done = done | (tok == eos)
+            new_tok = jnp.where(new_done, eos, new_tok)
+            return (caches, new_tok, pos + 1, rng, new_done, lp), (tok, lp_prev)
+
+        init = (caches, next_tok, positions[:, -1], rng,
+                jnp.zeros(b, bool), lp0)
+        (_, last_tok, _, _, _, last_lp), (toks, lps) = jax.lax.scan(
+            step, init, jnp.arange(n_new - 1))
+        toks = jnp.concatenate([toks.T, last_tok[:, None]], axis=1)  # (B, N)
+        lps = jnp.concatenate([lps.T, last_lp[:, None]], axis=1)
+        return toks, lps
+
+    # compiled-fn cache on the model: one entry per (shape, sampling) combo,
+    # so repeated rollout calls (RL loop) never re-trace
+    cache_key = (b, p, n_new, eos, pad_token_id, str(compute_dtype),
+                 gen_cfg.model_dump_json())
+    jit_cache = getattr(model, "_gen_jit_cache", None)
+    if jit_cache is None:
+        jit_cache = model._gen_jit_cache = {}
+    if cache_key not in jit_cache:
+        jit_cache[cache_key] = jax.jit(run)
+    toks, lps = jit_cache[cache_key](params, prompt_ids, positions, kv_mask0, caches, rng)
+    sequences = jnp.concatenate([prompt_ids, toks], axis=1)
+    out = {"sequences": np.asarray(sequences), "generated": np.asarray(toks),
+           "num_generated": n_new}
+    if return_logprobs:
+        out["logprobs"] = np.asarray(lps)
+    return out

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from pydantic import BaseModel, ConfigDict
 
@@ -100,3 +101,59 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
     o = sc(o, "batch", "seq", None, None)
     o = o.reshape(b, l, cfg.q_dim())
     return _linear(o, p["o_proj"])
+
+
+def mha_cached_forward(p: dict, cfg: MHAConfig, x, cos, sin, cache_k, cache_v,
+                       cache_len, window: Optional[int] = None, lora_scaling: float = 1.0,
+                       kv_mask=None):
+    """Incremental attention for generation (reference: MHA `prefilling`
+    :206-262 / `decoding` :264-313 paths).
+
+    x: (B, C, H) current chunk (prompt prefill or C=1 decode step);
+    cache_k/v: (B, S_max, Hkv, D); cache_len: scalar int32 — tokens already
+    in the cache. Returns (out (B, C, H), new_cache_k, new_cache_v).
+    """
+    from ..ops.attention.reference import repeat_kv
+
+    def _linear(x, proj):
+        return lora_linear(x, proj, lora_scaling)
+
+    b, c, _ = x.shape
+    s_max = cache_k.shape[1]
+    q = _linear(x, p["q_proj"]).reshape(b, c, cfg.num_attention_heads, cfg.head_dim)
+    k = _linear(x, p["k_proj"]).reshape(b, c, cfg.num_key_value_heads, cfg.head_dim)
+    v = _linear(x, p["v_proj"]).reshape(b, c, cfg.num_key_value_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+    q, k = apply_rotary_emb(q, k, cos, sin)
+
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
+
+    rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    k_all = repeat_kv(cache_k, rep)
+    v_all = repeat_kv(cache_v, rep)
+    scale = cfg.head_dim ** -0.5
+    logits = jnp.einsum("bchd,bshd->bhcs", q.astype(jnp.float32),
+                        k_all.astype(jnp.float32)) * scale
+    kpos = jnp.arange(s_max)[None, :]
+    qpos = cache_len + jnp.arange(c)[:, None]
+    mask = kpos <= qpos  # causal over the cache
+    if window is not None:
+        mask = mask & (qpos - kpos < window)
+    mask = mask[None, None]  # (1, 1, C, S)
+    if kv_mask is not None:  # (B, S): False = padding slot, never attended
+        mask = mask & kv_mask[:, None, None, :]
+    logits = jnp.where(mask, logits, -1e30)
+    if "sinks" in p:
+        sink = p["sinks"].astype(jnp.float32)[None, :, None, None]
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sink)
+        probs = jnp.exp(logits - m)
+        denom = jnp.sum(probs, axis=-1, keepdims=True) + jnp.exp(sink - m)
+        probs = probs / denom
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhcs,bshd->bchd", probs, v_all.astype(jnp.float32)).astype(x.dtype)
+    o = o.reshape(b, c, cfg.q_dim())
+    return _linear(o, p["o_proj"]), cache_k, cache_v

@@ -60,8 +60,8 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    qseg = qseg_ref[0]
-    kseg = kseg_ref[0]
+    qseg = qseg_ref[0, 0]
+    kseg = kseg_ref[0, 0]
     # block-level skip: causal (j beyond i) and segment disjointness.
     causal_needed = (j * block_k <= i * block_q + block_q - 1) if causal else True
     seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
@@ -113,8 +113,8 @@ def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    qseg = qseg_ref[0]
-    kseg = kseg_ref[0]
+    qseg = qseg_ref[0, 0]
+    kseg = kseg_ref[0, 0]
     causal_needed = (j * block_k <= i * block_q + block_q - 1) if causal else True
     seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
         jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
@@ -151,8 +151,8 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    qseg = qseg_ref[0]
-    kseg = kseg_ref[0]
+    qseg = qseg_ref[0, 0]
+    kseg = kseg_ref[0, 0]
     causal_needed = (i * block_q + block_q - 1 >= j * block_k) if causal else True
     seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
         jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
@@ -215,7 +215,8 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
     ratio = hq // hkv
     nq, nk = l // block_q, l // block_k
 
-    operands = (segment_ids, segment_ids, q, k, v)
+    seg3 = segment_ids[:, None, :]
+    operands = (seg3, seg3, q, k, v)
     grid = (b, nq, hq, nk)
     kern = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, window=window,
@@ -223,8 +224,8 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
     )
 
     in_specs = [
-        pl.BlockSpec((1, block_q), lambda b_, i_, h_, j_: (b_, i_)),  # qseg
-        pl.BlockSpec((1, block_k), lambda b_, i_, h_, j_: (b_, j_)),  # kseg
+        pl.BlockSpec((1, 1, block_q), lambda b_, i_, h_, j_: (b_, 0, i_)),  # qseg
+        pl.BlockSpec((1, 1, block_k), lambda b_, i_, h_, j_: (b_, 0, j_)),  # kseg
         pl.BlockSpec((1, 1, block_q, d), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
         pl.BlockSpec((1, 1, block_k, d),
                      lambda b_, i_, h_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),
@@ -282,10 +283,11 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
     nq, nk = l // block_q, l // block_k
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Hq,L)
+    seg3 = segment_ids[:, None, :]
 
     common_specs = [
-        pl.BlockSpec((1, block_q), lambda b_, h_, i_, j_: (b_, i_)),  # qseg
-        pl.BlockSpec((1, block_k), lambda b_, h_, i_, j_: (b_, j_)),  # kseg
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # qseg
+        pl.BlockSpec((1, 1, block_k), lambda b_, h_, i_, j_: (b_, 0, j_)),  # kseg
     ]
 
     # ---- dq ----
@@ -310,7 +312,7 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(segment_ids, segment_ids, q, k, v, g, lse, delta)
+    )(seg3, seg3, q, k, v, g, lse, delta)
 
     # ---- dk / dv (per q-head, group-summed afterwards) ----
     dk_h, dv_h = pl.pallas_call(
@@ -318,8 +320,8 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
                           block_q=block_q, block_k=block_k),
         grid=(b, hq, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda b_, h_, j_, i_: (b_, i_)),  # qseg
-            pl.BlockSpec((1, block_k), lambda b_, h_, j_, i_: (b_, j_)),  # kseg
+            pl.BlockSpec((1, 1, block_q), lambda b_, h_, j_, i_: (b_, 0, i_)),  # qseg
+            pl.BlockSpec((1, 1, block_k), lambda b_, h_, j_, i_: (b_, 0, j_)),  # kseg
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, j_, i_: (b_, h_, jnp.maximum(i_, j_) if causal else i_, 0)),  # q
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_ // ratio, j_, 0)),  # k
@@ -347,7 +349,7 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(segment_ids, segment_ids, q, k, v, g, lse, delta)
+    )(seg3, seg3, q, k, v, g, lse, delta)
 
     if ratio > 1:
         dk = dk_h.reshape(b, hkv, ratio, l, d).sum(axis=2).astype(k.dtype)

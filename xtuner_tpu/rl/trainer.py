@@ -1,0 +1,241 @@
+"""GRPO colocate RL trainer.
+
+Reference: xtuner/v1/rl/ + train/rl_trainer.py (RLColocateTrainer loop
+:1648-1722: produce_batch -> train -> weight sync). TPU-native redesign: the
+policy is *served by the same JAX params* that training updates — generation
+runs the engine-native KV-cache decode (model/generate.py) on the same mesh,
+so the reference's Ray actors, HTTP rollout servers, NCCL suspend/resume and
+CUDA-IPC weight sync all collapse into one process: the "weight sync" is
+literally passing `engine.params` to `generate`.
+
+Loop per step (reference agent_loop_manager.produce_batch + _train_one_batch):
+  sample prompts -> generate G rollouts per prompt (with logprobs) ->
+  judge rewards -> group advantage -> replay buffer -> pack (B, L) rows ->
+  GRPO loss train step.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from ..config.optim import AdamWConfig, LRConfig, OptimConfig
+from ..data_proto import SequenceContext
+from ..data_proto.templates import ChatMessages, get_chat_template
+from ..engine.train_engine import TrainEngine
+from ..loss.ce_loss import per_token_logprobs
+from ..model.base import TransformerConfig
+from ..model.generate import GenerateConfig, generate
+from ..parallel.mesh import MeshConfig
+from ..utils.logger import get_logger
+from ..writer import JsonlWriter
+from .advantage import compute_advantage
+from .grpo_loss import GRPOLossConfig, grpo_loss
+from .judger import JUDGER_MAP
+from .replay_buffer import ReplayBuffer, SampleGroup
+
+logger = get_logger()
+
+
+class RLTrainerConfig(BaseModel):
+    model_config = ConfigDict(extra="forbid", arbitrary_types_allowed=True)
+    model_cfg: TransformerConfig
+    prompts_path: str  # jsonl: {"messages": [...] | "prompt": str, "label": ...}
+    optim_cfg: OptimConfig = AdamWConfig(lr=1e-6)
+    lr_cfg: LRConfig = LRConfig(lr_type="constant", warmup_ratio=0.0)
+    mesh_cfg: MeshConfig = MeshConfig()
+    loss_cfg: GRPOLossConfig = GRPOLossConfig()
+    gen_cfg: GenerateConfig = GenerateConfig(max_new_tokens=64, temperature=1.0)
+    group_size: int = 8  # rollouts per prompt (GRPO group)
+    prompts_per_step: int = 4
+    total_steps: int = 10
+    max_prompt_length: int = 256
+    judger: str = "gsm8k"
+    advantage: str = "grpo"
+    chat_template: str = "qwen"
+    load_from: Optional[str] = None
+    tokenizer_path: Optional[str] = None
+    work_dir: str = "work_dirs"
+    exp_name: str = "rl"
+    seed: int = 0
+    max_staleness: Optional[int] = None
+
+    def build(self) -> "RLColocateTrainer":
+        return RLColocateTrainer(self)
+
+
+class RLColocateTrainer:
+    def __init__(self, cfg: RLTrainerConfig):
+        self.cfg = cfg
+        self.work_dir = Path(cfg.work_dir) / cfg.exp_name
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        self.tokenizer = self._build_tokenizer()
+        self.prompts = [json.loads(x) for x in Path(cfg.prompts_path).read_text().splitlines() if x]
+        self.engine = TrainEngine(cfg.model_cfg, cfg.optim_cfg, cfg.lr_cfg, cfg.mesh_cfg,
+                                  cfg.total_steps)
+        if cfg.load_from:
+            self.engine.from_hf(cfg.load_from)
+        else:
+            self.engine.init_random(cfg.seed)
+        self.judger = JUDGER_MAP[cfg.judger]()
+        self.replay_buffer = ReplayBuffer(max_staleness=cfg.max_staleness)
+        self.writer = JsonlWriter(self.work_dir)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.gen_rng = jax.random.key(cfg.seed)
+        self._step_fn = None
+        self.pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+
+    def _build_tokenizer(self):
+        if self.cfg.tokenizer_path:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(self.cfg.tokenizer_path, trust_remote_code=True)
+        from ..train.toy_tokenizer import UTF8ByteTokenizer
+
+        return UTF8ByteTokenizer()
+
+    # ------------------------------------------------------------------
+    def _encode_prompt(self, item: dict) -> list[int]:
+        template = get_chat_template(self.cfg.chat_template)
+        if "messages" in item:
+            msgs = item["messages"]
+        else:
+            msgs = [{"role": "user", "content": item["prompt"]}]
+        ids: list[int] = []
+        for m in msgs:
+            role = m["role"]
+            text = (template.system if role == "system" else template.user).format(
+                system=m.get("content", ""), user=m.get("content", ""))
+            ids.extend(self.tokenizer.encode(text, add_special_tokens=False))
+        return ids[-self.cfg.max_prompt_length:]
+
+    def produce_batch(self, policy_version: int) -> list[SampleGroup]:
+        """Rollout generation + judging + advantages (the AgentLoopManager
+        produce_batch analog, agent_loop_manager.py:206-300)."""
+        cfg = self.cfg
+        idxs = self.rng.choice(len(self.prompts), cfg.prompts_per_step, replace=False)
+        groups = []
+        for pi in idxs:
+            item = self.prompts[int(pi)]
+            prompt = self._encode_prompt(item)
+            p_len = len(prompt)
+            prompt_arr = np.full((cfg.group_size, cfg.max_prompt_length), self.pad_id, np.int32)
+            prompt_arr[:, -p_len:] = prompt  # left padding
+            self.gen_rng, rng = jax.random.split(self.gen_rng)
+            out = generate(self.engine.model, self.engine.params, prompt_arr, cfg.gen_cfg,
+                           rng=rng, compute_dtype=self.engine.compute_dtype,
+                           pad_token_id=self.pad_id, return_logprobs=True)
+            samples, rewards = [], []
+            eos = cfg.gen_cfg.eos_token_id or cfg.model_cfg.eos_token_id
+            for gi in range(cfg.group_size):
+                resp = out["generated"][gi].tolist()
+                if eos in resp:
+                    n_resp = resp.index(eos) + 1
+                else:
+                    n_resp = len(resp)
+                text = self.tokenizer.decode(resp[:n_resp])
+                reward = self.judger.judge(text, item.get("label") or item.get("answer"))
+                rewards.append(reward)
+                samples.append({
+                    "prompt_ids": prompt,
+                    "response_ids": resp[:n_resp],
+                    "logprobs": out["logprobs"][gi][:n_resp],
+                    "reward": reward,
+                })
+            advs = compute_advantage(np.asarray(rewards), cfg.advantage)
+            for s, a in zip(samples, advs):
+                s["advantage"] = float(a)
+            groups.append(SampleGroup(prompt_id=int(pi), samples=samples,
+                                      policy_version=policy_version,
+                                      meta={"mean_reward": float(np.mean(rewards))}))
+        return groups
+
+    # ------------------------------------------------------------------
+    def _pack(self, groups: list[SampleGroup]) -> dict[str, np.ndarray]:
+        """Samples -> (1, B, L) arrays for one optimizer step."""
+        rows = [s for g in groups for s in g.samples]
+        # fixed packing length -> the train step compiles exactly once
+        bound = self.cfg.max_prompt_length + self.cfg.gen_cfg.max_new_tokens
+        max_len = -(-bound // 128) * 128
+        b = len(rows)
+        ids = np.zeros((b, max_len), np.int32)
+        seg = np.zeros((b, max_len), np.int32)
+        pos = np.zeros((b, max_len), np.int32)
+        labels = np.full((b, max_len), -100, np.int32)
+        old_lp = np.zeros((b, max_len), np.float32)
+        adv = np.zeros((b, max_len), np.float32)
+        for bi, s in enumerate(rows):
+            p, r = s["prompt_ids"], s["response_ids"]
+            n = len(p) + len(r)
+            ids[bi, :n] = p + r
+            seg[bi, :n] = 1
+            pos[bi, :n] = np.arange(n)
+            # shifted: position t supervises token t+1; responses start at len(p)
+            for j, tok in enumerate(r):
+                t = len(p) + j - 1
+                labels[bi, t] = tok
+                old_lp[bi, t] = s["logprobs"][j]
+                adv[bi, t] = s["advantage"]
+        mask = (labels != -100).astype(np.float32)
+        return {
+            "input_ids": ids[None], "segment_ids": seg[None], "position_ids": pos[None],
+            "shifted_labels": labels[None], "loss_weights": mask[None],
+            "old_logprobs": old_lp[None], "advantages": adv[None],
+        }
+
+    def _rl_loss_fn(self):
+        model, sc, dtype = self.engine.model, self.engine.sc, self.engine.compute_dtype
+        loss_cfg = self.cfg.loss_cfg
+        chunk = self.cfg.model_cfg.lm_loss_cfg.chunk_size
+
+        def loss_fn(params, mb, denom):
+            seq_ctx = SequenceContext(input_ids=mb["input_ids"],
+                                      segment_ids=mb["segment_ids"],
+                                      position_ids=mb["position_ids"])
+            hidden = model.forward(params, seq_ctx, sc=sc, compute_dtype=dtype)
+            w = model.lm_head_weight(params).astype(dtype)
+            logps = per_token_logprobs(hidden, w, mb["shifted_labels"], chunk)
+            mask = mb["shifted_labels"] != -100
+            loss, mets = grpo_loss(logps, mb["old_logprobs"], mb["advantages"], mask,
+                                   loss_cfg, global_denom=denom)
+            return loss, mets
+
+        return loss_fn
+
+    # ------------------------------------------------------------------
+    def fit(self) -> None:
+        cfg = self.cfg
+        for step in range(1, cfg.total_steps + 1):
+            t0 = time.time()
+            groups = self.produce_batch(policy_version=step)
+            for g in groups:
+                self.replay_buffer.put(g)
+            self.replay_buffer.maybe_expire(step)
+            train_groups = self.replay_buffer.get(cfg.prompts_per_step)
+            t_roll = time.time() - t0
+            batch = self._pack(train_groups)
+            if self._step_fn is None:
+                self._step_fn = self.engine._build_step_fn(self._rl_loss_fn())
+            device_batch = self.engine.put_batch(batch)
+            self.engine.params, self.engine.opt_state, metrics = self._step_fn(
+                self.engine.params, self.engine.opt_state,
+                jnp.asarray(step, jnp.int32), device_batch)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            mean_reward = float(np.mean([g.meta["mean_reward"] for g in train_groups]))
+            step_time = time.time() - t0
+            logger.info(
+                f"RL Step {step}/{cfg.total_steps} reward {mean_reward:.3f} "
+                f"pg_loss {metrics['pg_loss']:.4f} ratio {metrics['ratio_mean']:.3f} "
+                f"clip_frac {metrics['clip_frac']:.3f} grad_norm {metrics['grad_norm']:.3f} "
+                f"rollout {t_roll:.1f}s step {step_time:.1f}s"
+            )
+            self.writer.add_scalars({**metrics, "mean_reward": mean_reward,
+                                     "rollout_time": t_roll, "step_time": step_time}, step)
+        self.writer.close()
