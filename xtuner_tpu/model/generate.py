@@ -150,47 +150,56 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
 
     kv_mask0 = jnp.concatenate([prompt_mask, jnp.zeros((b, n_new), bool)], axis=1)
 
-    def run(params, prompt_ids, positions, kv_mask0, caches, rng):
+    # Decode is a jitted SINGLE step driven by a host loop (donated caches) —
+    # a scan-of-steps around the scan-of-layers compiles pathologically slowly,
+    # while one step compiles in ~1s and the host loop adds only dispatch
+    # latency per token.
+    def prefill(params, prompt_ids, positions, kv_mask0, caches, rng):
         logits, caches = _forward_cached(model, params, prompt_ids, positions, caches,
                                          jnp.int32(0), compute_dtype, kv_mask0)
         last = logits[:, -1]
-        rng, step_rng = jax.random.split(rng)
-        next_tok = _sample(last, step_rng, gen_cfg)
-        lp0 = jax.nn.log_softmax(last, axis=-1)
-        lp0 = jnp.take_along_axis(lp0, next_tok[:, None], axis=-1)[:, 0]
+        next_tok = _sample(last, rng, gen_cfg)
+        lp = jax.nn.log_softmax(last, axis=-1)
+        lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
+        return next_tok, lp, caches
 
-        def step(carry, i):
-            caches, tok, pos, rng, done, lp_prev = carry
-            kv_mask = kv_mask0 | (jnp.arange(max_len)[None, :] <= p + i)
-            logits, caches = _forward_cached(model, params, tok[:, None], pos[:, None] + 1,
-                                             caches, p + i, compute_dtype, kv_mask)
-            last = logits[:, -1]
-            rng, step_rng = jax.random.split(rng)
-            new_tok = _sample(last, step_rng, gen_cfg)
-            lp = jax.nn.log_softmax(last, axis=-1)
-            lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
-            new_done = done | (tok == eos)
-            new_tok = jnp.where(new_done, eos, new_tok)
-            return (caches, new_tok, pos + 1, rng, new_done, lp), (tok, lp_prev)
+    def decode_step(params, tok, pos, cache_len, kv_mask0, caches, rng, done):
+        kv_mask = kv_mask0 | (jnp.arange(max_len)[None, :] < cache_len + 1)
+        logits, caches = _forward_cached(model, params, tok[:, None], pos[:, None],
+                                         caches, cache_len, compute_dtype, kv_mask)
+        last = logits[:, -1]
+        new_tok = _sample(last, rng, gen_cfg)
+        lp = jax.nn.log_softmax(last, axis=-1)
+        lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
+        new_done = done | (tok == eos)
+        new_tok = jnp.where(new_done, eos, new_tok)
+        return new_tok, lp, caches, new_done
 
-        init = (caches, next_tok, positions[:, -1], rng,
-                jnp.zeros(b, bool), lp0)
-        (_, last_tok, _, _, _, last_lp), (toks, lps) = jax.lax.scan(
-            step, init, jnp.arange(n_new - 1))
-        toks = jnp.concatenate([toks.T, last_tok[:, None]], axis=1)  # (B, N)
-        lps = jnp.concatenate([lps.T, last_lp[:, None]], axis=1)
-        return toks, lps
-
-    # compiled-fn cache on the model: one entry per (shape, sampling) combo,
-    # so repeated rollout calls (RL loop) never re-trace
     cache_key = (b, p, n_new, eos, pad_token_id, str(compute_dtype),
                  gen_cfg.model_dump_json())
     jit_cache = getattr(model, "_gen_jit_cache", None)
     if jit_cache is None:
         jit_cache = model._gen_jit_cache = {}
     if cache_key not in jit_cache:
-        jit_cache[cache_key] = jax.jit(run)
-    toks, lps = jit_cache[cache_key](params, prompt_ids, positions, kv_mask0, caches, rng)
+        jit_cache[cache_key] = (
+            jax.jit(prefill, donate_argnums=(4,)),
+            jax.jit(decode_step, donate_argnums=(5,)),
+        )
+    prefill_fn, step_fn = jit_cache[cache_key]
+
+    tok, lp, caches = prefill_fn(params, prompt_ids, positions, kv_mask0, caches, rng)
+    toks_list, lps_list = [tok], [lp]
+    done = jnp.zeros(b, bool)
+    pos = positions[:, -1]
+    for i in range(n_new - 1):
+        rng, step_rng = jax.random.split(rng)
+        new_tok, lp, caches, done = step_fn(
+            params, tok, pos + 1, jnp.int32(p + i), kv_mask0, caches, step_rng, done)
+        toks_list.append(new_tok)
+        lps_list.append(lp)
+        tok, pos = new_tok, pos + 1
+    toks = jnp.stack(toks_list, axis=1)  # (B, N)
+    lps = jnp.stack(lps_list, axis=1)
     sequences = jnp.concatenate([prompt_ids, toks], axis=1)
     out = {"sequences": np.asarray(sequences), "generated": np.asarray(toks),
            "num_generated": n_new}
