@@ -1,0 +1,133 @@
+"""VLM compose: tiling preprocess, tokenize fn expansion, fused forward, freeze."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtuner_tpu.data_proto import SequenceContext
+from xtuner_tpu.datasets.vlm import (InternVLTokenizeFn, dynamic_num_patch, dynamic_preprocess,
+                                     vlm_collator)
+from xtuner_tpu.loss.ce_loss import CELossConfig
+from xtuner_tpu.model.compose import ComposeConfig, ComposeModel
+from xtuner_tpu.model.dense import DenseConfig
+from xtuner_tpu.model.vision import ViTConfig
+from xtuner_tpu.module.attention import MHAConfig
+from xtuner_tpu.module.params import init_params
+from xtuner_tpu.train.toy_tokenizer import UTF8ByteTokenizer
+
+IMG_SPECIALS = ["<img>", "</img>", "<IMG_CONTEXT>"]
+
+
+def tiny_vit():
+    return ViTConfig(image_size=28, patch_size=7, hidden_size=16, intermediate_size=32,
+                     num_hidden_layers=2, num_attention_heads=2, downsample_ratio=0.5)
+
+
+def tiny_compose():
+    vit = tiny_vit()
+    text = DenseConfig(
+        vocab_size=262, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+        attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8),
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    return ComposeConfig(vision_cfg=vit, text_cfg=text, image_context_token_id=261)
+
+
+def test_dynamic_preprocess_shapes():
+    img = np.random.default_rng(0).integers(0, 255, (100, 300, 3)).astype(np.uint8)
+    tiles = dynamic_preprocess(img, image_size=28, max_num=6)
+    n = dynamic_num_patch(300, 100, image_size=28, max_num=6)
+    assert tiles.shape == (n, 3, 28, 28)
+    assert n >= 3  # wide image -> multiple tiles + thumbnail
+    # square image, max 1 tile
+    sq = np.random.default_rng(1).integers(0, 255, (50, 50, 3)).astype(np.uint8)
+    tiles_sq = dynamic_preprocess(sq, image_size=28, max_num=1)
+    assert tiles_sq.shape == (1, 3, 28, 28)
+
+
+def test_tokenize_fn_expands_image():
+    tok = UTF8ByteTokenizer(extra_specials=IMG_SPECIALS)
+    fn = InternVLTokenizeFn(tok, image_size=28, max_num=2, tokens_per_tile=4)
+    img = np.random.default_rng(0).integers(0, 255, (56, 56, 3)).astype(np.uint8)
+    item = {
+        "messages": [
+            {"role": "user", "content": [
+                {"type": "image", "image": img},
+                {"type": "text", "text": "what is this?"},
+            ]},
+            {"role": "assistant", "content": "a picture"},
+        ]
+    }
+    out = fn(item)
+    ctx_id = tok.special_ids["<IMG_CONTEXT>"]
+    n_ctx = sum(1 for t in out["input_ids"] if t == ctx_id)
+    assert n_ctx == out["pixel_values"].shape[0] * 4
+    # labels only on assistant tokens
+    assert any(l != -100 for l in out["labels"])
+    assert all(l == -100 for t, l in zip(out["input_ids"], out["labels"]) if t == ctx_id)
+
+
+def test_compose_forward_and_grads():
+    cfg = tiny_compose()
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(0))
+
+    tok = UTF8ByteTokenizer(extra_specials=IMG_SPECIALS)
+    fn = InternVLTokenizeFn(tok, image_size=28, max_num=2,
+                            tokens_per_tile=cfg.tokens_per_tile)
+    img = np.random.default_rng(0).integers(0, 255, (56, 28, 3)).astype(np.uint8)
+    item = {"messages": [
+        {"role": "user", "content": [{"type": "image", "image": img},
+                                     {"type": "text", "text": "hi"}]},
+        {"role": "assistant", "content": "hello there"},
+    ]}
+    sample = fn(item)
+    batch = vlm_collator([[sample]], pack_max_length=128, max_tiles=4)
+    ctx = SequenceContext(
+        input_ids=jnp.asarray(batch["input_ids"]),
+        segment_ids=jnp.asarray(batch["segment_ids"]),
+        position_ids=jnp.asarray(batch["position_ids"]),
+        pixel_values=jnp.asarray(batch["pixel_values"]),
+    )
+
+    def loss_fn(p):
+        out = model.loss(p, ctx, jnp.asarray(batch["shifted_labels"]),
+                         jnp.asarray(batch["loss_weights"]),
+                         jnp.sum(batch["loss_weights"]), compute_dtype=jnp.float32)
+        return out.loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    # vision grads flow (vision tokens are attended by supervised positions)
+    g_vit = grads["vision"]["blocks"]["attn"]["qkv"]["w"]
+    assert float(jnp.abs(g_vit).sum()) > 0
+    g_proj = grads["projector"]["fc1"]["w"]
+    assert float(jnp.abs(g_proj).sum()) > 0
+
+
+def test_vision_embeds_actually_injected():
+    cfg = tiny_compose()
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(1))
+    ids = np.asarray([[65, 261, 261, 261, 261, 66]], np.int32)  # 4 ctx tokens = 1 tile
+    seg = np.ones_like(ids)
+    pos = np.arange(6, dtype=np.int32)[None]
+    tiles = np.random.default_rng(2).standard_normal((1, 3, 28, 28)).astype(np.float32)
+    ctx_with = SequenceContext(input_ids=jnp.asarray(ids), segment_ids=jnp.asarray(seg),
+                               position_ids=jnp.asarray(pos), pixel_values=jnp.asarray(tiles))
+    ctx_without = SequenceContext(input_ids=jnp.asarray(ids), segment_ids=jnp.asarray(seg),
+                                  position_ids=jnp.asarray(pos))
+    h1 = model.forward(params, ctx_with, compute_dtype=jnp.float32)
+    h2 = model.forward(params, ctx_without, compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(h1), np.asarray(h2))
+
+
+def test_freeze_labels():
+    cfg = tiny_compose().model_copy(update={"freeze_vision": True})
+    model = cfg.build()
+    labels = model.param_labels(model.param_specs())
+    assert all(l == "freeze" for l in jax.tree.leaves(labels["vision"]))
+    assert all(l == "train" for l in jax.tree.leaves(labels["language"]))

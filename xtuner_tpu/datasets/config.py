@@ -23,7 +23,7 @@ class DatasetConfig(BaseModel):
     anno_path: str  # jsonl file or directory of jsonl files
     name: str = ""
     sample_ratio: float = 1.0
-    class_name: Literal["openai_sft", "pretrain"] = "openai_sft"
+    class_name: Literal["openai_sft", "pretrain", "internvl"] = "openai_sft"
     chat_template: str = "qwen"
     max_length: Optional[int] = None
 
@@ -38,6 +38,11 @@ class DataloaderConfig(BaseModel):
     loss_reduction: Literal["token", "sample", "square"] = "token"
     seed: int = 0
     shuffle: bool = True
+    # VLM: max image tiles per micro-batch (static shape); 0 = text-only
+    max_tiles: int = 0
+    tokens_per_tile: int = 256
+    image_size: int = 448
+    image_max_num: int = 12
 
     def build(self, tokenizer, global_batch_rows: int, micro_batch_rows: int) -> Dataloader:
         datasets = []
@@ -47,6 +52,13 @@ class DataloaderConfig(BaseModel):
             for f in files:
                 if ds_cfg.class_name == "openai_sft":
                     fn = OpenaiSFTTokenizeFn(tokenizer, ds_cfg.chat_template, ds_cfg.max_length)
+                elif ds_cfg.class_name == "internvl":
+                    from .vlm import InternVLTokenizeFn
+
+                    fn = InternVLTokenizeFn(
+                        tokenizer, ds_cfg.chat_template, image_size=self.image_size,
+                        max_num=self.image_max_num, tokens_per_tile=self.tokens_per_tile,
+                        max_length=ds_cfg.max_length)
                 else:
                     fn = PretrainTokenizeFn(tokenizer, max_length=ds_cfg.max_length)
                 datasets.append(
@@ -66,4 +78,5 @@ class DataloaderConfig(BaseModel):
             packed, sampler, pack_max_length=self.pack_max_length,
             global_batch_rows=global_batch_rows, micro_batch_rows=micro_batch_rows,
             loss_reduction=self.loss_reduction, num_workers=self.num_workers,
+            max_tiles=self.max_tiles,
         )

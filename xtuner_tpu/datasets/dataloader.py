@@ -21,7 +21,8 @@ from .collator import sft_llm_collator
 class Dataloader:
     def __init__(self, packed_dataset, sampler, pack_max_length: int,
                  global_batch_rows: int, micro_batch_rows: int,
-                 loss_reduction: str = "token", num_workers: int = 0, prefetch: int = 2):
+                 loss_reduction: str = "token", num_workers: int = 0, prefetch: int = 2,
+                 max_tiles: int = 0):
         if global_batch_rows % micro_batch_rows != 0:
             raise ValueError("global_batch_rows must be divisible by micro_batch_rows")
         self.dataset = packed_dataset
@@ -31,6 +32,7 @@ class Dataloader:
         self.micro_batch_rows = micro_batch_rows
         self.grad_accum = global_batch_rows // micro_batch_rows
         self.loss_reduction = loss_reduction
+        self.max_tiles = max_tiles  # >0 enables the VLM collator
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._sampler_iter = iter(self.sampler)
@@ -42,8 +44,16 @@ class Dataloader:
 
     def _next_batch(self) -> dict[str, np.ndarray]:
         rows = [self.dataset[next(self._sampler_iter)] for _ in range(self.global_batch_rows)]
-        batch = sft_llm_collator(rows, self.pack_max_length, self.loss_reduction)
         a, b = self.grad_accum, self.micro_batch_rows
+        if self.max_tiles > 0:
+            from .vlm import vlm_collator
+
+            micro = [vlm_collator(rows[i * b:(i + 1) * b], self.pack_max_length,
+                                  self.loss_reduction, max_tiles=self.max_tiles)
+                     for i in range(a)]
+            keys = micro[0].keys()
+            return {k: np.stack([m[k] for m in micro]) for k in keys}
+        batch = sft_llm_collator(rows, self.pack_max_length, self.loss_reduction)
         return {k: v.reshape(a, b, -1) for k, v in batch.items()}
 
     def _worker(self):

@@ -59,16 +59,16 @@ class TrainEngine:
         self.shardings = param_shardings(self.specs, self.mesh, self.rules)
         self.compute_dtype = jnp.dtype(mesh_cfg.param_dtype)
         self.tx = build_optimizer(optim_cfg, lr_cfg, total_steps)
-        # LoRA / freezing: 'freeze'-labelled params get no updates and their
-        # grad computation is dead-code-eliminated via stop_gradient
+        # LoRA / module freezing: 'freeze'-labelled params get no updates and
+        # their grad computation is dead-code-eliminated via stop_gradient
         self.param_labels = None
-        if getattr(model_cfg, "lora_cfg", None) is not None:
-            from ..module.lora import lora_param_labels
-
-            self.param_labels = lora_param_labels(self.specs, model_cfg.lora_cfg)
-            self.tx = optax.multi_transform(
-                {"train": self.tx, "freeze": optax.set_to_zero()}, self.param_labels
-            )
+        if hasattr(self.model, "param_labels"):
+            labels = self.model.param_labels(self.specs)
+            if any(l == "freeze" for l in jax.tree.leaves(labels)):
+                self.param_labels = labels
+                self.tx = optax.multi_transform(
+                    {"train": self.tx, "freeze": optax.set_to_zero()}, self.param_labels
+                )
         self.lr_schedule = build_lr_schedule(optim_cfg, lr_cfg, total_steps)
         self.params = None
         self.opt_state = None
@@ -122,7 +122,8 @@ class TrainEngine:
     def save_hf(self, hf_path: str) -> None:
         from ..checkpoint.hf import save_hf_checkpoint
 
-        if self.param_labels is not None:
+        if getattr(self.model_cfg, "lora_cfg", None) is not None and "lora_cfg" in getattr(
+                self.model_cfg, "model_fields", {}):
             # merged export: fold adapters into base weights; use the no-LoRA
             # key map so exported files are a standard HF checkpoint
             params = self.model.merge_lora(self.params)
@@ -142,6 +143,7 @@ class TrainEngine:
                 input_ids=mb["input_ids"],
                 segment_ids=mb["segment_ids"],
                 position_ids=mb["position_ids"],
+                pixel_values=mb.get("pixel_values"),
             )
             out = model.loss(params, seq_ctx, mb["shifted_labels"], mb["loss_weights"],
                              denom, sc=sc, compute_dtype=dtype, remat=remat)
@@ -232,10 +234,14 @@ class TrainEngine:
             )
         if l % max(sizes["sp"], 1) != 0:
             raise ValueError(f"pack_max_length ({l}) must be divisible by sp ({sizes['sp']})")
-        return {
-            k: jax.device_put(v, self.batch_sharding)
-            for k, v in batch.items()
-        }
+        replicated = NamedSharding(self.mesh, P())
+        out = {}
+        for k, v in batch.items():
+            if v.ndim == 3 and v.shape[:2] == (a, b):
+                out[k] = jax.device_put(v, self.batch_sharding)
+            else:  # e.g. VLM pixel tiles (A, T, 3, S, S): replicated for now
+                out[k] = jax.device_put(v, replicated)
+        return out
 
     def train_step(self, batch: dict[str, np.ndarray], step: int) -> dict[str, float]:
         """One optimizer step over a grad-accum batch of shape (A, B, L)."""

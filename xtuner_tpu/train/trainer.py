@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -32,7 +32,7 @@ logger = get_logger()
 
 class TrainerConfig(BaseModel):
     model_config = ConfigDict(extra="forbid", arbitrary_types_allowed=True)
-    model_cfg: TransformerConfig
+    model_cfg: Any  # TransformerConfig or ComposeConfig (VLM)
     dataloader_cfg: DataloaderConfig
     optim_cfg: OptimConfig = AdamWConfig()
     lr_cfg: LRConfig = LRConfig()
