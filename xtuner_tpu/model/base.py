@@ -22,6 +22,7 @@ from pydantic import BaseModel as PydanticBaseModel, ConfigDict
 from ..loss.ce_loss import CELossConfig
 from ..module.attention import MHAConfig
 from ..module.lora import LoraConfig
+from ..module.mla import MLAConfig
 from ..module.rope import RopeScalingConfig
 
 
@@ -65,7 +66,7 @@ class TransformerConfig(PydanticBaseModel):
     rms_norm_eps: float = 1e-6
     rms_norm_type: str = "default"  # default | zero_centered
     hidden_act: str = "silu"
-    attention: MHAConfig
+    attention: MHAConfig | MLAConfig
     mlp_bias: bool = False
     tie_word_embeddings: bool = False
     model_type: Optional[str] = None

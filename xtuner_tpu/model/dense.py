@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..checkpoint.spec import HFKey
 from ..loss.ce_loss import ce_loss
 from ..module.attention import MHAConfig, mha_forward, mha_param_specs
+from ..module.mla import MLAConfig, mla_forward, mla_param_specs
 from ..module.mlp import mlp_forward, mlp_param_specs
 from ..module.params import ParamSpec, cast_tree, stack_specs
 from ..module.rope import rope_cos_sin
@@ -51,8 +52,12 @@ class Dense:
     # ------------------------------------------------------------------
     def layer_param_specs(self) -> dict:
         cfg = self.cfg
+        attn_specs = (mla_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale)
+                      if isinstance(cfg.attention, MLAConfig)
+                      else mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale,
+                                           cfg.lora_cfg))
         return {
-            "attn": mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale, cfg.lora_cfg),
+            "attn": attn_specs,
             "mlp": mlp_param_specs(cfg.hidden_size, cfg.intermediate_size, cfg.init_scale,
                                    cfg.mlp_bias, cfg.lora_cfg),
             "input_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
@@ -75,9 +80,13 @@ class Dense:
         lp = cast_tree(lp, compute_dtype)
         lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
-        h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
-                        window=cfg.sliding_window if cfg.use_sliding_window else None,
-                        attn_impl=cfg.attn_impl, lora_scaling=lora_s)
+        if isinstance(cfg.attention, MLAConfig):
+            h = mla_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
+                            rope_scaling=cfg.rope_scaling_cfg, attn_impl=cfg.attn_impl)
+        else:
+            h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
+                            window=cfg.sliding_window if cfg.use_sliding_window else None,
+                            attn_impl=cfg.attn_impl, lora_scaling=lora_s)
         x = x + h
         h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
         h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s)
@@ -153,8 +162,39 @@ class Dense:
         if self.cfg.lora_cfg is None:
             return jax.tree.map(lambda _: "train", params)
         return lora_param_labels(params, self.cfg.lora_cfg)
+    def _mla_key_map(self) -> dict:
+        cfg = self.cfg
+        attn: dict = {
+            "kv_a_proj": {"w": HFKey("model.layers.{layer}.self_attn.kv_a_proj_with_mqa.weight", "linear")},
+            "kv_a_norm": HFKey("model.layers.{layer}.self_attn.kv_a_layernorm.weight"),
+            "kv_b_proj": {"w": HFKey("model.layers.{layer}.self_attn.kv_b_proj.weight", "linear")},
+            "o_proj": {"w": HFKey("model.layers.{layer}.self_attn.o_proj.weight", "linear")},
+        }
+        if cfg.attention.q_lora_rank is not None:
+            attn["q_a_proj"] = {"w": HFKey("model.layers.{layer}.self_attn.q_a_proj.weight", "linear")}
+            attn["q_a_norm"] = HFKey("model.layers.{layer}.self_attn.q_a_layernorm.weight")
+            attn["q_b_proj"] = {"w": HFKey("model.layers.{layer}.self_attn.q_b_proj.weight", "linear")}
+        else:
+            attn["q_proj"] = {"w": HFKey("model.layers.{layer}.self_attn.q_proj.weight", "linear")}
+        return attn
+
     def hf_key_map(self) -> dict:
         cfg = self.cfg
+        if isinstance(cfg.attention, MLAConfig):
+            attn = self._mla_key_map()
+            keymap: dict = {
+                "embed": {"w": HFKey("model.embed_tokens.weight")},
+                "layers": {
+                    "attn": attn,
+                    "mlp": self._mlp_key_map(),
+                    "input_norm": HFKey("model.layers.{layer}.input_layernorm.weight"),
+                    "post_attn_norm": HFKey("model.layers.{layer}.post_attention_layernorm.weight"),
+                },
+                "final_norm": HFKey("model.norm.weight"),
+            }
+            if not cfg.tie_word_embeddings:
+                keymap["lm_head"] = {"w": HFKey("lm_head.weight", "linear")}
+            return keymap
         attn: dict = {
             "q_proj": {"w": HFKey("model.layers.{layer}.self_attn.q_proj.weight", "linear")},
             "k_proj": {"w": HFKey("model.layers.{layer}.self_attn.k_proj.weight", "linear")},

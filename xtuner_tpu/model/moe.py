@@ -25,6 +25,7 @@ from ..checkpoint.spec import HFKey
 from ..loss.ce_loss import ce_loss
 from ..loss.moe_loss import balancing_loss, z_loss
 from ..module.attention import mha_forward, mha_param_specs
+from ..module.mla import MLAConfig, mla_forward, mla_param_specs
 from ..module.mlp import mlp_forward, mlp_param_specs
 from ..module.moe_layer import expert_mlp_param_specs, moe_mlp_forward
 from ..module.params import ParamSpec, cast_tree, stack_specs
@@ -47,6 +48,9 @@ class MoEConfig(DenseConfig):
     router: RouterConfig = GreedyRouterConfig()
     balancing_loss_coef: float = 0.0
     z_loss_coef: float = 0.0
+    # per-layer sliding-window pattern with static period, e.g. [128, None]
+    # (GPT-OSS alternates sliding/full attention); None = uniform
+    layer_window_pattern: Optional[list[Optional[int]]] = None
     # note: `intermediate_size` is the DENSE layer / shared-expert width
 
     def build(self) -> "MoE":
@@ -60,8 +64,11 @@ class MoE(Dense):
     # ------------------------------------------------------------------
     def moe_layer_param_specs(self) -> dict:
         cfg = self.cfg
+        attn_specs = (mla_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale)
+                      if isinstance(cfg.attention, MLAConfig)
+                      else mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale))
         specs = {
-            "attn": mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale),
+            "attn": attn_specs,
             "input_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
             "post_attn_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
             "router": router_param_specs(cfg.router, cfg.hidden_size, cfg.n_routed_experts),
@@ -92,13 +99,19 @@ class MoE(Dense):
         return specs
 
     # ------------------------------------------------------------------
-    def _moe_layer_forward(self, x, lp, cfg, cos, sin, segment_ids, valid, sc, compute_dtype):
+    def _moe_layer_forward(self, x, lp, cfg, cos, sin, segment_ids, valid, sc, compute_dtype,
+                           window="cfg"):
         lp = cast_tree(lp, compute_dtype)
         zero_centered = cfg.rms_norm_type == "zero_centered"
+        if window == "cfg":
+            window = cfg.sliding_window if cfg.use_sliding_window else None
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_centered)
-        h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
-                        window=cfg.sliding_window if cfg.use_sliding_window else None,
-                        attn_impl=cfg.attn_impl)
+        if isinstance(cfg.attention, MLAConfig):
+            h = mla_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
+                            rope_scaling=cfg.rope_scaling_cfg, attn_impl=cfg.attn_impl)
+        else:
+            h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
+                            window=window, attn_impl=cfg.attn_impl)
         x = x + h
         h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_centered)
         moe_out, r, load = moe_mlp_forward(
@@ -137,12 +150,35 @@ class MoE(Dense):
                 dense_fn = jax.checkpoint(dense_fn, policy=policy, prevent_cse=False)
             x, _ = jax.lax.scan(dense_fn, x, params["dense_layers"])
 
-        def moe_fn(x, lp):
-            return self._moe_layer_forward(x, lp, cfg, cos, sin, segment_ids, valid,
-                                           sc, compute_dtype)
-        if policy != "none":
-            moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
-        x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
+        pattern = cfg.layer_window_pattern
+        if pattern:
+            period = len(pattern)
+            stacked = jax.tree.map(
+                lambda a: a.reshape(a.shape[0] // period, period, *a.shape[1:]),
+                params["moe_layers"])
+
+            def moe_fn(x, lp):
+                bals, zls, loads = [], [], []
+                for k in range(period):  # static unroll within the scan body
+                    sub = jax.tree.map(lambda a: a[k], lp)
+                    x, (b_, z_, l_) = self._moe_layer_forward(
+                        x, sub, cfg, cos, sin, segment_ids, valid, sc, compute_dtype,
+                        window=pattern[k])
+                    bals.append(b_); zls.append(z_); loads.append(l_)
+                return x, (jnp.stack(bals), jnp.stack(zls), jnp.stack(loads))
+
+            if policy != "none":
+                moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
+            x, (bal, zl, load) = jax.lax.scan(moe_fn, x, stacked)
+            bal, zl = bal.reshape(-1), zl.reshape(-1)
+            load = load.reshape(-1, load.shape[-1])
+        else:
+            def moe_fn(x, lp):
+                return self._moe_layer_forward(x, lp, cfg, cos, sin, segment_ids, valid,
+                                               sc, compute_dtype)
+            if policy != "none":
+                moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
+            x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
 
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                      cfg.rms_norm_type == "zero_centered")
@@ -183,7 +219,7 @@ class MoE(Dense):
             )
 
         moe_part = {
-            "attn": dense_part["attn"],
+            "attn": self._mla_key_map() if isinstance(cfg.attention, MLAConfig) else dense_part["attn"],
             "input_norm": dense_part["input_norm"],
             "post_attn_norm": dense_part["post_attn_norm"],
             "router": {"w": HFKey("model.layers.{layer}.mlp.gate.weight", "linear")},

@@ -11,11 +11,14 @@ from typing import Callable
 from . import qwen
 
 def _moe_presets():
-    from . import moe
+    from . import deepseek, gpt_oss, moe
 
     return {
         "qwen3-moe-30b-a3": moe.qwen3_moe_30b_a3,
         "qwen3-moe-235b-a22": moe.qwen3_moe_235b_a22,
+        "deepseek-v3": deepseek.deepseek_v3,
+        "gpt-oss-20b": gpt_oss.gpt_oss_20b,
+        "gpt-oss-120b": gpt_oss.gpt_oss_120b,
     }
 
 

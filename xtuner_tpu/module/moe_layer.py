@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.act_fn import get_act_fn
+from ..ops.act_fn import get_act_fn, swiglu_clipped
 from ..ops.moe import grouped_gemm, permute, unpermute
 from .params import ParamSpec
 from .router import RouterConfig, RouterOutput, route, router_param_specs
@@ -49,7 +49,10 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
                         info.group_sizes)
     up = grouped_gemm(info.sorted_tokens, p["up_proj"].astype(compute_dtype),
                       info.group_sizes)
-    hidden = (get_act_fn(act)(gate) * up).astype(compute_dtype)
+    if act == "swiglu_clipped":  # GPT-OSS experts (reference gpt_oss.py)
+        hidden = swiglu_clipped(gate, up).astype(compute_dtype)
+    else:
+        hidden = (get_act_fn(act)(gate) * up).astype(compute_dtype)
     out = grouped_gemm(hidden, p["down_proj"].astype(compute_dtype), info.group_sizes)
     combined = unpermute(out, info, b * l)
     return combined.reshape(b, l, h).astype(compute_dtype), r, info.group_sizes

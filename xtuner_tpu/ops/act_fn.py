@@ -26,7 +26,7 @@ def swiglu(gate, up, act: str = "silu"):
 
 def swiglu_clipped(gate, up, alpha: float = 1.702, limit: float = 7.0):
     """GPT-OSS clipped swiglu variant (reference gpt_oss experts)."""
-    gate = jnp.clip(gate, a_max=limit)
-    up = jnp.clip(up, a_min=-limit, a_max=limit)
+    gate = jnp.clip(gate, max=limit)
+    up = jnp.clip(up, min=-limit, max=limit)
     glu = gate * jax.nn.sigmoid(gate * alpha)
     return (up + 1) * glu

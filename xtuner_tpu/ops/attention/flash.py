@@ -211,6 +211,7 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
     """q: (B, Hq, L, D); k, v: (B, Hkv, L, D); segment_ids: (B, L).
     Returns (out (B, Hq, L, D), lse (B, Hq, L) fp32)."""
     b, hq, l, d = q.shape
+    dv = v.shape[-1]
     hkv = k.shape[1]
     ratio = hq // hkv
     nq, nk = l // block_q, l // block_k
@@ -229,21 +230,21 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
         pl.BlockSpec((1, 1, block_q, d), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
         pl.BlockSpec((1, 1, block_k, d),
                      lambda b_, i_, h_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),
-        pl.BlockSpec((1, 1, block_k, d),
+        pl.BlockSpec((1, 1, block_k, dv),
                      lambda b_, i_, h_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
+        pl.BlockSpec((1, 1, block_q, dv), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
         pl.BlockSpec((1, hq, block_q), lambda b_, i_, h_, j_: (b_, 0, i_)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, hq, l, d), q.dtype),
+        jax.ShapeDtypeStruct((b, hq, l, dv), q.dtype),
         jax.ShapeDtypeStruct((b, hq, l), jnp.float32),
     ]
     scratch = [
         pltpu.VMEM((block_q, 128), jnp.float32),
         pltpu.VMEM((block_q, 128), jnp.float32),
-        pltpu.VMEM((block_q, d), jnp.float32),
+        pltpu.VMEM((block_q, dv), jnp.float32),
     ]
     out, lse = pl.pallas_call(
         kern,
@@ -278,6 +279,7 @@ def _flash_fwd_rule(q, k, v, segment_ids, sinks, scale, causal, window,
 def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
     q, k, v, segment_ids, sinks, out, lse = res
     b, hq, l, d = q.shape
+    dv = v.shape[-1]
     hkv = k.shape[1]
     ratio = hq // hkv
     nq, nk = l // block_q, l // block_k
@@ -299,9 +301,9 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i_, j_: (b_, h_, i_, 0)),  # q
             pl.BlockSpec((1, 1, block_k, d),
                          lambda b_, h_, i_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),  # k
-            pl.BlockSpec((1, 1, block_k, d),
+            pl.BlockSpec((1, 1, block_k, dv),
                          lambda b_, h_, i_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),  # v
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i_, j_: (b_, h_, i_, 0)),  # do
+            pl.BlockSpec((1, 1, block_q, dv), lambda b_, h_, i_, j_: (b_, h_, i_, 0)),  # do
             pl.BlockSpec((1, hq, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # lse
             pl.BlockSpec((1, hq, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # delta
         ],
@@ -325,8 +327,8 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, j_, i_: (b_, h_, jnp.maximum(i_, j_) if causal else i_, 0)),  # q
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_ // ratio, j_, 0)),  # k
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_ // ratio, j_, 0)),  # v
-            pl.BlockSpec((1, 1, block_q, d),
+            pl.BlockSpec((1, 1, block_k, dv), lambda b_, h_, j_, i_: (b_, h_ // ratio, j_, 0)),  # v
+            pl.BlockSpec((1, 1, block_q, dv),
                          lambda b_, h_, j_, i_: (b_, h_, jnp.maximum(i_, j_) if causal else i_, 0)),  # do
             pl.BlockSpec((1, hq, block_q),
                          lambda b_, h_, j_, i_: (b_, 0, jnp.maximum(i_, j_) if causal else i_)),  # lse
@@ -335,15 +337,15 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_, j_, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, i_: (b_, h_, j_, 0)),
+            pl.BlockSpec((1, 1, block_k, dv), lambda b_, h_, j_, i_: (b_, h_, j_, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, l, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, l, dv), q.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -352,10 +354,10 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
     )(seg3, seg3, q, k, v, g, lse, delta)
 
     if ratio > 1:
-        dk = dk_h.reshape(b, hkv, ratio, l, d).sum(axis=2).astype(k.dtype)
-        dv = dv_h.reshape(b, hkv, ratio, l, d).sum(axis=2).astype(v.dtype)
+        dk_out = dk_h.reshape(b, hkv, ratio, l, d).sum(axis=2).astype(k.dtype)
+        dv_out = dv_h.reshape(b, hkv, ratio, l, dv).sum(axis=2).astype(v.dtype)
     else:
-        dk, dv = dk_h.astype(k.dtype), dv_h.astype(v.dtype)
+        dk_out, dv_out = dk_h.astype(k.dtype), dv_h.astype(v.dtype)
 
     if sinks is not None:
         # ds_sink = -p_sink * delta summed over batch and rows
@@ -363,7 +365,7 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
         dsinks = -(p_sink * delta).sum(axis=(0, 2)).astype(sinks.dtype)
     else:
         dsinks = None
-    return dq, dk, dv, None, dsinks
+    return dq, dk_out, dv_out, None, dsinks
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
