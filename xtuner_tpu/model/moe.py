@@ -51,6 +51,9 @@ class MoEConfig(DenseConfig):
     # per-layer sliding-window pattern with static period, e.g. [128, None]
     # (GPT-OSS alternates sliding/full attention); None = uniform
     layer_window_pattern: Optional[list[Optional[int]]] = None
+    # "gspmd" (sharding-derived collectives) | "a2a" (explicit shard_map
+    # ragged all-to-all over ep — reference dispatcher: deepep/all2all)
+    dispatcher: str = "gspmd"
     # note: `intermediate_size` is the DENSE layer / shared-expert width
 
     def build(self) -> "MoE":
@@ -118,6 +121,7 @@ class MoE(Dense):
             lp["experts"], lp["router"], cfg.router, h,
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
             act=cfg.hidden_act, compute_dtype=compute_dtype,
+            dispatcher=cfg.dispatcher, sc=sc,
         )
         if "shared_experts" in lp:
             moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)

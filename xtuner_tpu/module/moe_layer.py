@@ -35,13 +35,28 @@ def expert_mlp_param_specs(hidden_size: int, moe_intermediate_size: int,
 
 def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
                     x, *, num_experts: int, top_k: int, act: str = "silu",
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, dispatcher: str = "gspmd", sc=None):
     """x: (B, L, H) -> (out (B, L, H), RouterOutput, expert_load (E,)).
 
-    Dropless: every routed token is computed (no capacity factor)."""
+    Dropless: every routed token is computed (no capacity factor).
+    dispatcher="gspmd": global sort + ragged_dot, XLA derives collectives from
+    shardings. dispatcher="a2a": explicit shard_map ragged all-to-all over ep
+    (the DeepEP analog, ops/moe_a2a.py).
+    """
     b, l, h = x.shape
     x2d = x.reshape(b * l, h)
     r: RouterOutput = route(router_p, router_cfg, x2d, top_k)
+
+    if dispatcher == "a2a" and sc is not None and sc.mesh is not None:
+        from ..ops.moe_a2a import moe_mlp_a2a
+
+        out2d = moe_mlp_a2a(
+            x2d, r.topk_idx, r.topk_weights, p["gate_proj"], p["up_proj"], p["down_proj"],
+            num_experts=num_experts, act=act, mesh=sc.mesh, rules=sc.rules,
+            compute_dtype=compute_dtype,
+        )
+        load = jnp.bincount(r.topk_idx.reshape(-1), length=num_experts)
+        return out2d.reshape(b, l, h).astype(compute_dtype), r, load
 
     info = permute(x2d.astype(compute_dtype), r.topk_idx, num_experts,
                    topk_weights=r.topk_weights)
