@@ -24,6 +24,7 @@ from ..module.attention import MHAConfig
 from ..module.lora import LoraConfig
 from ..module.mla import MLAConfig
 from ..module.rope import RopeScalingConfig
+from ..ops.float8 import Float8Config
 
 
 @jax.tree_util.register_dataclass
@@ -83,6 +84,7 @@ class TransformerConfig(PydanticBaseModel):
     init_scale: float = 0.02
     attn_impl: Optional[str] = None  # None = device default
     lora_cfg: Optional[LoraConfig] = None  # v0 peft-LoRA capability
+    float8_cfg: Optional["Float8Config"] = None  # fp8 matmul path (reference float8/)
 
     def build(self):
         raise NotImplementedError

@@ -86,10 +86,12 @@ class Dense:
         else:
             h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             window=cfg.sliding_window if cfg.use_sliding_window else None,
-                            attn_impl=cfg.attn_impl, lora_scaling=lora_s)
+                            attn_impl=cfg.attn_impl, lora_scaling=lora_s,
+                            fp8_cfg=cfg.float8_cfg)
         x = x + h
         h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
-        h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s)
+        h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s,
+                        fp8_cfg=cfg.float8_cfg)
         x = x + h
         return sc(x, "batch", "seq", None)
 

@@ -70,10 +70,10 @@ def mha_param_specs(cfg: MHAConfig, hidden_size: int, init_scale: float = 0.02,
 
 def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
                 sc: ShardCtx, window: Optional[int] = None, attn_impl: Optional[str] = None,
-                lora_scaling: float = 1.0):
+                lora_scaling: float = 1.0, fp8_cfg=None):
     """x: (B, L, hidden) -> (B, L, hidden)."""
     def _linear(x, p):
-        return lora_linear(x, p, lora_scaling)
+        return lora_linear(x, p, lora_scaling, fp8_cfg)
 
     b, l, _ = x.shape
     q = _linear(x, p["q_proj"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)

@@ -49,8 +49,13 @@ def add_lora_specs(proj_specs: dict, name: str, spec_w: ParamSpec,
                                      init="zeros")
 
 
-def lora_linear(x, p: dict, scaling: float):
-    y = x @ p["w"]
+def lora_linear(x, p: dict, scaling: float, fp8_cfg=None):
+    if fp8_cfg is not None and getattr(fp8_cfg, "enabled", False):
+        from ..ops.float8 import fp8_matmul
+
+        y = fp8_matmul(x, p["w"], fp8_cfg.scaling_granularity, fp8_cfg.tile)
+    else:
+        y = x @ p["w"]
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scaling
     if "b" in p:

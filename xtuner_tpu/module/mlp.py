@@ -26,7 +26,7 @@ def mlp_param_specs(hidden_size: int, intermediate_size: int, init_scale: float 
     return specs
 
 
-def mlp_forward(p: dict, x, act: str = "silu", lora_scaling: float = 1.0):
-    gate = lora_linear(x, p["gate_proj"], lora_scaling)
-    up = lora_linear(x, p["up_proj"], lora_scaling)
-    return lora_linear(get_act_fn(act)(gate) * up, p["down_proj"], lora_scaling)
+def mlp_forward(p: dict, x, act: str = "silu", lora_scaling: float = 1.0, fp8_cfg=None):
+    gate = lora_linear(x, p["gate_proj"], lora_scaling, fp8_cfg)
+    up = lora_linear(x, p["up_proj"], lora_scaling, fp8_cfg)
+    return lora_linear(get_act_fn(act)(gate) * up, p["down_proj"], lora_scaling, fp8_cfg)

@@ -37,6 +37,7 @@ from ..parallel.mesh import MeshConfig
 from ..utils.logger import get_logger
 from ..writer import JsonlWriter
 from .advantage import compute_advantage
+from .evaluator import Evaluator, EvaluatorConfig
 from .grpo_loss import GRPOLossConfig, grpo_loss
 from .judger import JUDGER_MAP
 from .replay_buffer import ReplayBuffer, SampleGroup
@@ -66,6 +67,7 @@ class RLTrainerConfig(BaseModel):
     exp_name: str = "rl"
     seed: int = 0
     max_staleness: Optional[int] = None
+    eval_cfg: Optional["EvaluatorConfig"] = None
 
     def build(self) -> "RLColocateTrainer":
         return RLColocateTrainer(self)
@@ -91,6 +93,9 @@ class RLColocateTrainer:
         self.gen_rng = jax.random.key(cfg.seed)
         self._step_fn = None
         self.pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+        self.evaluator = None
+        if cfg.eval_cfg is not None:
+            self.evaluator = Evaluator(cfg.eval_cfg, self.judger, self._eval_generate)
 
     def _build_tokenizer(self):
         if self.cfg.tokenizer_path:
@@ -115,6 +120,28 @@ class RLColocateTrainer:
                 system=m.get("content", ""), user=m.get("content", ""))
             ids.extend(self.tokenizer.encode(text, add_special_tokens=False))
         return ids[-self.cfg.max_prompt_length:]
+
+    def _eval_generate(self, items: list[dict], n: int) -> list[list[str]]:
+        """Evaluator binding: n sampled responses per eval prompt."""
+        cfg = self.cfg
+        out_texts: list[list[str]] = []
+        eos = cfg.gen_cfg.eos_token_id or cfg.model_cfg.eos_token_id
+        for item in items:
+            prompt = self._encode_prompt(item)
+            prompt_arr = np.full((n, cfg.max_prompt_length), self.pad_id, np.int32)
+            prompt_arr[:, -len(prompt):] = prompt
+            self.gen_rng, rng = jax.random.split(self.gen_rng)
+            out = generate(self.engine.model, self.engine.params, prompt_arr, cfg.gen_cfg,
+                           rng=rng, compute_dtype=self.engine.compute_dtype,
+                           pad_token_id=self.pad_id)
+            texts = []
+            for gi in range(n):
+                resp = out["generated"][gi].tolist()
+                if eos in resp:
+                    resp = resp[: resp.index(eos)]
+                texts.append(self.tokenizer.decode(resp))
+            out_texts.append(texts)
+        return out_texts
 
     def produce_batch(self, policy_version: int) -> list[SampleGroup]:
         """Rollout generation + judging + advantages (the AgentLoopManager
@@ -238,4 +265,9 @@ class RLColocateTrainer:
             )
             self.writer.add_scalars({**metrics, "mean_reward": mean_reward,
                                      "rollout_time": t_roll, "step_time": step_time}, step)
+            if (self.evaluator is not None and cfg.eval_cfg.eval_interval
+                    and step % cfg.eval_cfg.eval_interval == 0):
+                self.writer.add_scalars(self.evaluator.run(), step)
+        if self.evaluator is not None:
+            self.writer.add_scalars(self.evaluator.run(), self.cfg.total_steps)
         self.writer.close()
