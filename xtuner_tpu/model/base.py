@@ -39,6 +39,7 @@ class ModelOutputs:
     num_tokens: Optional[jax.Array] = None
     balancing_loss: Optional[jax.Array] = None
     z_loss: Optional[jax.Array] = None
+    mtp_loss: Optional[jax.Array] = None
     hidden_states: Optional[jax.Array] = None
 
     def total_loss(self):

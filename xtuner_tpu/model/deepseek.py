@@ -37,6 +37,7 @@ def deepseek_v3() -> DeepSeekV3Config:
             rope_type="yarn", factor=40.0, beta_fast=32.0, beta_slow=1.0,
             mscale=1.0, mscale_all_dim=1.0, original_max_position_embeddings=4096,
         ),
+        mtp_num_layers=1,
         router=NoAuxRouterConfig(
             scoring_func="sigmoid", norm_topk_prob=True, routed_scaling_factor=2.5,
             n_group=8, topk_group=4,

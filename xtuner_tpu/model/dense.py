@@ -35,6 +35,10 @@ def _remat_policy(name: str):
         return None
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "save_attn":
+        # save flash-attention outputs: backward never re-runs the attention
+        # kernels (the highest-cost remat recompute), everything else recomputed
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
     raise ValueError(f"Unknown remat policy {name!r}")
 
 

@@ -54,6 +54,9 @@ class MoEConfig(DenseConfig):
     # "gspmd" (sharding-derived collectives) | "a2a" (explicit shard_map
     # ragged all-to-all over ep — reference dispatcher: deepep/all2all)
     dispatcher: str = "gspmd"
+    # multi-token prediction (reference module/mtp/, DeepSeek V3 / GLM-5)
+    mtp_num_layers: int = 0
+    mtp_loss_coef: float = 0.3
     # note: `intermediate_size` is the DENSE layer / shared-expert width
 
     def build(self) -> "MoE":
@@ -96,6 +99,12 @@ class MoE(Dense):
             specs["dense_layers"] = stack_specs(self.layer_param_specs(), cfg.first_k_dense_replace)
         n_moe = cfg.num_hidden_layers - cfg.first_k_dense_replace
         specs["moe_layers"] = stack_specs(self.moe_layer_param_specs(), n_moe)
+        if cfg.mtp_num_layers > 0:
+            from ..module.mtp import mtp_extra_param_specs
+
+            mtp_specs = {**self.moe_layer_param_specs(),
+                         **mtp_extra_param_specs(cfg.hidden_size, cfg.init_scale)}
+            specs["mtp_layers"] = stack_specs(mtp_specs, cfg.mtp_num_layers)
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = {"w": ParamSpec((cfg.hidden_size, cfg.vocab_size),
                                                ("embed_shard", "vocab"), scale=cfg.init_scale)}
@@ -184,6 +193,7 @@ class MoE(Dense):
                 moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
             x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
 
+        self._last_trunk = x  # pre-final-norm trunk (MTP input)
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                      cfg.rms_norm_type == "zero_centered")
         self._last_aux = (bal, zl, load)  # per-layer arrays (scan outputs)
@@ -203,7 +213,44 @@ class MoE(Dense):
             out.balancing_loss = cfg.balancing_loss_coef * jnp.mean(bal)
         if cfg.z_loss_coef > 0:
             out.z_loss = cfg.z_loss_coef * jnp.mean(zl)
+        if cfg.mtp_num_layers > 0:
+            out.mtp_loss = self._mtp_loss(params, seq_ctx, shifted_labels, loss_weights,
+                                          global_denom, sc, compute_dtype)
         return out
+
+    def _mtp_loss(self, params, seq_ctx, shifted_labels, loss_weights, global_denom,
+                  sc, compute_dtype):
+        """Depth-k MTP: fuse trunk hidden with next-token embeddings, run the
+        extra layer(s), score against labels shifted k further (module/mtp.py)."""
+        from ..module.mtp import mtp_fuse, shift_for_mtp
+        from ..module.rope import rope_cos_sin
+
+        cfg = self.cfg
+        seg = seq_ctx.segment_ids
+        cos, sin = rope_cos_sin(seq_ctx.position_ids, cfg.attention.head_dim, cfg.rope_theta,
+                                cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+        valid = (seg != 0).reshape(-1)
+        h = self._last_trunk
+        w_head = self.lm_head_weight(params).astype(compute_dtype)
+        ids_k = seq_ctx.input_ids
+        labels_k = shifted_labels
+        weights_k = loss_weights
+        losses = []
+        for depth in range(cfg.mtp_num_layers):
+            lp = jax.tree.map(lambda a: a[depth], params["mtp_layers"])
+            ids_k = shift_for_mtp(ids_k, seg, fill=0)
+            labels_k = shift_for_mtp(labels_k, seg, fill=-100)
+            weights_k = shift_for_mtp(weights_k, seg, fill=0.0)
+            next_embed = jnp.take(params["embed"]["w"], ids_k, axis=0).astype(compute_dtype)
+            fused = mtp_fuse(cast_tree(lp, compute_dtype), h, next_embed, cfg.rms_norm_eps)
+            h, _ = self._moe_layer_forward(fused, lp, cfg, cos, sin, seg, valid, sc,
+                                           compute_dtype)
+            normed = rms_norm(h, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
+                              cfg.rms_norm_type == "zero_centered").astype(compute_dtype)
+            lm_k, _, _ = ce_loss(normed, w_head, labels_k, weights_k, global_denom,
+                                 cfg.lm_loss_cfg)
+            losses.append(lm_k)
+        return cfg.mtp_loss_coef * sum(losses) / max(len(losses), 1)
 
     # ------------------------------------------------------------------
     def hf_key_map(self) -> dict:

@@ -99,6 +99,7 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
         o = attention(q, k, v, segment_ids, causal=True, window=window, sinks=sinks,
                       impl=attn_impl)
     o = sc(o, "batch", "seq", None, None)
+    o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
     o = o.reshape(b, l, cfg.q_dim())
     return _linear(o, p["o_proj"])
 

@@ -373,7 +373,7 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def flash_attention(q, k, v, segment_ids, *, causal: bool = True,
                     scale: Optional[float] = None, window: Optional[int] = None,
-                    sinks=None, block_q: int = 512, block_k: int = 512,
+                    sinks=None, block_q: int = 1024, block_k: int = 1024,
                     interpret: Optional[bool] = None):
     """Public entry. q: (B, L, Hq, D); k, v: (B, L, Hkv, D); seg: (B, L).
 

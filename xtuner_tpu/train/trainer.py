@@ -30,6 +30,17 @@ from ..writer import JsonlWriter, TensorboardWriter
 logger = get_logger()
 
 
+class TrainerHook:
+    """Hook protocol (reference: trainer.py:258-380 HookStage/HooksConfig —
+    protocol-typed hook lists at train-step and save stages)."""
+
+    def after_train_step(self, trainer: "Trainer", step: int, metrics: dict) -> None: ...
+
+    def after_save_checkpoint(self, trainer: "Trainer", step: int) -> None: ...
+
+    def after_save_hf(self, trainer: "Trainer", step: int, path: str) -> None: ...
+
+
 class TrainerConfig(BaseModel):
     model_config = ConfigDict(extra="forbid", arbitrary_types_allowed=True)
     model_cfg: Any  # TransformerConfig or ComposeConfig (VLM)
@@ -54,6 +65,9 @@ class TrainerConfig(BaseModel):
     log_interval: int = 1
     seed: int = 0
     exp_tracker: str = "jsonl"  # jsonl | tensorboard
+    hooks: list[Any] = []  # TrainerHook instances
+    profile_step: Optional[int] = None  # trace this step (reference profile_step)
+    health_check_interval: Optional[int] = None
 
     def build(self) -> "Trainer":
         return Trainer(self)
@@ -61,6 +75,9 @@ class TrainerConfig(BaseModel):
 
 class Trainer:
     def __init__(self, cfg: TrainerConfig):
+        from ..utils.dist import maybe_init_distributed
+
+        maybe_init_distributed()
         self.cfg = cfg
         self.work_dir = Path(cfg.work_dir) / cfg.exp_name
         self.work_dir.mkdir(parents=True, exist_ok=True)
@@ -155,8 +172,16 @@ class Trainer:
         consumed_tokens = 0
         t_start = time.time()
 
+        profiler = None
+        if cfg.profile_step is not None:
+            from ..profiler.profile import StepProfiler
+
+            profiler = StepProfiler(self.work_dir / "profile", cfg.profile_step)
+
         for step in range(self.start_step + 1, self.total_steps + 1):
             t0 = time.time()
+            if profiler is not None:
+                profiler.maybe_start(step)
             batch = next(data_iter)
             t_data = time.time() - t0
             metrics = self.engine.train_step(batch, step)
@@ -177,11 +202,24 @@ class Trainer:
                 self.writer.add_scalars(
                     {**metrics, "tgs": tgs, "step_time": step_time, "data_time": t_data}, step
                 )
+            if profiler is not None:
+                profiler.maybe_stop(step)
+            for hook in cfg.hooks:
+                hook.after_train_step(self, step, metrics)
+            if cfg.health_check_interval and step % cfg.health_check_interval == 0:
+                from ..utils.check_health import check_health
+
+                check_health()
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0 \
                     and step != self.total_steps:
                 self._save(step)
+                for hook in cfg.hooks:
+                    hook.after_save_checkpoint(self, step)
             if cfg.hf_interval and step % cfg.hf_interval == 0:
-                self.engine.save_hf(str(self.work_dir / f"hf-step-{step}"))
+                hf_path = str(self.work_dir / f"hf-step-{step}")
+                self.engine.save_hf(hf_path)
+                for hook in cfg.hooks:
+                    hook.after_save_hf(self, step, hf_path)
 
         self._save(self.total_steps)
         self.ckpt_mgr.wait()
