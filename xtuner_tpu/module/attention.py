@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from pydantic import BaseModel, ConfigDict
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..ops.attention import attention
 from ..ops.rms_norm import rms_norm
 from ..ops.rotary import apply_rotary_emb
@@ -99,7 +101,7 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
         o = attention(q, k, v, segment_ids, causal=True, window=window, sinks=sinks,
                       impl=attn_impl)
     o = sc(o, "batch", "seq", None, None)
-    o = jax.ad_checkpoint.checkpoint_name(o, "attn_out")
+    o = checkpoint_name(o, "attn_out")
     o = o.reshape(b, l, cfg.q_dim())
     return _linear(o, p["o_proj"])
 
