@@ -81,8 +81,11 @@ class Dense:
 
     # ------------------------------------------------------------------
     def _layer_forward(self, x, lp, cfg, cos, sin, segment_ids, sc, compute_dtype):
+        from ..profiler.prober import probe
+
         lp = cast_tree(lp, compute_dtype)
         lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
+        x = probe("before_layer", x)
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
         if isinstance(cfg.attention, MLAConfig):
             h = mla_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
@@ -92,6 +95,7 @@ class Dense:
                             window=cfg.sliding_window if cfg.use_sliding_window else None,
                             attn_impl=cfg.attn_impl, lora_scaling=lora_s,
                             fp8_cfg=cfg.float8_cfg)
+        h = probe("after_attn", h)
         x = x + h
         h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
         h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s,

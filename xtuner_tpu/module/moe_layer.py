@@ -43,9 +43,12 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
     shardings. dispatcher="a2a": explicit shard_map ragged all-to-all over ep
     (the DeepEP analog, ops/moe_a2a.py).
     """
+    from ..profiler.prober import probe
+
     b, l, h = x.shape
     x2d = x.reshape(b * l, h)
     r: RouterOutput = route(router_p, router_cfg, x2d, top_k)
+    probe("after_moe_gate", r.logits)
 
     if dispatcher == "a2a" and sc is not None and sc.mesh is not None:
         from ..ops.moe_a2a import moe_mlp_a2a
@@ -60,6 +63,7 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
 
     info = permute(x2d.astype(compute_dtype), r.topk_idx, num_experts,
                    topk_weights=r.topk_weights)
+    probe("before_dispatch", info.sorted_tokens)
     gate = grouped_gemm(info.sorted_tokens, p["gate_proj"].astype(compute_dtype),
                         info.group_sizes)
     up = grouped_gemm(info.sorted_tokens, p["up_proj"].astype(compute_dtype),
@@ -70,4 +74,5 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
         hidden = (get_act_fn(act)(gate) * up).astype(compute_dtype)
     out = grouped_gemm(hidden, p["down_proj"].astype(compute_dtype), info.group_sizes)
     combined = unpermute(out, info, b * l)
+    combined = probe("after_combine", combined)
     return combined.reshape(b, l, h).astype(compute_dtype), r, info.group_sizes
