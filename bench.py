@@ -32,12 +32,12 @@ def main() -> None:
     seq_len = 65536
     cfg = MoEConfig(
         vocab_size=151936,
-        num_hidden_layers=12,
+        num_hidden_layers=8,
         hidden_size=1024,
         intermediate_size=3072,
         moe_intermediate_size=512,
-        n_routed_experts=32,
-        num_experts_per_tok=4,
+        n_routed_experts=16,
+        num_experts_per_tok=2,
         tie_word_embeddings=True,
         rope_theta=1000000.0,
         balancing_loss_coef=0.001,

@@ -115,6 +115,24 @@ def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
         arr = np.stack(blocks) if stacked else blocks[0]
         return arr
 
+    if key.transform in ("nf4_pack", "nf4_scale"):
+        # QLoRA: read the FULL hf weight per layer, transpose to (in, out),
+        # quantize, return either the packed codes or the scales (the leaf is
+        # replicated, so idx always covers the full flattened range)
+        from ..module.quant import quantize_nf4
+
+        def read_q(li):
+            hf_key = key.template.format(layer=li + key.layer_offset) if stacked \
+                else key.template
+            w = reader.get(hf_key).T  # (in, out)
+            codes, absmax = quantize_nf4(w)
+            return codes if key.transform == "nf4_pack" else absmax
+
+        if stacked:
+            (l0, l1), _ = ranges
+            return np.stack([read_q(li) for li in range(l0, l1)])
+        return read_q(0)
+
     if stacked:
         (l0, l1), *rest = ranges
         parts = []
@@ -224,6 +242,30 @@ def _to_hf_tensor(arr: np.ndarray, transform: str) -> np.ndarray:
     if transform in ("linear", "expert_linear"):
         return np.ascontiguousarray(arr.T)
     return arr
+
+
+def async_save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None):
+    """Snapshot params to host, then write safetensors in a background thread
+    (reference: async HF export w/ pinned-CPU snapshot + writer pool,
+    base.py:754-918). Returns a handle with .join()."""
+    import threading
+
+    host_params = jax.tree.map(lambda p: np.asarray(jax.device_get(p)), params)
+    thread = threading.Thread(
+        target=save_hf_checkpoint, args=(hf_path, host_params, key_map, model_cfg),
+        daemon=True,
+    )
+    thread.start()
+
+    class Handle:
+        def join(self, timeout=None):
+            thread.join(timeout)
+
+        @property
+        def done(self):
+            return not thread.is_alive()
+
+    return Handle()
 
 
 def save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None) -> None:

@@ -156,6 +156,10 @@ class Dense:
                 if name in cfg.lora_cfg.target_modules:
                     mlp[name]["lora_a"] = HFKey("<random>")
                     mlp[name]["lora_b"] = HFKey("<random>")
+                    if cfg.lora_cfg.qlora:
+                        tmpl = mlp[name].pop("w").template
+                        mlp[name]["w_q4"] = HFKey(tmpl, "nf4_pack")
+                        mlp[name]["w_absmax"] = HFKey(tmpl, "nf4_scale")
         return mlp
 
     def merge_lora(self, params):
@@ -216,6 +220,10 @@ class Dense:
                 if name in cfg.lora_cfg.target_modules:
                     attn[name]["lora_a"] = HFKey("<random>")
                     attn[name]["lora_b"] = HFKey("<random>")
+                    if cfg.lora_cfg.qlora:
+                        tmpl = attn[name].pop("w").template
+                        attn[name]["w_q4"] = HFKey(tmpl, "nf4_pack")
+                        attn[name]["w_absmax"] = HFKey(tmpl, "nf4_scale")
         if cfg.attention.qkv_bias:
             attn["q_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.q_proj.bias")
             attn["k_proj"]["b"] = HFKey("model.layers.{layer}.self_attn.k_proj.bias")

@@ -29,6 +29,9 @@ class LoraConfig(BaseModel):
     target_modules: tuple[str, ...] = DEFAULT_TARGETS
     train_norms: bool = False  # also train RMSNorm scales
     train_embed: bool = False
+    # QLoRA: store the frozen base weights of targeted modules as NF4 codes
+    qlora: bool = False
+    q_block: int = 64
 
     @property
     def scaling(self) -> float:
@@ -37,7 +40,10 @@ class LoraConfig(BaseModel):
 
 def add_lora_specs(proj_specs: dict, name: str, spec_w: ParamSpec,
                    lora: Optional[LoraConfig]) -> None:
-    """Mutates a {'w': spec, ...} projection dict to add adapter specs."""
+    """Mutates a {'w': spec, ...} projection dict to add adapter specs (and
+    under QLoRA, replace the dense base weight with NF4 code + scale specs)."""
+    import math
+
     if lora is None or name not in lora.target_modules:
         return
     d_in, d_out = spec_w.shape[-2], spec_w.shape[-1]
@@ -47,10 +53,26 @@ def add_lora_specs(proj_specs: dict, name: str, spec_w: ParamSpec,
                                      init="normal", scale=1.0 / lora.r)
     proj_specs["lora_b"] = ParamSpec((*lead, lora.r, d_out), (*lead_axes, None, spec_w.axes[-1]),
                                      init="zeros")
+    if lora.qlora:
+        import jax.numpy as jnp
+
+        n = d_in * d_out
+        del proj_specs["w"]
+        proj_specs["w_q4"] = ParamSpec((*lead, n // 2), (*lead_axes, None),
+                                       init="zeros", dtype=jnp.uint8)
+        proj_specs["w_absmax"] = ParamSpec((*lead, n // lora.q_block), (*lead_axes, None),
+                                           init="ones")
 
 
 def lora_linear(x, p: dict, scaling: float, fp8_cfg=None):
-    if fp8_cfg is not None and getattr(fp8_cfg, "enabled", False):
+    if "w_q4" in p:  # QLoRA: dequantize the frozen NF4 base at use
+        from .quant import dequantize_nf4
+
+        d_in = p["lora_a"].shape[-2]
+        d_out = p["lora_b"].shape[-1]
+        w = dequantize_nf4(p["w_q4"], p["w_absmax"], (d_in, d_out), dtype=x.dtype)
+        y = x @ w
+    elif fp8_cfg is not None and getattr(fp8_cfg, "enabled", False):
         from ..ops.float8 import fp8_matmul
 
         y = fp8_matmul(x, p["w"], fp8_cfg.scaling_granularity, fp8_cfg.tile)
@@ -92,8 +114,8 @@ def freeze_stop_gradient(params, labels):
 
 
 def merge_lora(params, scaling: float):
-    """Fold every (lora_a, lora_b) pair into its base weight; returns a tree
-    WITHOUT adapter leaves (ready for standard HF export)."""
+    """Fold every (lora_a, lora_b) pair into its base weight (dequantizing
+    NF4 bases first); returns a tree WITHOUT adapter leaves."""
 
     def merge(node):
         if isinstance(node, dict) and "lora_a" in node:
@@ -101,6 +123,20 @@ def merge_lora(params, scaling: float):
             a, b = node.pop("lora_a"), node.pop("lora_b")
             delta = jnp.einsum("...ir,...ro->...io", a.astype(jnp.float32),
                                b.astype(jnp.float32)) * scaling
+            if "w_q4" in node:
+                from .quant import dequantize_nf4
+
+                codes, absmax = node.pop("w_q4"), node.pop("w_absmax")
+                d_in, d_out = a.shape[-2], b.shape[-1]
+                if codes.ndim == 2:  # layer-stacked
+                    w = jnp.stack([
+                        dequantize_nf4(codes[i], absmax[i], (d_in, d_out), dtype=jnp.float32)
+                        for i in range(codes.shape[0])
+                    ])
+                else:
+                    w = dequantize_nf4(codes, absmax, (d_in, d_out), dtype=jnp.float32)
+                node["w"] = (w + delta).astype(jnp.float32)
+                return node
             node["w"] = (node["w"].astype(jnp.float32) + delta).astype(node["w"].dtype)
             return node
         if isinstance(node, dict):

@@ -97,3 +97,67 @@ def rope_cos_sin(position_ids, head_dim: int, theta: float,
     freqs = position_ids.astype(jnp.float32)[:, :, None] * inv_freq[None, None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb) * att_scale, jnp.sin(emb) * att_scale
+
+
+def mrope_cos_sin(position_ids_3d, head_dim: int, theta: float,
+                  mrope_section: tuple[int, ...] = (16, 24, 24)):
+    """Qwen-VL multimodal rotary embedding (reference:
+    datasets/mllm_tokenize_fn/qwenvl_rope2d.py + rope.py qwen3_vl type).
+
+    position_ids_3d: (3, B, L) int32 — (temporal, height, width) positions
+    per token (text tokens carry the same value in all three).
+    mrope_section: how many rotary FREQUENCY PAIRS each of (t, h, w) owns;
+    must sum to head_dim // 2. Returns cos, sin (B, L, head_dim) fp32.
+    """
+    assert sum(mrope_section) == head_dim // 2, (mrope_section, head_dim)
+    inv_freq = _base_inv_freq(head_dim, theta)  # (head_dim//2,)
+    freqs = position_ids_3d.astype(jnp.float32)[..., None] * inv_freq  # (3, B, L, hd/2)
+    # select which axis (t/h/w) provides each frequency band
+    import numpy as _np
+
+    sel = _np.concatenate([
+        _np.full(n, i, dtype=_np.int32) for i, n in enumerate(mrope_section)
+    ])  # (hd/2,)
+    sel = jnp.asarray(sel)
+    picked = jnp.take_along_axis(
+        freqs, sel[None, None, :, None].transpose(3, 0, 1, 2), axis=0
+    )[0]  # (B, L, hd/2)
+    emb = jnp.concatenate([picked, picked], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def build_mrope_positions(input_ids, image_token_mask, image_grid_thw, spatial_merge: int = 2):
+    """Host-side 3D position construction for a packed row (reference
+    qwenvl_rope2d.py): text tokens advance t=h=w together; each image's
+    tokens get (t const, h row, w col) over its grid.
+
+    input_ids: (L,) np array; image_token_mask: (L,) bool; image_grid_thw:
+    (n_images, 3). Returns (3, L) int32 numpy.
+    """
+    import numpy as np
+
+    l = len(input_ids)
+    pos = np.zeros((3, l), np.int64)
+    cursor = 0  # running position value
+    img_idx = 0
+    t = 0
+    i = 0
+    while i < l:
+        if image_token_mask[i]:
+            gt, gh, gw = image_grid_thw[img_idx]
+            gh, gw = gh // spatial_merge, gw // spatial_merge
+            n = int(gt * gh * gw)
+            grid_t = np.repeat(np.arange(gt), gh * gw)
+            grid_h = np.tile(np.repeat(np.arange(gh), gw), gt)
+            grid_w = np.tile(np.arange(gw), gt * gh)
+            pos[0, i:i + n] = cursor + grid_t
+            pos[1, i:i + n] = cursor + grid_h
+            pos[2, i:i + n] = cursor + grid_w
+            cursor += int(max(gt, gh, gw))
+            img_idx += 1
+            i += n
+        else:
+            pos[:, i] = cursor
+            cursor += 1
+            i += 1
+    return pos.astype(np.int32)
