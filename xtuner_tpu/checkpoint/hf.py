@@ -105,7 +105,7 @@ def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
         for li in layers:
             experts = [
                 read_2d_t(
-                    key.template.format(layer=(li + key.layer_offset) if li is not None else 0,
+                    key.template.format(layer=(li * key.layer_stride + key.layer_offset) if li is not None else 0,
                                         expert=ei),
                     in_r, out_r,
                 )
@@ -122,8 +122,8 @@ def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
         from ..module.quant import quantize_nf4
 
         def read_q(li):
-            hf_key = key.template.format(layer=li + key.layer_offset) if stacked \
-                else key.template
+            hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset) \
+                if stacked else key.template
             w = reader.get(hf_key).T  # (in, out)
             codes, absmax = quantize_nf4(w)
             return codes if key.transform == "nf4_pack" else absmax
@@ -137,7 +137,7 @@ def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
         (l0, l1), *rest = ranges
         parts = []
         for li in range(l0, l1):
-            hf_key = key.template.format(layer=li + key.layer_offset)
+            hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset)
             if key.transform == "linear":
                 in_r, out_r = rest
                 parts.append(read_2d_t(hf_key, in_r, out_r))
@@ -283,11 +283,12 @@ def save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None) -> 
             for li in range(n_layers):
                 layer_slice = np.asarray(jax.device_get(p[li] if stacked else p))
                 for ei in range(layer_slice.shape[0]):
-                    hf_key = key.template.format(layer=li + key.layer_offset, expert=ei)
+                    hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset,
+                                                 expert=ei)
                     writer.add(hf_key, _to_hf_tensor(layer_slice[ei], key.transform))
         elif _is_stacked(key):
             for li in range(p.shape[0]):
-                hf_key = key.template.format(layer=li + key.layer_offset)
+                hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset)
                 writer.add(hf_key, _to_hf_tensor(np.asarray(jax.device_get(p[li])), key.transform))
         else:
             writer.add(key.template, _to_hf_tensor(np.asarray(jax.device_get(p)), key.transform))

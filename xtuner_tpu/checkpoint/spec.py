@@ -21,9 +21,11 @@ class HFKey:
     #   "none":     identical layout (norms, biases, embeddings)
     #   "experts":  per-expert HF keys stacked on dim 0; template has {expert}
     transform: str = "none"
-    # stacked-layer params: our stack index i maps to HF layer i + layer_offset
-    # (MoE stacks start after first_k_dense_replace dense layers)
+    # stacked-layer params: our stack index i maps to HF layer
+    # i * layer_stride + layer_offset (MoE stacks start after
+    # first_k_dense_replace; hybrid pattern stacks interleave with a stride)
     layer_offset: int = 0
+    layer_stride: int = 1
     # if several of our params map to ONE fused HF tensor (or vice versa),
     # `fuse_dim` + `fuse_slice` describe the slice of the HF tensor we own.
     fuse_dim: Optional[int] = None

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Literal, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 from pydantic import BaseModel, ConfigDict
 

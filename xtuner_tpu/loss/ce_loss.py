@@ -23,7 +23,7 @@ Weights per reduction mode (loss = sum(w*ce) / sum_global(w)):
 
 from __future__ import annotations
 
-from typing import Literal, Optional
+from typing import Literal
 
 import jax
 import jax.numpy as jnp

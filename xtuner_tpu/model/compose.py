@@ -11,8 +11,6 @@ Freezing reuses the LoRA label machinery (stop_gradient + optimizer mask).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from pydantic import BaseModel as PydanticBaseModel, ConfigDict

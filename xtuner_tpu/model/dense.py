@@ -10,15 +10,12 @@ reference's per-layer FSDP wrapping + checkpoint_wrapper
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 
 from ..checkpoint.spec import HFKey
 from ..loss.ce_loss import ce_loss
-from ..module.attention import MHAConfig, mha_forward, mha_param_specs
+from ..module.attention import mha_forward, mha_param_specs
 from ..module.mla import MLAConfig, mla_forward, mla_param_specs
 from ..module.mlp import mlp_forward, mlp_param_specs
 from ..module.params import ParamSpec, cast_tree, stack_specs

@@ -9,8 +9,6 @@ bidirectional within each tile (tiles ride the batch dim).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from pydantic import BaseModel, ConfigDict

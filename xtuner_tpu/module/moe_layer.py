@@ -10,15 +10,13 @@ the reference's cuda-event choreography has no analog here.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from ..ops.act_fn import get_act_fn, swiglu_clipped
 from ..ops.moe import grouped_gemm, permute, unpermute
 from .params import ParamSpec
-from .router import RouterConfig, RouterOutput, route, router_param_specs
+from .router import RouterConfig, RouterOutput, route
 
 
 def expert_mlp_param_specs(hidden_size: int, moe_intermediate_size: int,

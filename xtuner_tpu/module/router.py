@@ -9,7 +9,7 @@ updated post-step from expert load, moe.py:296-361).
 
 from __future__ import annotations
 
-from typing import Literal, NamedTuple, Optional
+from typing import Literal, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Scaling granularities mirror the reference enum (config.py:10):
 from __future__ import annotations
 
 import functools
-from typing import Literal, Optional
+from typing import Literal
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ from pydantic import BaseModel, ConfigDict
 
 from ..config.optim import AdamWConfig, LRConfig, OptimConfig
 from ..data_proto import SequenceContext
-from ..data_proto.templates import ChatMessages, get_chat_template
+from ..data_proto.templates import get_chat_template
 from ..engine.train_engine import TrainEngine
 from ..loss.ce_loss import per_token_logprobs
 from ..model.base import TransformerConfig
