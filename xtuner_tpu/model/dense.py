@@ -36,6 +36,13 @@ def _remat_policy(name: str):
         # save flash-attention outputs: backward never re-runs the attention
         # kernels (the highest-cost remat recompute), everything else recomputed
         return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if name == "offload_attn":
+        # long-context memory relief: park attention outputs in HOST memory
+        # between fwd and bwd (reference utils/activation_offload.py)
+        return jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=["attn_out"],
+            offload_src="device", offload_dst="pinned_host")
     raise ValueError(f"Unknown remat policy {name!r}")
 
 

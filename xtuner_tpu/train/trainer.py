@@ -60,6 +60,10 @@ class TrainerConfig(BaseModel):
     exp_name: str = "default"
     checkpoint_interval: Optional[int] = None  # steps; None = only at end
     checkpoint_max_keep: Optional[int] = 2
+    # lightweight crash-recovery saves on a faster cadence than full
+    # checkpoints (reference snapshot_interval, trainer.py:427)
+    snapshot_interval: Optional[int] = None
+    snapshot_max_keep: int = 1
     hf_interval: Optional[int] = None
     resume: bool = False
     log_interval: int = 1
@@ -109,6 +113,10 @@ class Trainer:
         from ..checkpoint.orbax_io import TrainCheckpointManager
 
         self.ckpt_mgr = TrainCheckpointManager(self.work_dir, cfg.checkpoint_max_keep)
+        self.snapshot_mgr = None
+        if cfg.snapshot_interval:
+            self.snapshot_mgr = TrainCheckpointManager(
+                self.work_dir / "snapshots", cfg.snapshot_max_keep)
         writer_cls = JsonlWriter if cfg.exp_tracker == "jsonl" else TensorboardWriter
         self.writer = writer_cls(self.work_dir)
         self.start_step = 0
@@ -144,10 +152,16 @@ class Trainer:
 
     def _maybe_resume(self) -> None:
         latest = self.ckpt_mgr.latest_step()
+        mgr = self.ckpt_mgr
+        # a newer snapshot beats an older full checkpoint (auto_resume semantics)
+        if self.snapshot_mgr is not None:
+            snap = self.snapshot_mgr.latest_step()
+            if snap is not None and (latest is None or snap > latest):
+                latest, mgr = snap, self.snapshot_mgr
         if latest is None:
             logger.info("resume requested but no checkpoint found; starting fresh")
             return
-        params, opt_state, train_state, dl_state = self.ckpt_mgr.restore(
+        params, opt_state, train_state, dl_state = mgr.restore(
             latest, self.engine.params, self.engine.opt_state
         )
         self.engine.params, self.engine.opt_state = params, opt_state
@@ -210,6 +224,10 @@ class Trainer:
                 from ..utils.check_health import check_health
 
                 check_health()
+            if self.snapshot_mgr is not None and step % cfg.snapshot_interval == 0:
+                self.snapshot_mgr.save(step, self.engine.params, self.engine.opt_state,
+                                       train_state={"step": step},
+                                       dataloader_state=self.dataloader.get_state_dict())
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0 \
                     and step != self.total_steps:
                 self._save(step)
