@@ -46,7 +46,8 @@ def main() -> None:
                             qk_norm=True),
         lm_loss_cfg=CELossConfig(chunk_size=2048),
     )
-    mesh_cfg = MeshConfig(fsdp_size=n_dev)
+    remat = "save_attn_residuals" if seq_len <= 16384 else "full"  # 64k: residuals OOM 16GB
+    mesh_cfg = MeshConfig(fsdp_size=n_dev, remat_policy=remat)
     engine = TrainEngine(cfg, AdamWConfig(lr=1e-5), LRConfig(warmup_steps=2), mesh_cfg,
                          total_steps=100)
     engine.init_random(0)

@@ -192,10 +192,14 @@ def vlm_collator(packs: list[list[dict]], pack_max_length: int,
         pixel_values = np.concatenate(tiles)
         if max_tiles is not None:
             t = pixel_values.shape[0]
+            if t > max_tiles:
+                # silent truncation would desync image-context tokens from
+                # vision embeddings — refuse loudly instead
+                raise ValueError(
+                    f"micro-batch has {t} image tiles > max_tiles={max_tiles}; "
+                    f"raise DataloaderConfig.max_tiles or lower image_max_num")
             if t < max_tiles:
                 pad = np.zeros((max_tiles - t, *pixel_values.shape[1:]), pixel_values.dtype)
                 pixel_values = np.concatenate([pixel_values, pad])
-            else:
-                pixel_values = pixel_values[:max_tiles]
         batch["pixel_values"] = pixel_values
     return batch

@@ -36,6 +36,12 @@ def _remat_policy(name: str):
         # save flash-attention outputs: backward never re-runs the attention
         # kernels (the highest-cost remat recompute), everything else recomputed
         return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if name == "save_attn_residuals":
+        # save the flash kernel's residuals (q/k/v/out/lse): backward reuses
+        # them instead of re-running the forward attention kernel; projections
+        # and MLP still recompute. Memory: ~(2Hq+2Hkv+1)*L*D bf16 per layer.
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_q", "attn_k", "attn_v", "attn_res_out", "attn_lse", "attn_out")
     if name == "offload_attn":
         # long-context memory relief: park attention outputs in HOST memory
         # between fwd and bwd (reference utils/activation_offload.py)

@@ -193,9 +193,11 @@ class MoE(Dense):
                 moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
             x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
 
-        self._last_trunk = x  # pre-final-norm trunk (MTP input)
+        self._last_trunk = x  # pre-final-norm trunk (MTP input; same trace)
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                      cfg.rms_norm_type == "zero_centered")
+        # NOTE: aux stash is trace-local state consumed by loss() in the same
+        # trace; forward() used standalone simply ignores it
         self._last_aux = (bal, zl, load)  # per-layer arrays (scan outputs)
         return x.astype(compute_dtype)
 

@@ -271,8 +271,17 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
 
 def _flash_fwd_rule(q, k, v, segment_ids, sinks, scale, causal, window,
                     block_q, block_k, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
                               block_q, block_k, interpret)
+    # named so remat policies can SAVE the kernel residuals — without these,
+    # rematerialisation re-runs the forward flash kernel inside backward
+    out = checkpoint_name(out, "attn_res_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    q = checkpoint_name(q, "attn_q")
+    k = checkpoint_name(k, "attn_k")
+    v = checkpoint_name(v, "attn_v")
     return out, (q, k, v, segment_ids, sinks, out, lse)
 
 
