@@ -60,7 +60,7 @@ def test_vlm_trainer_fit(tmp_path, monkeypatch):
         dataloader_cfg=DataloaderConfig(
             datasets=[DatasetConfig(anno_path=str(data), class_name="internvl")],
             pack_max_length=256,
-            max_tiles=16,
+            max_tiles=48,
             tokens_per_tile=4,
             image_size=28,
             image_max_num=2,
