@@ -38,6 +38,9 @@ class DataloaderConfig(BaseModel):
     loss_reduction: Literal["token", "sample", "square"] = "token"
     seed: int = 0
     shuffle: bool = True
+    # group packs of similar token counts inside shuffled mega-batches
+    # (reference LengthGroupedSampler, sampler.py:179)
+    length_grouped: bool = False
     # VLM: max image tiles per micro-batch (static shape); 0 = text-only
     max_tiles: int = 0
     tokens_per_tile: int = 256
@@ -73,7 +76,16 @@ class DataloaderConfig(BaseModel):
             packed = HardPackDataset(datasets, self.pack_max_length, seed=self.seed)
         else:
             packed = SoftPackDataset(datasets, self.pack_max_length, seed=self.seed)
-        sampler = ParallelSampler(len(packed), seed=self.seed, shuffle=self.shuffle)
+        if self.length_grouped:
+            from .sampler import LengthGroupedSampler
+
+            pack_lens = [sum(min(datasets[di].num_tokens[si], self.pack_max_length)
+                             for di, si in pack) if hasattr(packed, "packs") else self.pack_max_length
+                         for pack in getattr(packed, "packs", range(len(packed)))]
+            sampler = LengthGroupedSampler(len(packed), pack_lens,
+                                           group_size=global_batch_rows * 8, seed=self.seed)
+        else:
+            sampler = ParallelSampler(len(packed), seed=self.seed, shuffle=self.shuffle)
         return Dataloader(
             packed, sampler, pack_max_length=self.pack_max_length,
             global_batch_rows=global_batch_rows, micro_batch_rows=micro_batch_rows,

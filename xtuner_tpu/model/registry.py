@@ -11,7 +11,7 @@ from typing import Callable
 from . import qwen
 
 def _moe_presets():
-    from . import deepseek, gpt_oss, moe
+    from . import deepseek, glm, gpt_oss, moe
 
     return {
         "qwen3-moe-30b-a3": moe.qwen3_moe_30b_a3,
@@ -19,6 +19,7 @@ def _moe_presets():
         "deepseek-v3": deepseek.deepseek_v3,
         "gpt-oss-20b": gpt_oss.gpt_oss_20b,
         "gpt-oss-120b": gpt_oss.gpt_oss_120b,
+        "glm-4.5-air": glm.glm_45_air,
     }
 
 

@@ -1,0 +1,103 @@
+"""DSA: sparse MLA attention module (DeepSeek V3.2).
+
+Reference: xtuner/v1/module/attention/dsa_mla.py (389 LoC) — MLA attention
+with the lightning indexer selecting top-k tokens per query. The cross-layer
+top-k sharing cache (dsa_topk_sharing.py) maps to passing `select_idx`
+between layers (optional arg here).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from pydantic import ConfigDict
+
+from ..ops.rms_norm import rms_norm
+from ..ops.rotary import apply_rotary_emb
+from ..ops.sparse_mla import indexer_scores, sparse_gather_attention, topk_select
+from ..parallel.sharding import ShardCtx
+from .mla import MLAConfig, mla_param_specs, mla_softmax_scale
+from .params import ParamSpec
+
+
+class DSAConfig(MLAConfig):
+    """MLA + lightning-indexer fields (reference DSAConfig surface)."""
+
+    model_config = ConfigDict(extra="forbid")
+    index_n_heads: int = 4
+    index_head_dim: int = 32
+    index_top_k: int = 512
+
+
+def dsa_param_specs(cfg: DSAConfig, hidden_size: int, init_scale: float = 0.02) -> dict:
+    specs = mla_param_specs(cfg, hidden_size, init_scale)
+    hi, di = cfg.index_n_heads, cfg.index_head_dim
+    specs["idx_q_proj"] = {"w": ParamSpec((hidden_size, hi * di), ("embed_shard", None),
+                                          scale=init_scale)}
+    specs["idx_k_proj"] = {"w": ParamSpec((hidden_size, di), ("embed_shard", None),
+                                          scale=init_scale)}
+    specs["idx_w_proj"] = {"w": ParamSpec((hidden_size, hi), ("embed_shard", None),
+                                          scale=init_scale)}
+    return specs
+
+
+def dsa_forward(p: dict, cfg: DSAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
+                rope_scaling=None, select_idx=None, **_):
+    """x: (B, L, H) -> (out, select_idx) — select_idx reusable by later layers
+    (the reference's cross-layer top-k sharing)."""
+    b, l, _ = x.shape
+    nh = cfg.num_attention_heads
+
+    # ---- MLA projections (same math as mla_forward) ----
+    if cfg.q_lora_rank is not None:
+        q = x @ p["q_a_proj"]["w"]
+        q = rms_norm(q, p["q_a_norm"], cfg.rms_norm_eps)
+        q = q @ p["q_b_proj"]["w"]
+    else:
+        q = x @ p["q_proj"]["w"]
+    q = q.reshape(b, l, nh, cfg.qk_head_dim)
+    q_nope, q_rope = q[..., : cfg.qk_nope_head_dim], q[..., cfg.qk_nope_head_dim:]
+
+    kv = x @ p["kv_a_proj"]["w"]
+    kv_c, k_rope = kv[..., : cfg.kv_lora_rank], kv[..., cfg.kv_lora_rank:]
+    kv_c = rms_norm(kv_c, p["kv_a_norm"], cfg.rms_norm_eps)
+    kv = (kv_c @ p["kv_b_proj"]["w"]).reshape(b, l, nh, cfg.qk_nope_head_dim + cfg.v_head_dim)
+    k_nope, v = kv[..., : cfg.qk_nope_head_dim], kv[..., cfg.qk_nope_head_dim:]
+    k_rope = k_rope[:, :, None, :]
+    q_rope, k_rope = apply_rotary_emb(q_rope, k_rope, cos, sin)
+    k_rope = jnp.broadcast_to(k_rope, (b, l, nh, cfg.qk_rope_head_dim))
+    q_full = jnp.concatenate([q_nope, q_rope], axis=-1)
+    k_full = jnp.concatenate([k_nope, k_rope], axis=-1)
+
+    # ---- lightning indexer + top-k selection (or reuse a shared one) ----
+    hi, di = cfg.index_n_heads, cfg.index_head_dim
+    scores = None
+    if select_idx is None:
+        q_idx = (x @ p["idx_q_proj"]["w"]).reshape(b, l, hi, di)
+        k_idx = (x @ p["idx_k_proj"]["w"]).reshape(b, l, 1, di)
+        k_idx = jnp.broadcast_to(k_idx, (b, l, hi, di))
+        w_idx = x @ p["idx_w_proj"]["w"]  # (B, L, Hi)
+        scores = indexer_scores(q_idx, k_idx, w_idx, segment_ids)
+        top_k = min(cfg.index_top_k, l)
+        select_idx = topk_select(scores, top_k)
+        select_scores = jnp.take_along_axis(scores, select_idx, axis=-1)
+    else:
+        # shared top-k: validity re-derived from causal/doc structure
+        pos = jnp.arange(l)
+        causal_ok = jnp.take_along_axis(
+            jnp.broadcast_to(pos[None, None, :], (b, l, l)), select_idx, axis=-1
+        ) <= pos[None, :, None]
+        select_scores = jnp.where(causal_ok, 0.0, -jnp.inf)
+
+    scale = mla_softmax_scale(cfg, rope_scaling)
+    o, attn_probs = sparse_gather_attention(q_full, k_full, v, select_idx, select_scores,
+                                            scale=scale, return_probs=True)
+    # indexer distillation loss (the ONLY gradient path into the indexer)
+    from ..ops.sparse_mla import indexer_kl_loss
+
+    idx_loss = (indexer_kl_loss(select_scores, attn_probs,
+                                (segment_ids != 0).astype(jnp.float32))
+                if scores is not None else jnp.float32(0.0))
+    o = o.reshape(b, l, nh * cfg.v_head_dim)
+    return o @ p["o_proj"]["w"], select_idx, idx_loss
