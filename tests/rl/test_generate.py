@@ -46,15 +46,24 @@ def test_greedy_matches_full_forward():
 
 
 def test_left_padded_prompts_match_unpadded():
+    """Many pads + logprob closeness: 2 pads with greedy argmax masked the
+    decode kv_mask bug where generated tokens attended to pad KV slots
+    (tokens only flip at ~10 pads; logprobs diverge much earlier)."""
     cfg = tiny_dense()
     model = cfg.build()
     params = init_params(model.param_specs(), jax.random.key(1))
     gen_cfg = GenerateConfig(max_new_tokens=4, do_sample=False, eos_token_id=63)
     unpadded = generate(model, params, np.asarray([[5, 6, 7]], np.int32), gen_cfg,
-                        compute_dtype=jnp.float32, pad_token_id=0)
-    padded = generate(model, params, np.asarray([[0, 0, 5, 6, 7]], np.int32), gen_cfg,
-                      compute_dtype=jnp.float32, pad_token_id=0)
+                        compute_dtype=jnp.float32, pad_token_id=0,
+                        return_logprobs=True)
+    pads = 16
+    padded = generate(model, params,
+                      np.asarray([[0] * pads + [5, 6, 7]], np.int32), gen_cfg,
+                      compute_dtype=jnp.float32, pad_token_id=0,
+                      return_logprobs=True)
     np.testing.assert_array_equal(unpadded["generated"], padded["generated"])
+    np.testing.assert_allclose(unpadded["logprobs"], padded["logprobs"],
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_eos_stops_generation():

@@ -71,8 +71,19 @@ def _ce_from_logits(logits, labels, ignore_idx: int):
     return jnp.where(valid, lse - picked, 0.0)
 
 
+def _constrain_chunks(hidden_chunks, sc):
+    """Shard the (num_chunks, chunk, h) scan input so dim 1 (tokens within a
+    chunk) carries ALL the data-parallel sharding and dim 0 (chunks) is
+    replicated. Without this, the reshape from (B, L, H) leaves the chunks dim
+    sharded over (fsdp, ep) and every `lax.scan` slice forces an SPMD
+    "involuntary full rematerialization" reshard (XLA b/433785288)."""
+    if sc is None:
+        return hidden_chunks
+    return sc(hidden_chunks, None, ("batch", "seq"), None)
+
+
 def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
-            cfg: CELossConfig, lm_head_b=None):
+            cfg: CELossConfig, lm_head_b=None, sc=None):
     """Fused LMHead + CE (the reference's LMHead->loss_ctx.forward fusion,
     lm_head/lm_head.py:20-49).
 
@@ -101,13 +112,22 @@ def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
         if pad:
             hidden = jnp.pad(hidden, ((0, pad), (0, 0)))
             labels = jnp.pad(labels, (0, pad), constant_values=cfg.ignore_idx)
-        hidden = hidden.reshape(num_chunks, chunk, h)
+        hidden = _constrain_chunks(hidden.reshape(num_chunks, chunk, h), sc)
         labels_c = labels.reshape(num_chunks, chunk)
 
         @jax.checkpoint
         def chunk_fn(carry, xs):
             h_c, lab_c = xs
+            if sc is not None:
+                # anchor the remat'd body (and its cotangent) to the same
+                # token-sharded layout as the scan input
+                h_c = sc(h_c, ("batch", "seq"), None)
             logits = jnp.dot(h_c, lm_head_w, preferred_element_type=jnp.float32)
+            if sc is not None:
+                # token-parallel logits: all-gather the (small) head shard
+                # instead of contracting-dim partitioning, so the transpose's
+                # dh_c lands token-sharded like the saved residual
+                logits = sc(logits, ("batch", "seq"), "act_vocab")
             if lm_head_b is not None:
                 logits = logits + lm_head_b
             return carry, _ce_from_logits(logits, lab_c, cfg.ignore_idx)
@@ -123,7 +143,7 @@ def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
 
 
 def per_token_logprobs(hidden, lm_head_w, shifted_labels, chunk_size: int = 1024,
-                       ignore_idx: int = IGNORE_IDX):
+                       ignore_idx: int = IGNORE_IDX, sc=None):
     """(B, L) log p(label_t | context) — differentiable, logits never
     materialized (the RL actor/ref logprob path; reference rl/loss/base_loss.py
     recomputes actor logprobs through the same chunked machinery)."""
@@ -145,6 +165,6 @@ def per_token_logprobs(hidden, lm_head_w, shifted_labels, chunk_size: int = 1024
         return carry, -_ce_from_logits(logits, lab_c, ignore_idx)
 
     _, lps = jax.lax.scan(chunk_fn, 0.0,
-                          (hidden.reshape(num_chunks, chunk, h),
+                          (_constrain_chunks(hidden.reshape(num_chunks, chunk, h), sc),
                            labels.reshape(num_chunks, chunk)))
     return lps.reshape(-1)[:n].reshape(b, l)

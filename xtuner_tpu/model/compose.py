@@ -113,7 +113,7 @@ class ComposeModel:
         hidden = self.forward(params, seq_ctx, sc, compute_dtype, remat)
         w = self.lm_head_weight(params).astype(compute_dtype)
         loss, sum_ce, num_tokens = ce_loss(hidden, w, shifted_labels, loss_weights,
-                                           global_denom, self.cfg.text_cfg.lm_loss_cfg)
+                                           global_denom, self.cfg.text_cfg.lm_loss_cfg, sc=sc)
         return ModelOutputs(loss=loss, sum_ce=sum_ce, num_tokens=num_tokens)
 
     # ------------------------------------------------------------------

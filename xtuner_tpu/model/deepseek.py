@@ -53,6 +53,58 @@ def deepseek_v3() -> DeepSeekV3Config:
     )
 
 
+def deepseek_config_from_hf(hf_cfg) -> DeepSeekV3Config:
+    """Build from a transformers DeepseekV3Config (AutoConfig sniffing analog
+    of reference get_model_config_from_hf, model/__init__.py:31-80)."""
+    rope_scaling = None
+    rs = getattr(hf_cfg, "rope_scaling", None)
+    if rs:
+        rope_scaling = RopeScalingConfig(
+            rope_type=rs.get("rope_type", rs.get("type", "yarn")),
+            factor=rs.get("factor", 1.0),
+            beta_fast=rs.get("beta_fast", 32.0),
+            beta_slow=rs.get("beta_slow", 1.0),
+            mscale=rs.get("mscale", 1.0),
+            mscale_all_dim=rs.get("mscale_all_dim", 0.0),
+            original_max_position_embeddings=rs.get(
+                "original_max_position_embeddings", 4096),
+        )
+    return DeepSeekV3Config(
+        vocab_size=hf_cfg.vocab_size,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        eos_token_id=hf_cfg.eos_token_id or 1,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        first_k_dense_replace=hf_cfg.first_k_dense_replace,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        moe_intermediate_size=hf_cfg.moe_intermediate_size,
+        n_routed_experts=hf_cfg.n_routed_experts,
+        num_experts_per_tok=hf_cfg.num_experts_per_tok,
+        n_shared_experts=hf_cfg.n_shared_experts,
+        rms_norm_eps=hf_cfg.rms_norm_eps,
+        hidden_act=hf_cfg.hidden_act,
+        rope_theta=hf_cfg.rope_theta,
+        rope_scaling_cfg=rope_scaling,
+        tie_word_embeddings=bool(getattr(hf_cfg, "tie_word_embeddings", False)),
+        router=NoAuxRouterConfig(
+            scoring_func="sigmoid",
+            norm_topk_prob=hf_cfg.norm_topk_prob,
+            routed_scaling_factor=hf_cfg.routed_scaling_factor,
+            n_group=hf_cfg.n_group,
+            topk_group=hf_cfg.topk_group,
+        ),
+        attention=MLAConfig(
+            num_attention_heads=hf_cfg.num_attention_heads,
+            q_lora_rank=hf_cfg.q_lora_rank,
+            kv_lora_rank=hf_cfg.kv_lora_rank,
+            qk_nope_head_dim=hf_cfg.qk_nope_head_dim,
+            qk_rope_head_dim=hf_cfg.qk_rope_head_dim,
+            v_head_dim=hf_cfg.v_head_dim,
+            rms_norm_eps=hf_cfg.rms_norm_eps,
+        ),
+    )
+
+
 def deepseek_v3_tiny(**kw) -> DeepSeekV3Config:
     """Test-scale variant preserving every structural feature."""
     defaults = dict(

@@ -96,7 +96,10 @@ class Dense:
         lp = cast_tree(lp, compute_dtype)
         lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
         x = probe("before_layer", x)
-        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
+        # pin normed activations to the data layout (see model/moe.py note on
+        # SPMD involuntary full remat with fsdp-sharded projection weights)
+        h = sc(rms_norm(x, lp["input_norm"], cfg.rms_norm_eps,
+                        cfg.rms_norm_type == "zero_centered"), "batch", "seq", None)
         if isinstance(cfg.attention, MLAConfig):
             h = mla_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             rope_scaling=cfg.rope_scaling_cfg, attn_impl=cfg.attn_impl)
@@ -107,7 +110,8 @@ class Dense:
                             fp8_cfg=cfg.float8_cfg)
         h = probe("after_attn", h)
         x = x + h
-        h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")
+        h = sc(rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps,
+                        cfg.rms_norm_type == "zero_centered"), "batch", "seq", None)
         h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s,
                         fp8_cfg=cfg.float8_cfg)
         x = x + h
@@ -148,7 +152,7 @@ class Dense:
         hidden = self.forward(params, seq_ctx, sc, compute_dtype, remat)
         w = self.lm_head_weight(params).astype(compute_dtype)
         loss, sum_ce, num_tokens = ce_loss(hidden, w, shifted_labels, loss_weights,
-                                           global_denom, self.cfg.lm_loss_cfg)
+                                           global_denom, self.cfg.lm_loss_cfg, sc=sc)
         return ModelOutputs(loss=loss, sum_ce=sum_ce, num_tokens=num_tokens)
 
     # ------------------------------------------------------------------

@@ -164,7 +164,12 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
         return next_tok, lp, caches
 
     def decode_step(params, tok, pos, cache_len, kv_mask0, caches, rng, done):
-        kv_mask = kv_mask0 | (jnp.arange(max_len)[None, :] < cache_len + 1)
+        # unmask only the GENERATED slots [p, cache_len]; `< cache_len + 1`
+        # alone would re-enable the left-pad slots that kv_mask0 masked out,
+        # making generated tokens attend to pad KV written during prefill
+        # (diverges from the unpadded run at ~10 pads)
+        slots = jnp.arange(max_len)[None, :]
+        kv_mask = kv_mask0 | ((slots >= p) & (slots < cache_len + 1))
         logits, caches = _forward_cached(model, params, tok[:, None], pos[:, None],
                                          caches, cache_len, compute_dtype, kv_mask)
         last = logits[:, -1]

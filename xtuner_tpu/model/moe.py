@@ -117,7 +117,12 @@ class MoE(Dense):
         zero_centered = cfg.rms_norm_type == "zero_centered"
         if window == "cfg":
             window = cfg.sliding_window if cfg.use_sliding_window else None
-        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_centered)
+        # pin the normed activation to the data layout: without this the
+        # partitioner re-shards it to contracting-dim layout for the
+        # fsdp-sharded qkv dots, tripping SPMD involuntary full remat on the
+        # (fsdp, ep) mesh (XLA b/433785288)
+        h = sc(rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_centered),
+               "batch", "seq", None)
         if isinstance(cfg.attention, MLAConfig):
             h = mla_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             rope_scaling=cfg.rope_scaling_cfg, attn_impl=cfg.attn_impl)
@@ -125,7 +130,8 @@ class MoE(Dense):
             h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             window=window, attn_impl=cfg.attn_impl)
         x = x + h
-        h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_centered)
+        h = sc(rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_centered),
+               "batch", "seq", None)
         moe_out, r, load = moe_mlp_forward(
             lp["experts"], lp["router"], cfg.router, h,
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
@@ -209,7 +215,7 @@ class MoE(Dense):
         bal, zl, load = self._last_aux
         w = self.lm_head_weight(params).astype(compute_dtype)
         lm, sum_ce, num_tokens = ce_loss(hidden, w, shifted_labels, loss_weights,
-                                         global_denom, cfg.lm_loss_cfg)
+                                         global_denom, cfg.lm_loss_cfg, sc=sc)
         out = ModelOutputs(loss=lm, sum_ce=sum_ce, num_tokens=num_tokens)
         if cfg.balancing_loss_coef > 0:
             out.balancing_loss = cfg.balancing_loss_coef * jnp.mean(bal)
@@ -250,7 +256,7 @@ class MoE(Dense):
             normed = rms_norm(h, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                               cfg.rms_norm_type == "zero_centered").astype(compute_dtype)
             lm_k, _, _ = ce_loss(normed, w_head, labels_k, weights_k, global_denom,
-                                 cfg.lm_loss_cfg)
+                                 cfg.lm_loss_cfg, sc=sc)
             losses.append(lm_k)
         return cfg.mtp_loss_coef * sum(losses) / max(len(losses), 1)
 

@@ -46,10 +46,15 @@ def get_model_config(name_or_path: str):
         from transformers import AutoConfig
 
         hf_cfg = AutoConfig.from_pretrained(path, trust_remote_code=True)
-        if getattr(hf_cfg, "model_type", "") in ("qwen3_moe",):
+        model_type = getattr(hf_cfg, "model_type", "")
+        if model_type in ("qwen3_moe",):
             from .moe import moe_config_from_hf
 
             return moe_config_from_hf(hf_cfg)
+        if model_type in ("deepseek_v3", "deepseek_v2"):
+            from .deepseek import deepseek_config_from_hf
+
+            return deepseek_config_from_hf(hf_cfg)
         return qwen.dense_config_from_hf(hf_cfg)
     raise KeyError(
         f"Unknown model {name_or_path!r}; known: {sorted(model_mapping)} or an HF checkpoint dir"

@@ -17,7 +17,7 @@ from ..ops.rms_norm import rms_norm
 from ..ops.rotary import apply_rotary_emb
 from ..ops.sparse_mla import indexer_scores, sparse_gather_attention, topk_select
 from ..parallel.sharding import ShardCtx
-from .mla import MLAConfig, mla_param_specs, mla_softmax_scale
+from .mla import MLAConfig, _deinterleave_rope, mla_param_specs, mla_softmax_scale
 from .params import ParamSpec
 
 
@@ -64,7 +64,10 @@ def dsa_forward(p: dict, cfg: DSAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
     kv_c = rms_norm(kv_c, p["kv_a_norm"], cfg.rms_norm_eps)
     kv = (kv_c @ p["kv_b_proj"]["w"]).reshape(b, l, nh, cfg.qk_nope_head_dim + cfg.v_head_dim)
     k_nope, v = kv[..., : cfg.qk_nope_head_dim], kv[..., cfg.qk_nope_head_dim:]
-    k_rope = k_rope[:, :, None, :]
+    # de-interleave rope dims to half-split layout (HF DeepSeek convention,
+    # see module/mla.py:_deinterleave_rope)
+    k_rope = _deinterleave_rope(k_rope[:, :, None, :])
+    q_rope = _deinterleave_rope(q_rope)
     q_rope, k_rope = apply_rotary_emb(q_rope, k_rope, cos, sin)
     k_rope = jnp.broadcast_to(k_rope, (b, l, nh, cfg.qk_rope_head_dim))
     q_full = jnp.concatenate([q_nope, q_rope], axis=-1)

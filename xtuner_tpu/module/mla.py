@@ -90,6 +90,12 @@ def mla_softmax_scale(cfg: MLAConfig, rope_scaling: Optional[RopeScalingConfig])
     return scale
 
 
+def _deinterleave_rope(t):
+    """(..., d) interleaved pairs (x0,y0,x1,y1,...) -> half-split (x..., y...)."""
+    *lead, d = t.shape
+    return t.reshape(*lead, d // 2, 2).swapaxes(-1, -2).reshape(*lead, d)
+
+
 def mla_forward(p: dict, cfg: MLAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
                 rope_scaling: Optional[RopeScalingConfig] = None,
                 attn_impl: Optional[str] = None, window=None, lora_scaling: float = 1.0):
@@ -112,8 +118,14 @@ def mla_forward(p: dict, cfg: MLAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
     kv = (kv_c @ p["kv_b_proj"]["w"]).reshape(b, l, nh, cfg.qk_nope_head_dim + cfg.v_head_dim)
     k_nope, v = kv[..., : cfg.qk_nope_head_dim], kv[..., cfg.qk_nope_head_dim:]
 
-    # rope on the rope split; k_rope is shared across heads (reference MLA)
+    # rope on the rope split; k_rope is shared across heads (reference MLA).
+    # DeepSeek HF checkpoints store the rope dims INTERLEAVED (x0,y0,x1,y1,...):
+    # de-interleave to half-split layout before rotate_half rope, matching
+    # reference mla.py:158-161 (view(d//2, 2).transpose) — without this, HF
+    # imports silently compute wrong attention.
     k_rope = k_rope[:, :, None, :]  # (B, L, 1, rope_dim)
+    q_rope = _deinterleave_rope(q_rope)
+    k_rope = _deinterleave_rope(k_rope)
     q_rope, k_rope = apply_rotary_emb(q_rope, k_rope, cos, sin)
     k_rope = jnp.broadcast_to(k_rope, (b, l, nh, cfg.qk_rope_head_dim))
 
