@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import threading
 from pathlib import Path
 from typing import Any, Optional
 
@@ -29,8 +30,10 @@ class TrainCheckpointManager:
         self.ckpt_dir = Path(work_dir).resolve() / "checkpoints"  # orbax requires absolute paths
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         self.max_keep = max_keep
+        self.async_save = async_save
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler()) if async_save \
             else ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        self._commit_thread: Optional[threading.Thread] = None
 
     def _step_dir(self, step: int) -> Path:
         return self.ckpt_dir / f"step-{step}"
@@ -49,18 +52,36 @@ class TrainCheckpointManager:
     # ------------------------------------------------------------------
     def save(self, step: int, params, opt_state, train_state: dict[str, Any],
              dataloader_state: Optional[dict] = None) -> None:
+        """Truly async: `AsyncCheckpointer.save` returns after the device->host
+        snapshot; disk writes and the json commit markers happen on a
+        background thread (the reference's daemon + .incomplete-rename commit,
+        train_engine.py:360-442). At most one save is in flight — a new save
+        first joins the previous commit. Crash mid-save leaves a dir WITHOUT
+        train_state.json, which list_steps/resume ignore."""
+        # join the previous commit thread (it already waited for its arrays;
+        # AsyncCheckpointer.save serializes array writes internally)
+        if self._commit_thread is not None:
+            self._commit_thread.join()
+            self._commit_thread = None
         step_dir = self._step_dir(step)
-        self._ckptr.wait_until_finished() if hasattr(self._ckptr, "wait_until_finished") else None
         self._ckptr.save(step_dir / "params", params, force=True)
         self._ckptr.save(step_dir / "opt_state", opt_state, force=True)
-        # block so the json "commit marker" is only written after arrays land
-        if hasattr(self._ckptr, "wait_until_finished"):
-            self._ckptr.wait_until_finished()
-        if dataloader_state is not None:
-            (step_dir / "dataloader_state.json").write_text(json.dumps(dataloader_state))
-        (step_dir / "train_state.json").write_text(json.dumps(train_state))
-        logger.info(f"saved checkpoint step {step} -> {step_dir}")
-        self._gc()
+
+        def commit():
+            # commit markers only after the arrays are durably on disk
+            self._wait_arrays()
+            if dataloader_state is not None:
+                (step_dir / "dataloader_state.json").write_text(json.dumps(dataloader_state))
+            (step_dir / "train_state.json").write_text(json.dumps(train_state))
+            logger.info(f"saved checkpoint step {step} -> {step_dir}")
+            self._gc()
+
+        if self.async_save:
+            self._commit_thread = threading.Thread(
+                target=commit, name=f"ckpt-commit-{step}", daemon=True)
+            self._commit_thread.start()
+        else:
+            commit()
 
     def _gc(self) -> None:
         if self.max_keep is None:
@@ -106,6 +127,13 @@ class TrainCheckpointManager:
         train_state = json.loads((step_dir / "train_state.json").read_text())
         return jax.tree.map(lambda h, t: jax.device_put(h, t.sharding), host, params_template), train_state
 
-    def wait(self) -> None:
+    def _wait_arrays(self) -> None:
         if hasattr(self._ckptr, "wait_until_finished"):
             self._ckptr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (arrays AND commit markers) lands."""
+        if self._commit_thread is not None:
+            self._commit_thread.join()
+            self._commit_thread = None
+        self._wait_arrays()

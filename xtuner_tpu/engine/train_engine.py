@@ -147,7 +147,10 @@ class TrainEngine:
             )
             out = model.loss(params, seq_ctx, mb["shifted_labels"], mb["loss_weights"],
                              denom, sc=sc, compute_dtype=dtype, remat=remat)
-            return out.total_loss(), {"sum_ce": out.sum_ce, "num_tokens": out.num_tokens}
+            mets = {"sum_ce": out.sum_ce, "num_tokens": out.num_tokens}
+            if out.expert_load is not None:
+                mets["expert_load"] = out.expert_load  # (L_moe, E)
+            return out.total_loss(), mets
 
         return loss_fn
 
@@ -159,6 +162,15 @@ class TrainEngine:
         skip_threshold = self.optim_cfg.skip_grad_norm_threshold
         inner_loss_fn = loss_fn or self._default_loss_fn()
         param_labels = self.param_labels
+        # aux-free (noaux) router: the e_score_correction_bias buffer is
+        # updated post-step from expert load, NOT by gradients (reference
+        # moe.update_bias, moe.py:296-361)
+        router_cfg = getattr(self.model_cfg, "router", None)
+        noaux_speed = (
+            router_cfg.bias_update_speed
+            if router_cfg is not None and getattr(router_cfg, "router_type", "") == "noaux"
+            else None
+        )
 
         def wrapped_loss(params, mb, denom):
             if param_labels is not None:
@@ -206,7 +218,28 @@ class TrainEngine:
 
             params_new, opt_new = jax.lax.cond(ok, do_update, skip_update,
                                                (params, opt_state, grads))
-            metrics = {k: jnp.sum(v) for k, v in mets.items()}
+            # sum metrics over the micro-batch axis only (scalars collapse;
+            # expert_load keeps its (L_moe, E) shape)
+            metrics = {k: jnp.sum(v, axis=0) for k, v in mets.items()}
+            if noaux_speed is not None and "expert_load" in metrics:
+                from ..module.router import update_noaux_bias
+
+                load = metrics.pop("expert_load")
+                bias = params_new["moe_layers"]["router"]["e_score_correction_bias"]
+                new_bias = jnp.where(ok, update_noaux_bias(bias, load, noaux_speed), bias)
+                params_new = dict(params_new)
+                params_new["moe_layers"] = dict(params_new["moe_layers"])
+                params_new["moe_layers"]["router"] = dict(params_new["moe_layers"]["router"])
+                params_new["moe_layers"]["router"]["e_score_correction_bias"] = new_bias
+                # max-violation load-balance metric: max(load)/mean(load) per
+                # layer, averaged (1.0 = perfectly uniform)
+                loadf = load.astype(jnp.float32)
+                metrics["maxvio"] = jnp.mean(
+                    jnp.max(loadf, axis=-1) / jnp.maximum(jnp.mean(loadf, axis=-1), 1e-6))
+            elif "expert_load" in metrics:
+                loadf = metrics.pop("expert_load").astype(jnp.float32)
+                metrics["maxvio"] = jnp.mean(
+                    jnp.max(loadf, axis=-1) / jnp.maximum(jnp.mean(loadf, axis=-1), 1e-6))
             if "sum_ce" in metrics:
                 metrics["reduced_llm_loss"] = metrics.pop("sum_ce") / jnp.maximum(
                     metrics.get("num_tokens", 1), 1)

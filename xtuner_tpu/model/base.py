@@ -41,6 +41,9 @@ class ModelOutputs:
     z_loss: Optional[jax.Array] = None
     mtp_loss: Optional[jax.Array] = None
     hidden_states: Optional[jax.Array] = None
+    # per-layer expert token counts (L_moe, E) — consumed by the engine's
+    # post-step noaux bias update (reference moe.py:296-361); NOT a loss field
+    expert_load: Optional[jax.Array] = None
 
     def total_loss(self):
         total = 0.0

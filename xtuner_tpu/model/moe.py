@@ -216,7 +216,8 @@ class MoE(Dense):
         w = self.lm_head_weight(params).astype(compute_dtype)
         lm, sum_ce, num_tokens = ce_loss(hidden, w, shifted_labels, loss_weights,
                                          global_denom, cfg.lm_loss_cfg, sc=sc)
-        out = ModelOutputs(loss=lm, sum_ce=sum_ce, num_tokens=num_tokens)
+        out = ModelOutputs(loss=lm, sum_ce=sum_ce, num_tokens=num_tokens,
+                           expert_load=load)
         if cfg.balancing_loss_coef > 0:
             out.balancing_loss = cfg.balancing_loss_coef * jnp.mean(bal)
         if cfg.z_loss_coef > 0:

@@ -120,7 +120,11 @@ def route(p: dict, cfg: RouterConfig, x, top_k: int) -> RouterOutput:
 
 def update_noaux_bias(bias, expert_load, update_speed: float):
     """Post-step correction-bias update: push load toward uniform
-    (reference moe.update_bias moe.py:296-361). expert_load: (E,) counts."""
-    mean_load = jnp.mean(expert_load)
+    (reference moe.update_bias moe.py:296-361).
+
+    bias / expert_load: (..., E) — per-layer stacked (L, E) supported; the
+    mean is per layer (last axis)."""
+    expert_load = expert_load.astype(jnp.float32)
+    mean_load = jnp.mean(expert_load, axis=-1, keepdims=True)
     err = mean_load - expert_load
-    return bias + update_speed * jnp.sign(err)
+    return (bias.astype(jnp.float32) + update_speed * jnp.sign(err)).astype(bias.dtype)

@@ -181,7 +181,6 @@ class Trainer:
     def fit(self) -> None:
         cfg = self.cfg
         data_iter = iter(self.dataloader)
-        tokens_per_step_max = cfg.global_batch_rows * cfg.dataloader_cfg.pack_max_length
         n_chips = self.engine.mesh.devices.size
         consumed_tokens = 0
         t_start = time.time()
@@ -202,7 +201,9 @@ class Trainer:
             metrics = {k: float(v) for k, v in metrics.items()}  # blocks on device
             step_time = time.time() - t0
             consumed_tokens += int(metrics["consumed_tokens"])
-            tgs = tokens_per_step_max / step_time / n_chips
+            # real consumed tokens, not the pack ceiling (reference logs true
+            # token counts; ceiling-based tgs overstates throughput)
+            tgs = metrics["consumed_tokens"] / step_time / n_chips
             eta = (self.total_steps - step) * step_time
             if step % cfg.log_interval == 0 or step == self.total_steps:
                 logger.info(
@@ -241,6 +242,8 @@ class Trainer:
 
         self._save(self.total_steps)
         self.ckpt_mgr.wait()
+        if self.snapshot_mgr is not None:
+            self.snapshot_mgr.wait()
         total_time = time.time() - t_start
         logger.info(
             f"training done: {self.total_steps - self.start_step} steps, "
