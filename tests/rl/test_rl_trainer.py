@@ -48,7 +48,23 @@ def test_rl_fit_mechanics(prompts_file, tmp_path):
         exp_name="rl_t",
     )
     trainer = RLColocateTrainer(cfg)
-    trainer.fit()
+
+    # batched rollout: exactly ONE generate call per produce_batch
+    import xtuner_tpu.rl.trainer as rl_mod
+    calls = {"n": 0}
+    orig_generate = rl_mod.generate
+
+    def counting_generate(*a, **k):
+        calls["n"] += 1
+        return orig_generate(*a, **k)
+
+    rl_mod.generate = counting_generate
+    try:
+        trainer.fit()
+    finally:
+        rl_mod.generate = orig_generate
+    assert calls["n"] == 3, f"expected 1 generate call per step, got {calls['n']} for 3 steps"
+
     tracker = trainer.work_dir / "tracker.jsonl"
     lines = [json.loads(x) for x in tracker.read_text().splitlines()]
     assert len(lines) == 3
@@ -57,3 +73,64 @@ def test_rl_fit_mechanics(prompts_file, tmp_path):
         assert np.isfinite(rec["grad_norm"])
         assert 0.0 <= rec["mean_reward"] <= 1.0
         assert rec["ratio_mean"] > 0
+
+
+def test_rl_ref_kl_live(prompts_file, tmp_path):
+    """kl_coef > 0 must produce a live, nonzero kl metric once the policy
+    moves away from the frozen ref (reference worker.py:458-472)."""
+    cfg = RLTrainerConfig(
+        model_cfg=DenseConfig(
+            vocab_size=300, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+            eos_token_id=258,
+            attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8),
+            lm_loss_cfg=CELossConfig(chunk_size=128),
+        ),
+        prompts_path=str(prompts_file),
+        optim_cfg=AdamWConfig(lr=5e-3),  # big lr so the policy moves fast
+        mesh_cfg=MeshConfig(fsdp_size=8, param_dtype="float32"),
+        loss_cfg=GRPOLossConfig(kl_coef=0.1),
+        gen_cfg=GenerateConfig(max_new_tokens=8, temperature=1.0, eos_token_id=258),
+        group_size=4,
+        prompts_per_step=2,
+        total_steps=3,
+        max_prompt_length=56,
+        work_dir=str(tmp_path / "work"),
+        exp_name="rl_kl",
+    )
+    trainer = RLColocateTrainer(cfg)
+    assert trainer.ref_params is not None
+    trainer.fit()
+    lines = [json.loads(x) for x in (trainer.work_dir / "tracker.jsonl").read_text().splitlines()]
+    assert all("kl" in rec for rec in lines)
+    # step 1: policy == ref -> kl ~ 0; later steps: policy moved -> kl > 0
+    assert abs(lines[0]["kl"]) < 1e-5
+    assert any(rec["kl"] > 1e-6 for rec in lines[1:]), [r["kl"] for r in lines]
+
+
+def test_encode_prompt_multiturn_roles(prompts_file, tmp_path):
+    """Assistant history turns must use the assistant template, not user."""
+    cfg = RLTrainerConfig(
+        model_cfg=DenseConfig(
+            vocab_size=300, num_hidden_layers=1, hidden_size=32, intermediate_size=64,
+            eos_token_id=258,
+            attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8),
+            lm_loss_cfg=CELossConfig(chunk_size=128),
+        ),
+        prompts_path=str(prompts_file),
+        max_prompt_length=512,
+        work_dir=str(tmp_path / "work"),
+        exp_name="rl_enc",
+    )
+    trainer = RLColocateTrainer(cfg)
+    item = {"messages": [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "again"},
+    ]}
+    text = trainer.tokenizer.decode(trainer._encode_prompt(item))
+    # assistant turn framed by the assistant template, and history does not
+    # contain a spurious generation prompt before the assistant content
+    assert "hello<|im_end|>" in text
+    assert "<|im_start|>user\nhello" not in text
+    # final user turn ends with the generation prompt
+    assert text.rstrip().endswith("<|im_start|>assistant")

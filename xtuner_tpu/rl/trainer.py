@@ -86,6 +86,13 @@ class RLColocateTrainer:
             self.engine.from_hf(cfg.load_from)
         else:
             self.engine.init_random(cfg.seed)
+        # frozen reference policy for the KL penalty (reference keeps a
+        # CPU-parked ref model swapped in per batch, trainer/worker.py:458-472;
+        # under GSPMD the ref tree just stays sharded in HBM)
+        self.ref_params = None
+        self._ref_logprob_fn = None
+        if cfg.loss_cfg.kl_coef > 0.0:
+            self.ref_params = jax.tree.map(lambda x: x.copy(), self.engine.params)
         self.judger = JUDGER_MAP[cfg.judger]()
         self.replay_buffer = ReplayBuffer(max_staleness=cfg.max_staleness)
         self.writer = JsonlWriter(self.work_dir)
@@ -108,6 +115,9 @@ class RLColocateTrainer:
 
     # ------------------------------------------------------------------
     def _encode_prompt(self, item: dict) -> list[int]:
+        """Format each history turn with ITS role's template (assistant turns
+        previously went through the user template, malforming multi-turn
+        prompts). The user template ends with the assistant generation prompt."""
         template = get_chat_template(self.cfg.chat_template)
         if "messages" in item:
             msgs = item["messages"]
@@ -115,9 +125,13 @@ class RLColocateTrainer:
             msgs = [{"role": "user", "content": item["prompt"]}]
         ids: list[int] = []
         for m in msgs:
-            role = m["role"]
-            text = (template.system if role == "system" else template.user).format(
-                system=m.get("content", ""), user=m.get("content", ""))
+            role, content = m["role"], m.get("content", "")
+            if role == "system":
+                text = template.system.format(system=content)
+            elif role == "assistant":
+                text = template.assistant.format(assistant=content)
+            else:  # user / tool
+                text = template.user.format(user=content)
             ids.extend(self.tokenizer.encode(text, add_special_tokens=False))
         return ids[-self.cfg.max_prompt_length:]
 
@@ -145,24 +159,29 @@ class RLColocateTrainer:
 
     def produce_batch(self, policy_version: int) -> list[SampleGroup]:
         """Rollout generation + judging + advantages (the AgentLoopManager
-        produce_batch analog, agent_loop_manager.py:206-300)."""
+        produce_batch analog, agent_loop_manager.py:206-300). All prompt
+        groups are generated in ONE batched `generate` call — rollout
+        throughput scales with the mesh, not with the group loop."""
         cfg = self.cfg
         idxs = self.rng.choice(len(self.prompts), cfg.prompts_per_step, replace=False)
+        items = [self.prompts[int(pi)] for pi in idxs]
+        prompts = [self._encode_prompt(item) for item in items]
+        g = cfg.group_size
+        total = len(items) * g
+        prompt_arr = np.full((total, cfg.max_prompt_length), self.pad_id, np.int32)
+        for i, prompt in enumerate(prompts):
+            prompt_arr[i * g:(i + 1) * g, -len(prompt):] = prompt  # left padding
+        self.gen_rng, rng = jax.random.split(self.gen_rng)
+        out = generate(self.engine.model, self.engine.params, prompt_arr, cfg.gen_cfg,
+                       rng=rng, compute_dtype=self.engine.compute_dtype,
+                       pad_token_id=self.pad_id, return_logprobs=True)
+        eos = cfg.gen_cfg.eos_token_id or cfg.model_cfg.eos_token_id
         groups = []
-        for pi in idxs:
-            item = self.prompts[int(pi)]
-            prompt = self._encode_prompt(item)
-            p_len = len(prompt)
-            prompt_arr = np.full((cfg.group_size, cfg.max_prompt_length), self.pad_id, np.int32)
-            prompt_arr[:, -p_len:] = prompt  # left padding
-            self.gen_rng, rng = jax.random.split(self.gen_rng)
-            out = generate(self.engine.model, self.engine.params, prompt_arr, cfg.gen_cfg,
-                           rng=rng, compute_dtype=self.engine.compute_dtype,
-                           pad_token_id=self.pad_id, return_logprobs=True)
+        for i, (pi, item, prompt) in enumerate(zip(idxs, items, prompts)):
             samples, rewards = [], []
-            eos = cfg.gen_cfg.eos_token_id or cfg.model_cfg.eos_token_id
-            for gi in range(cfg.group_size):
-                resp = out["generated"][gi].tolist()
+            for gi in range(g):
+                row = i * g + gi
+                resp = out["generated"][row].tolist()
                 if eos in resp:
                     n_resp = resp.index(eos) + 1
                 else:
@@ -173,7 +192,7 @@ class RLColocateTrainer:
                 samples.append({
                     "prompt_ids": prompt,
                     "response_ids": resp[:n_resp],
-                    "logprobs": out["logprobs"][gi][:n_resp],
+                    "logprobs": out["logprobs"][row][:n_resp],
                     "reward": reward,
                 })
             advs = compute_advantage(np.asarray(rewards), cfg.advantage)
@@ -228,13 +247,39 @@ class RLColocateTrainer:
                                       position_ids=mb["position_ids"])
             hidden = model.forward(params, seq_ctx, sc=sc, compute_dtype=dtype)
             w = model.lm_head_weight(params).astype(dtype)
-            logps = per_token_logprobs(hidden, w, mb["shifted_labels"], chunk)
+            logps = per_token_logprobs(hidden, w, mb["shifted_labels"], chunk, sc=sc)
             mask = mb["shifted_labels"] != -100
             loss, mets = grpo_loss(logps, mb["old_logprobs"], mb["advantages"], mask,
-                                   loss_cfg, global_denom=denom)
+                                   loss_cfg, ref_logprobs=mb.get("ref_logprobs"),
+                                   global_denom=denom)
             return loss, mets
 
         return loss_fn
+
+    def _compute_ref_logprobs(self, batch: dict[str, np.ndarray]) -> np.ndarray:
+        """Teacher-forced recompute of ref-policy logprobs over the packed
+        batch (reference trainer/worker.py:458-472)."""
+        model, sc, dtype = self.engine.model, self.engine.sc, self.engine.compute_dtype
+        chunk = self.cfg.model_cfg.lm_loss_cfg.chunk_size
+
+        if self._ref_logprob_fn is None:
+            def ref_fn(ref_params, ids, seg, pos, labels):
+                seq_ctx = SequenceContext(input_ids=ids, segment_ids=seg, position_ids=pos)
+                hidden = model.forward(ref_params, seq_ctx, sc=sc, compute_dtype=dtype)
+                w = model.lm_head_weight(ref_params).astype(dtype)
+                return per_token_logprobs(hidden, w, labels, chunk, sc=sc)
+
+            self._ref_logprob_fn = jax.jit(ref_fn)
+
+        a, b, l = batch["input_ids"].shape
+        lps = self._ref_logprob_fn(
+            self.ref_params,
+            batch["input_ids"].reshape(a * b, l),
+            batch["segment_ids"].reshape(a * b, l),
+            batch["position_ids"].reshape(a * b, l),
+            batch["shifted_labels"].reshape(a * b, l),
+        )
+        return np.asarray(lps, np.float32).reshape(a, b, l)
 
     # ------------------------------------------------------------------
     def fit(self) -> None:
@@ -248,6 +293,8 @@ class RLColocateTrainer:
             train_groups = self.replay_buffer.get(cfg.prompts_per_step)
             t_roll = time.time() - t0
             batch = self._pack(train_groups)
+            if self.ref_params is not None:
+                batch["ref_logprobs"] = self._compute_ref_logprobs(batch)
             if self._step_fn is None:
                 self._step_fn = self.engine._build_step_fn(self._rl_loss_fn())
             device_batch = self.engine.put_batch(batch)
@@ -257,10 +304,12 @@ class RLColocateTrainer:
             metrics = {k: float(v) for k, v in metrics.items()}
             mean_reward = float(np.mean([g.meta["mean_reward"] for g in train_groups]))
             step_time = time.time() - t0
+            kl_part = f"kl {metrics['kl']:.5f} " if "kl" in metrics else ""
             logger.info(
                 f"RL Step {step}/{cfg.total_steps} reward {mean_reward:.3f} "
                 f"pg_loss {metrics['pg_loss']:.4f} ratio {metrics['ratio_mean']:.3f} "
-                f"clip_frac {metrics['clip_frac']:.3f} grad_norm {metrics['grad_norm']:.3f} "
+                f"clip_frac {metrics['clip_frac']:.3f} {kl_part}"
+                f"grad_norm {metrics['grad_norm']:.3f} "
                 f"rollout {t_roll:.1f}s step {step_time:.1f}s"
             )
             self.writer.add_scalars({**metrics, "mean_reward": mean_reward,
