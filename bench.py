@@ -46,7 +46,9 @@ def main() -> None:
                             qk_norm=True),
         lm_loss_cfg=CELossConfig(chunk_size=2048),
     )
-    remat = "save_attn_residuals" if seq_len <= 16384 else "full"  # 64k: residuals OOM 16GB
+    # 64k: the full (q,k,v,out,lse) residual set OOMs 16GB, but (out,lse)
+    # alone fits — backward recomputes projections, never the fwd flash kernel
+    remat = "save_attn_residuals" if seq_len <= 16384 else "save_out_lse"
     mesh_cfg = MeshConfig(fsdp_size=n_dev, remat_policy=remat)
     engine = TrainEngine(cfg, AdamWConfig(lr=1e-5), LRConfig(warmup_steps=2), mesh_cfg,
                          total_steps=100)

@@ -33,7 +33,13 @@ class DataloaderConfig(BaseModel):
     datasets: list[DatasetConfig]
     pack_max_length: int = 16384
     pack_level: Literal["soft", "hard", "none"] = "soft"
+    # "flops": compute-balanced soft packs (attention-FLOPs proxy; reference
+    # with_proxy_attention_flops -> packing.py:80-96)
+    pack_balance: Literal["none", "flops"] = "none"
     num_workers: int = 0  # host prefetch threads (0 = synchronous)
+    # token-count parallelism for first-touch datasets (reference
+    # jsonl.py:154-254 multi-process counting); 0 = auto
+    tokenize_num_proc: int = 0
     cache_dir: Optional[str] = None
     loss_reduction: Literal["token", "sample", "square"] = "token"
     seed: int = 0
@@ -66,22 +72,29 @@ class DataloaderConfig(BaseModel):
                     fn = PretrainTokenizeFn(tokenizer, max_length=ds_cfg.max_length)
                 datasets.append(
                     JsonlDataset(f, fn, cache_dir=self.cache_dir,
-                                 sample_ratio=ds_cfg.sample_ratio, name=ds_cfg.name or f.stem)
+                                 sample_ratio=ds_cfg.sample_ratio, name=ds_cfg.name or f.stem,
+                                 num_proc=self.tokenize_num_proc)
                 )
         if not datasets:
             raise ValueError("No datasets found")
-        if self.pack_level == "soft":
-            packed = SoftPackDataset(datasets, self.pack_max_length, seed=self.seed)
-        elif self.pack_level == "hard":
+        if self.pack_level == "hard":
             packed = HardPackDataset(datasets, self.pack_max_length, seed=self.seed)
         else:
-            packed = SoftPackDataset(datasets, self.pack_max_length, seed=self.seed)
+            packed = SoftPackDataset(datasets, self.pack_max_length, seed=self.seed,
+                                     balance=self.pack_balance)
         if self.length_grouped:
             from .sampler import LengthGroupedSampler
 
-            pack_lens = [sum(min(datasets[di].num_tokens[si], self.pack_max_length)
-                             for di, si in pack) if hasattr(packed, "packs") else self.pack_max_length
-                         for pack in getattr(packed, "packs", range(len(packed)))]
+            # group by per-pack attention FLOPs when available so dp ranks in
+            # one step get equal COMPUTE, not just equal tokens (the reference
+            # stores pack_proxy_attn_flops in pack_infos for exactly this)
+            if getattr(packed, "pack_flops", None):
+                pack_lens = packed.pack_flops
+            elif hasattr(packed, "packs"):
+                pack_lens = [sum(min(datasets[di].num_tokens[si], self.pack_max_length)
+                                 for di, si in pack) for pack in packed.packs]
+            else:
+                pack_lens = [self.pack_max_length] * len(packed)
             sampler = LengthGroupedSampler(len(packed), pack_lens,
                                            group_size=global_batch_rows * 8, seed=self.seed)
         else:

@@ -21,14 +21,29 @@ from ..utils.logger import get_logger
 logger = get_logger()
 
 
+def _count_token_range(args) -> np.ndarray:
+    """Worker for multiprocessing token counting: opens its own file handle
+    and tokenize-counts offsets[lo:hi] (reference jsonl.py:154-254 runs the
+    same slice-per-process layout)."""
+    path, offsets, lo, hi, tokenize_fn = args
+    counts = np.empty(hi - lo, np.int64)
+    with open(path, "rb") as f:
+        for idx in range(lo, hi):
+            f.seek(offsets[idx])
+            counts[idx - lo] = tokenize_fn(json.loads(f.readline()))["num_tokens"]
+    return counts
+
+
 class JsonlDataset:
     def __init__(self, path: str | Path, tokenize_fn: Callable[[dict], dict],
                  cache_dir: Optional[str | Path] = None, sample_ratio: float = 1.0,
-                 name: str = ""):
+                 name: str = "", num_proc: int = 0):
         self.path = Path(path)
         self.tokenize_fn = tokenize_fn
         self.sample_ratio = sample_ratio
         self.name = name or self.path.stem
+        # token-count parallelism: 0 = auto (cpu count, capped), 1 = serial
+        self.num_proc = num_proc
         self._offsets = self._build_offsets()
         self._file = None
         self._num_tokens: Optional[np.ndarray] = None
@@ -79,15 +94,37 @@ class JsonlDataset:
                 self._num_tokens = np.load(cache_path)
                 if len(self._num_tokens) == len(self._offsets):
                     return self._num_tokens
-        logger.info(f"[dataset {self.name}] counting tokens for {len(self._offsets)} samples")
-        counts = np.asarray(
-            [self.tokenize_fn(self._read_line(i))["num_tokens"] for i in range(len(self._offsets))],
-            dtype=np.int64,
-        )
+        n = len(self._offsets)
+        workers = self.num_proc if self.num_proc > 0 else min(os.cpu_count() or 1, 16)
+        logger.info(f"[dataset {self.name}] counting tokens for {n} samples "
+                    f"({workers} processes)")
+        counts = self._count_tokens(workers)
         if cache_path is not None:
             np.save(cache_path, counts)
         self._num_tokens = counts
         return counts
+
+    def _count_tokens(self, workers: int) -> np.ndarray:
+        """Multi-process parallel tokenize-count (reference jsonl.py:154-254);
+        falls back to in-process when workers<=1 or the pool can't pickle."""
+        n = len(self._offsets)
+        if workers <= 1 or n < 2 * workers:
+            return _count_token_range((self.path, self._offsets, 0, n, self.tokenize_fn))
+        bounds = np.linspace(0, n, workers + 1, dtype=int)
+        jobs = [(self.path, self._offsets, int(lo), int(hi), self.tokenize_fn)
+                for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+        try:
+            import multiprocessing as mp
+
+            # spawn, not fork: the parent process typically holds a live JAX
+            # runtime whose threads make fork unsafe (deadlock risk)
+            with mp.get_context("spawn").Pool(len(jobs)) as pool:
+                parts = pool.map(_count_token_range, jobs)
+            return np.concatenate(parts)
+        except Exception as e:  # unpicklable tokenize_fn, sandbox without fork...
+            logger.warning(f"[dataset {self.name}] parallel count failed ({e}); "
+                           "falling back to serial")
+            return _count_token_range((self.path, self._offsets, 0, n, self.tokenize_fn))
 
     # pickling across dataloader workers: drop the open file handle
     def __getstate__(self):

@@ -36,6 +36,14 @@ def _remat_policy(name: str):
         # save flash-attention outputs: backward never re-runs the attention
         # kernels (the highest-cost remat recompute), everything else recomputed
         return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if name == "save_out_lse":
+        # save ONLY the flash kernel's (out, lse): the bwd kernels need
+        # (q,k,v,out,lse,do) — q/k/v recompute via cheap projection GEMMs, but
+        # the expensive forward attention kernel never re-runs. Memory:
+        # ~Hq*Dv bf16 + Hq f32 per token per layer (~1/3 of save_attn_residuals)
+        # => viable at 64k where the full residual set OOMs.
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_res_out", "attn_lse")
     if name == "save_attn_residuals":
         # save the flash kernel's residuals (q/k/v/out/lse): backward reuses
         # them instead of re-running the forward attention kernel; projections
