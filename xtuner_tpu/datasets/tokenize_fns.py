@@ -33,7 +33,8 @@ class OpenaiSFTTokenizeFn:
         self.max_length = max_length
 
     def __call__(self, item: dict[str, Any]) -> dict:
-        out = ChatMessages(messages=item["messages"]).tokenize(self.tokenizer, self.chat_template)
+        out = ChatMessages(messages=item["messages"], tools=item.get("tools")).tokenize(
+            self.tokenizer, self.chat_template)
         if self.max_length is not None and out["num_tokens"] > self.max_length:
             out["input_ids"] = out["input_ids"][: self.max_length]
             out["labels"] = out["labels"][: self.max_length]

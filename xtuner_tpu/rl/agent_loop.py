@@ -9,6 +9,7 @@ policy actually produced (tool outputs and prompts are loss-masked).
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
@@ -16,6 +17,27 @@ from typing import Any, Callable, Optional
 import numpy as np
 
 TOOL_CALL_RE = re.compile(r"<tool_call>\s*(\w+)\((.*?)\)\s*</tool_call>", re.DOTALL)
+TOOL_CALL_JSON_RE = re.compile(r"<tool_call>\s*(\{.*?)\s*</tool_call>", re.DOTALL)
+
+
+def parse_tool_call(text: str) -> Optional[tuple[str, str]]:
+    """-> (name, args) from the FIRST <tool_call> block, accepting both the
+    canonical json form the chat templates emit
+    (`{"name": ..., "arguments": {...}}`, reference qwen3 tool_prompt) and the
+    legacy `name(args)` form."""
+    for m in TOOL_CALL_JSON_RE.finditer(text):
+        # skip malformed blocks (e.g. the instruction example in tool_prompt)
+        try:
+            call = json.loads(m.group(1))
+            args = call.get("arguments", {})
+            return str(call["name"]), (args if isinstance(args, str)
+                                       else json.dumps(args, ensure_ascii=False))
+        except (json.JSONDecodeError, KeyError, TypeError):
+            continue
+    m = TOOL_CALL_RE.search(text)
+    if m:
+        return m.group(1), m.group(2)
+    return None
 
 
 @dataclass
@@ -71,15 +93,19 @@ class ToolAgentLoop:
             text = self.tokenizer.decode(gen_ids)
             rollout.final_text += text
             rollout.num_turns = turn + 1
-            m = TOOL_CALL_RE.search(text)
-            if not m:
+            call = parse_tool_call(text)
+            if call is None:
                 rollout.stop_reason = "answer"
                 return rollout
-            name, args = m.group(1), m.group(2)
+            name, args = call
             tool = self.tools.get(name)
             result = tool(args) if tool is not None else f"error: unknown tool {name}"
-            result_ids = self.tokenizer.encode(
-                self.tool_result_template.format(result), add_special_tokens=False)
+            if "{tool_extractor}" in self.tool_result_template:
+                # a ChatTemplate.tool_extractor was passed directly
+                framed = self.tool_result_template.format(tool_extractor=result)
+            else:
+                framed = self.tool_result_template.format(result)
+            result_ids = self.tokenizer.encode(framed, add_special_tokens=False)
             rollout.segments.append(Segment(result_ids, generated=False))
             context = context + result_ids
         rollout.stop_reason = "max_turns"
