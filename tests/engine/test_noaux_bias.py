@@ -2,6 +2,7 @@
 buffer must move post-step from expert load and drive load toward uniform
 (reference moe.update_bias, moe.py:296-361; wired in engine/train_engine.py)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -24,6 +25,7 @@ def _engine(steps=60):
     return cfg, eng
 
 
+@pytest.mark.slow
 def test_bias_moves_and_load_converges():
     cfg, eng = _engine()
     # skewed token stream: a tiny id range makes the router concentrate on a
@@ -56,6 +58,7 @@ def test_bias_moves_and_load_converges():
     assert vio_last < vio_first - 0.1, (vio_first, vio_last)
 
 
+@pytest.mark.slow
 def test_bias_is_not_gradient_trained():
     """With the update wired, the bias must still receive no gradient update
     (it is a buffer): zero update_speed => bias stays exactly zero."""

@@ -1,5 +1,6 @@
 """TrainEngine: grad-accum invariance, NaN skip, step mechanics on 8-dev mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +40,7 @@ def batch_of(a, b, l=32, seed=0):
     return {k: v.reshape(a, b, l) for k, v in flat.items()}
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     eng = make_engine()
     batch = batch_of(1, 4)
@@ -49,6 +51,7 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_grad_accum_invariance():
     """1x4 rows == 2x2 rows must give identical loss and near-identical update
     (the reference's loss-calibration invariance, SURVEY.md §4.9)."""
@@ -65,6 +68,7 @@ def test_grad_accum_invariance():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_nan_step_skipped():
     eng = make_engine()
     params_before = jax.tree.map(np.asarray, jax.device_get(eng.params))
@@ -77,6 +81,7 @@ def test_nan_step_skipped():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_single():
     from xtuner_tpu.parallel.mesh import build_mesh
     eng_sharded = make_engine(MeshConfig(fsdp_size=4, sp_size=2, param_dtype="float32"))

@@ -1,5 +1,6 @@
 """Hybrid linear/full attention (Qwen3.5-style): forward, grads, HF roundtrip."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ def make_batch(rng, b=2, l=32, vocab=128):
                            position_ids=jnp.asarray(pos)), ids
 
 
+@pytest.mark.slow
 def test_hybrid_forward_loss_grads():
     cfg = tiny_hybrid()
     model = cfg.build()

@@ -45,6 +45,7 @@ def test_lora_specs_present():
     assert attn["q_proj"]["lora_b"].shape == (2, 4, 32)
 
 
+@pytest.mark.slow
 def test_only_lora_params_update():
     eng = make_engine(lora_cfg_model())
     before = jax.device_get(eng.params)

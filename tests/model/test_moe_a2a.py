@@ -69,6 +69,7 @@ def test_a2a_matches_gspmd(mesh_kw):
     np.testing.assert_allclose(results["a2a"], results["gspmd"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_a2a_grads_match_gspmd():
     mesh_cfg = MeshConfig(fsdp_size=2, ep_size=4)
     mesh = build_mesh(mesh_cfg)

@@ -1,5 +1,6 @@
 """MTP: shifted targets within documents, loss contributes, grads flow."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def test_shift_for_mtp_respects_doc_boundaries():
     np.testing.assert_array_equal(out[0], [2, 3, -1, 5, -1, -1])
 
 
+@pytest.mark.slow
 def test_mtp_loss_and_grads():
     cfg = MoEConfig(
         vocab_size=128, num_hidden_layers=2, hidden_size=32, intermediate_size=64,

@@ -1,6 +1,7 @@
 """DeepSeek V3 (MLA + noaux + shared experts) and GPT-OSS (sinks + alternating
 window + clipped swiglu) presets: forward/loss/grads on tiny variants."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def _loss_and_grads(cfg):
     return model, params, float(loss), grads
 
 
+@pytest.mark.slow
 def test_deepseek_v3_tiny():
     cfg = deepseek_v3_tiny(balancing_loss_coef=0.01)
     model, params, loss, grads = _loss_and_grads(cfg)
@@ -54,6 +56,7 @@ def test_deepseek_v3_tiny():
     assert "dense_layers" in params
 
 
+@pytest.mark.slow
 def test_gpt_oss_tiny():
     cfg = gpt_oss_tiny()
     model, params, loss, grads = _loss_and_grads(cfg)

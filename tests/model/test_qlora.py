@@ -48,6 +48,7 @@ def qlora_cfg():
     )
 
 
+@pytest.mark.slow
 def test_qlora_load_and_forward(hf_dir):
     from xtuner_tpu.checkpoint.hf import load_hf_checkpoint
     from xtuner_tpu.data_proto import SequenceContext

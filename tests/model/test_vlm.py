@@ -70,6 +70,7 @@ def test_tokenize_fn_expands_image():
     assert all(l == -100 for t, l in zip(out["input_ids"], out["labels"]) if t == ctx_id)
 
 
+@pytest.mark.slow
 def test_compose_forward_and_grads():
     cfg = tiny_compose()
     model = cfg.build()

@@ -1,6 +1,7 @@
 """DSA sparse attention: top_k >= L reduces to dense causal attention;
 indexer sparsity actually restricts context; module grads flow."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +57,7 @@ def tiny_dsa():
     )
 
 
+@pytest.mark.slow
 def test_dsa_module_grads_and_topk_sharing():
     cfg = tiny_dsa()
     h_size = 32

@@ -27,6 +27,7 @@ def prompts_file(tmp_path):
     return path
 
 
+@pytest.mark.slow
 def test_rl_fit_mechanics(prompts_file, tmp_path):
     cfg = RLTrainerConfig(
         model_cfg=DenseConfig(
@@ -75,6 +76,7 @@ def test_rl_fit_mechanics(prompts_file, tmp_path):
         assert rec["ratio_mean"] > 0
 
 
+@pytest.mark.slow
 def test_rl_ref_kl_live(prompts_file, tmp_path):
     """kl_coef > 0 must produce a live, nonzero kl metric once the policy
     moves away from the frozen ref (reference worker.py:458-472)."""

@@ -45,6 +45,7 @@ def run_trainer(tmp_path, mesh_cfg, micro_batch_rows):
     return t, lines
 
 
+@pytest.mark.slow
 def test_golden_curve_reproduces(tmp_path):
     t, lines = run_trainer(tmp_path, MeshConfig(fsdp_size=4, sp_size=2, param_dtype="float32"), 4)
     losses = [r["reduced_llm_loss"] for r in lines]
@@ -54,6 +55,7 @@ def test_golden_curve_reproduces(tmp_path):
                           {"reduced_llm_loss": 0.01, "grad_norm": 0.02})
 
 
+@pytest.mark.slow
 def test_layout_invariance_grad_accum(tmp_path):
     """grad-accum 2x2 on a (fsdp=2, sp=2, dp=2) mesh must match the golden
     curve from the 1x4 (fsdp=4, sp=2) run."""

@@ -1,6 +1,7 @@
 """MoE golden loss-curve regression on an (fsdp, ep) mesh — the CI golden-
 metric pattern applied to the flagship model family (ci/scripts/test_sft_trainer.py)."""
 
+import pytest
 import json
 
 from xtuner_tpu.config.optim import AdamWConfig, LRConfig
@@ -16,6 +17,7 @@ GOLDEN_LOSS = [5.722591, 5.722079, 5.552025, 5.319508, 5.186933, 5.129955, 5.065
 GOLDEN_GRAD_NORM = [4.849581, 4.850163, 4.241615, 3.429038, 3.050659, 2.709614, 2.698978, 2.788625]
 
 
+@pytest.mark.slow
 def test_moe_golden_curve(tmp_path):
     cfg = TrainerConfig(
         model_cfg=MoEConfig(

@@ -52,6 +52,7 @@ def pref_data(tmp_path):
 
 
 @pytest.mark.parametrize("loss_type", ["dpo", "orpo"])
+@pytest.mark.slow
 def test_preference_trainer_fit(pref_data, tmp_path, loss_type):
     cfg = PreferenceTrainerConfig(
         model_cfg=DenseConfig(

@@ -13,6 +13,7 @@ from xtuner_tpu.parallel.mesh import MeshConfig
 from xtuner_tpu.train.reward import RewardTrainer, RewardTrainerConfig
 
 
+@pytest.mark.slow
 def test_reward_trainer_fit(tmp_path):
     path = tmp_path / "pref.jsonl"
     with open(path, "w") as f:

@@ -32,6 +32,7 @@ def make_cfg(tmp_path, data, **kw):
     return TrainerConfig(**defaults)
 
 
+@pytest.mark.slow
 def test_snapshot_resume_beats_older_checkpoint(tmp_path):
     data = tmp_path / "d.jsonl"
     with open(data, "w") as f:

@@ -100,6 +100,7 @@ def ours_losses(hf_dir, batches):
     return losses
 
 
+@pytest.mark.slow
 def test_training_matches_torch(hf_dir):
     batches = make_batches()
     t = torch_losses(hf_dir, batches)

@@ -60,6 +60,7 @@ def make_cfg(data_file, tmp_path, **kw):
     return TrainerConfig(**defaults)
 
 
+@pytest.mark.slow
 def test_fit_and_tracker(data_file, tmp_path):
     trainer = Trainer(make_cfg(data_file, tmp_path))
     trainer.fit()
@@ -70,6 +71,7 @@ def test_fit_and_tracker(data_file, tmp_path):
     assert (trainer.work_dir / "checkpoints" / "step-5" / "train_state.json").exists()
 
 
+@pytest.mark.slow
 def test_resume(data_file, tmp_path):
     cfg = make_cfg(data_file, tmp_path, total_steps=3, checkpoint_interval=3)
     Trainer(cfg).fit()

@@ -16,6 +16,7 @@ from xtuner_tpu.parallel.mesh import MeshConfig
 from xtuner_tpu.train.trainer import Trainer, TrainerConfig
 
 
+@pytest.mark.slow
 def test_vlm_trainer_fit(tmp_path, monkeypatch):
     rng = np.random.default_rng(0)
     img_dir = tmp_path / "imgs"

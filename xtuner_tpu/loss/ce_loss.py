@@ -71,17 +71,6 @@ def _ce_from_logits(logits, labels, ignore_idx: int):
     return jnp.where(valid, lse - picked, 0.0)
 
 
-def _constrain_chunks(hidden_chunks, sc):
-    """Shard the (num_chunks, chunk, h) scan input so dim 1 (tokens within a
-    chunk) carries ALL the data-parallel sharding and dim 0 (chunks) is
-    replicated. Without this, the reshape from (B, L, H) leaves the chunks dim
-    sharded over (fsdp, ep) and every `lax.scan` slice forces an SPMD
-    "involuntary full rematerialization" reshard (XLA b/433785288)."""
-    if sc is None:
-        return hidden_chunks
-    return sc(hidden_chunks, None, ("batch", "seq"), None)
-
-
 def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
             cfg: CELossConfig, lm_head_b=None, sc=None):
     """Fused LMHead + CE (the reference's LMHead->loss_ctx.forward fusion,
@@ -112,27 +101,31 @@ def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
         if pad:
             hidden = jnp.pad(hidden, ((0, pad), (0, 0)))
             labels = jnp.pad(labels, (0, pad), constant_values=cfg.ignore_idx)
-        hidden = _constrain_chunks(hidden.reshape(num_chunks, chunk, h), sc)
-        labels_c = labels.reshape(num_chunks, chunk)
 
+        # scan over chunk STARTS with dynamic_slice — not a reshape to
+        # (num_chunks, chunk, h): the stacked form forces a full layout copy
+        # of the hidden states when the layer scan's carry layout differs
+        # (~130 ms at 64k) and trips SPMD resharding on (fsdp, ep) meshes
         @jax.checkpoint
-        def chunk_fn(carry, xs):
-            h_c, lab_c = xs
+        def chunk_fn(carry, start):
+            h_c = jax.lax.dynamic_slice_in_dim(hidden, start, chunk, axis=0)
+            lab_c = jax.lax.dynamic_slice_in_dim(labels, start, chunk, axis=0)
             if sc is not None:
-                # anchor the remat'd body (and its cotangent) to the same
-                # token-sharded layout as the scan input
+                # anchor the remat'd body (and its cotangent) to a
+                # token-sharded layout
                 h_c = sc(h_c, ("batch", "seq"), None)
             logits = jnp.dot(h_c, lm_head_w, preferred_element_type=jnp.float32)
             if sc is not None:
                 # token-parallel logits: all-gather the (small) head shard
                 # instead of contracting-dim partitioning, so the transpose's
-                # dh_c lands token-sharded like the saved residual
+                # dh_c lands token-sharded
                 logits = sc(logits, ("batch", "seq"), "act_vocab")
             if lm_head_b is not None:
                 logits = logits + lm_head_b
             return carry, _ce_from_logits(logits, lab_c, cfg.ignore_idx)
 
-        _, ce = jax.lax.scan(chunk_fn, 0.0, (hidden, labels_c))
+        starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+        _, ce = jax.lax.scan(chunk_fn, 0.0, starts)
         ce = ce.reshape(-1)[:n]
 
     loss = jnp.sum(ce * weights) / jnp.maximum(global_denom, 1e-8)
@@ -159,12 +152,14 @@ def per_token_logprobs(hidden, lm_head_w, shifted_labels, chunk_size: int = 1024
         labels = jnp.pad(labels, (0, pad), constant_values=ignore_idx)
 
     @jax.checkpoint
-    def chunk_fn(carry, xs):
-        h_c, lab_c = xs
+    def chunk_fn(carry, start):
+        h_c = jax.lax.dynamic_slice_in_dim(hidden, start, chunk, axis=0)
+        lab_c = jax.lax.dynamic_slice_in_dim(labels, start, chunk, axis=0)
+        if sc is not None:
+            h_c = sc(h_c, ("batch", "seq"), None)
         logits = jnp.dot(h_c, lm_head_w, preferred_element_type=jnp.float32)
         return carry, -_ce_from_logits(logits, lab_c, ignore_idx)
 
-    _, lps = jax.lax.scan(chunk_fn, 0.0,
-                          (_constrain_chunks(hidden.reshape(num_chunks, chunk, h), sc),
-                           labels.reshape(num_chunks, chunk)))
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    _, lps = jax.lax.scan(chunk_fn, 0.0, starts)
     return lps.reshape(-1)[:n].reshape(b, l)

@@ -46,6 +46,21 @@ def _tile_mask(qpos, kpos, qseg, kseg, causal: bool, window: Optional[int]):
     return mask
 
 
+def _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k):
+    """Scalar predicate: EVERY (q, k) pair in this tile is visible, so the
+    mask (iota + compares + selects) can be skipped entirely. At 64k/block
+    1024 the diagonal+boundary tiles are ~3% of work — the other 97% take the
+    fast path (splash-attention-style full-tile specialization)."""
+    qmin, qmax = jnp.min(qseg), jnp.max(qseg)
+    kmin, kmax = jnp.min(kseg), jnp.max(kseg)
+    full = (qmin == qmax) & (kmin == kmax) & (qmax == kmax) & (qmin > 0)
+    if causal:
+        full &= i * block_q >= j * block_k + block_k - 1  # min qpos >= max kpos
+    if window is not None:
+        full &= (i * block_q + block_q - 1) - j * block_k < window
+    return full
+
+
 def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale, causal, window,
                 block_q, block_k):
@@ -67,23 +82,26 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
         jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
     needed = causal_needed & seg_needed
+    full = _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k)
 
-    @pl.when(needed)
-    def _compute():
+    def compute(use_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
-        kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
-        mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
-        s = jnp.where(mask, s, NEG_INF)
+        if use_mask:
+            qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+            kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+            mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:, 0]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])
-        p = jnp.where(mask, p, 0.0)
+        if use_mask:
+            # fully-masked rows have m_new == NEG_INF -> exp(NaN); zero them
+            p = jnp.where(mask, p, 0.0)
         l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
         acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
@@ -91,6 +109,14 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         )
         m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
+
+    @pl.when(needed & full)
+    def _compute_full():
+        compute(use_mask=False)
+
+    @pl.when(needed & ~full)
+    def _compute_masked():
+        compute(use_mask=True)
 
     @pl.when(j == nk - 1)
     def _finalize():
@@ -118,22 +144,35 @@ def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
     causal_needed = (j * block_k <= i * block_q + block_q - 1) if causal else True
     seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
         jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
+    needed = causal_needed & seg_needed
+    full = _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k)
 
-    @pl.when(causal_needed & seg_needed)
-    def _compute():
+    def compute(use_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
-        kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
-        mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, h][:, None]), 0.0)
+        # lse of padding rows is BIG_LSE -> exp(s - BIG_LSE) == 0, so the
+        # full path needs no row masking
+        p = jnp.exp(s - lse_ref[0, h][:, None])
+        if use_mask:
+            qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+            kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+            mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+            p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, h][:, None]) * scale
         dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
+
+    @pl.when(needed & full)
+    def _compute_full():
+        compute(use_mask=False)
+
+    @pl.when(needed & ~full)
+    def _compute_masked():
+        compute(use_mask=True)
 
     @pl.when(j == nk - 1)
     def _finalize():
@@ -156,17 +195,20 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
     causal_needed = (i * block_q + block_q - 1 >= j * block_k) if causal else True
     seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
         jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
+    needed = causal_needed & seg_needed
+    full = _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k)
 
-    @pl.when(causal_needed & seg_needed)
-    def _compute():
+    def compute(use_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
-        kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
-        mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, h][:, None]), 0.0)
+        p = jnp.exp(s - lse_ref[0, h][:, None])
+        if use_mask:
+            qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+            kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+            mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+            p = jnp.where(mask, p, 0.0)
         do = do_ref[0, 0]
         dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -175,6 +217,14 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
         ds = p * (dp - delta_ref[0, h][:, None]) * scale
         dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
+
+    @pl.when(needed & full)
+    def _compute_full():
+        compute(use_mask=False)
+
+    @pl.when(needed & ~full)
+    def _compute_masked():
+        compute(use_mask=True)
 
     @pl.when(i == nq - 1)
     def _finalize():
