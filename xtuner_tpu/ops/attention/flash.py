@@ -25,6 +25,7 @@ The TPU replacement for the reference's flash-attn 2/3 CUDA wrappers
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -34,6 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 BIG_LSE = 1e30  # lse sentinel for fully-masked (padding) rows
+# single-sweep fused backward (5 matmuls + 1 exp per tile vs two-pass 7 + 2);
+# set XTUNER_FUSED_ATTN_BWD=0 to fall back to the separate dq / dkv kernels
+FUSED_BWD = os.environ.get("XTUNER_FUSED_ATTN_BWD", "1") != "0"
 
 
 def _tile_mask(qpos, kpos, qseg, kseg, causal: bool, window: Optional[int]):
@@ -232,6 +236,132 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, dq_in_ref, dq_ref, dk_ref, dv_ref,
+                      dk_scr, dv_scr, *, scale, causal, window,
+                      block_q, block_k, ratio):
+    """Single-sweep backward: 5 matmuls + 1 exp per tile instead of the
+    two-pass dq/dkv kernels' 7 + 2. Grid (b, hkv, j, g, i): kv-block j outer
+    so dk/dv accumulate in VMEM across the whole GQA group (no per-q-head
+    dk_h/dv_h temps); dq accumulates IN HBM through an f32 buffer aliased
+    input->output — each (j, g) sweep revisits dq[i] once, ~2 MB/tile of
+    extra HBM traffic, far cheaper than the s/dp recompute it replaces."""
+    b, hkv, j, g, i = (pl.program_id(x) for x in range(5))
+    nq = pl.num_programs(4)
+    h = hkv * ratio + g  # global q-head (lse/delta row)
+
+    @pl.when((g == 0) & (i == 0))
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qseg = qseg_ref[0, 0]
+    kseg = kseg_ref[0, 0]
+    causal_needed = (i * block_q + block_q - 1 >= j * block_k) if causal else True
+    seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
+        jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
+    needed = causal_needed & seg_needed
+    full = _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k)
+
+    def compute(use_mask: bool):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse_ref[0, h][:, None])
+        if use_mask:
+            qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+            kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+            mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+            p = jnp.where(mask, p, 0.0)
+        do = do_ref[0, 0]
+        dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_ref[0, h][:, None]) * scale).astype(q.dtype)
+        dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dq_ref[0, 0] = dq_in_ref[0, 0] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(needed & full)
+    def _compute_full():
+        compute(use_mask=False)
+
+    @pl.when(needed & ~full)
+    def _compute_masked():
+        compute(use_mask=True)
+
+    @pl.when(~needed)
+    def _passthrough():
+        # every step must write its dq block (skipped tiles are clamped onto a
+        # real block's index; write-through keeps the accumulation intact)
+        dq_ref[0, 0] = dq_in_ref[0, 0]
+
+    @pl.when((g == ratio - 1) & (i == nq - 1))
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
+                    block_q, block_k, interpret):
+    b, hq, l, d = q.shape
+    dv = v.shape[-1]
+    hkv = k.shape[1]
+    ratio = hq // hkv
+    nq, nk = l // block_q, l // block_k
+
+    def qi(i_, j_):
+        return jnp.maximum(i_, j_) if causal else i_
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q), lambda b_, h_, j_, g_, i_: (b_, 0, qi(i_, j_))),  # qseg
+        pl.BlockSpec((1, 1, block_k), lambda b_, h_, j_, g_, i_: (b_, 0, j_)),  # kseg
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # q
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # k
+        pl.BlockSpec((1, 1, block_k, dv), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # v
+        pl.BlockSpec((1, 1, block_q, dv),
+                     lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # do
+        pl.BlockSpec((1, hq, block_q), lambda b_, h_, j_, g_, i_: (b_, 0, qi(i_, j_))),  # lse
+        pl.BlockSpec((1, hq, block_q), lambda b_, h_, j_, g_, i_: (b_, 0, qi(i_, j_))),  # delta
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # dq_in
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # dq
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dk
+        pl.BlockSpec((1, 1, block_k, dv), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dv
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hq, l, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, hkv, l, d), k.dtype),
+        jax.ShapeDtypeStruct((b, hkv, l, dv), v.dtype),
+    ]
+    dq_zero = jnp.zeros((b, hq, l, d), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, scale=scale, causal=causal, window=window,
+                          block_q=block_q, block_k=block_k, ratio=ratio),
+        grid=(b, hkv, nk, ratio, nq),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, dv), jnp.float32),
+        ],
+        input_output_aliases={8: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(seg3, seg3, q, k, v, g, lse, delta, dq_zero)
+
+
 # ----------------------------------------------------------------------
 # host-side wrappers
 # ----------------------------------------------------------------------
@@ -345,6 +475,17 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Hq,L)
     seg3 = segment_ids[:, None, :]
+
+    if FUSED_BWD:
+        dq_f, dk_out, dv_out = _fused_backward(
+            q, k, v, seg3, g, lse, delta, scale, causal, window,
+            block_q, block_k, interpret)
+        if sinks is not None:
+            p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
+            dsinks = -(p_sink * delta).sum(axis=(0, 2)).astype(sinks.dtype)
+        else:
+            dsinks = None
+        return dq_f.astype(q.dtype), dk_out, dv_out, None, dsinks
 
     common_specs = [
         pl.BlockSpec((1, 1, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # qseg
