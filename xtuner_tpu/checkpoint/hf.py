@@ -133,6 +133,15 @@ def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
             return np.stack([read_q(li) for li in range(l0, l1)])
         return read_q(0)
 
+    def read_fused3d_half(hf_key: str, rest) -> np.ndarray:
+        # HF fused expert tensor (E, H, 2F); ours is the (E, H, F) gate or up
+        # half (qwen3_vl_moe Qwen3VLMoeTextExperts.gate_up_proj, chunk(2, -1))
+        off = spec.shape[-1] if key.transform == "fused3d_half1" else 0
+        *lead, (o0, o1) = rest
+        sl = reader.get_slice(hf_key)
+        index = tuple(slice(a, b) for a, b in lead) + (slice(o0 + off, o1 + off),)
+        return np.asarray(sl[index])
+
     if stacked:
         (l0, l1), *rest = ranges
         parts = []
@@ -141,6 +150,8 @@ def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
             if key.transform == "linear":
                 in_r, out_r = rest
                 parts.append(read_2d_t(hf_key, in_r, out_r))
+            elif key.transform in ("fused3d_half0", "fused3d_half1"):
+                parts.append(read_fused3d_half(hf_key, rest))
             else:
                 sl = reader.get_slice(hf_key)
                 index = tuple(slice(a, b) for a, b in rest)
@@ -151,6 +162,13 @@ def _read_leaf_slice(reader: HFCheckpointReader, key: HFKey, spec: ParamSpec,
     if key.transform == "linear":
         in_r, out_r = ranges
         return read_2d_t(hf_key, in_r, out_r)
+    if key.transform.startswith("conv3d:"):
+        # HF Conv3d weight (embed, C, tps, ph, pw) -> ours (C*tps*ph*pw, embed)
+        w = reader.get(hf_key)
+        w = np.ascontiguousarray(w.reshape(w.shape[0], -1).T)
+        return w[tuple(slice(a, b) for a, b in ranges)]
+    if key.transform in ("fused3d_half0", "fused3d_half1"):
+        return read_fused3d_half(hf_key, ranges)
     sl = reader.get_slice(hf_key)
     index = tuple(slice(a, b) for a, b in ranges)
     return np.asarray(sl[index]) if ranges else reader.get(hf_key)
@@ -241,6 +259,10 @@ class _ChunkedWriter:
 def _to_hf_tensor(arr: np.ndarray, transform: str) -> np.ndarray:
     if transform in ("linear", "expert_linear"):
         return np.ascontiguousarray(arr.T)
+    if transform.startswith("conv3d:"):
+        # ours (C*tps*ph*pw, embed) -> HF Conv3d weight (embed, C, tps, ph, pw)
+        dims = tuple(int(d) for d in transform.split(":", 1)[1].split(","))
+        return np.ascontiguousarray(arr.T).reshape(arr.shape[1], *dims)
     return arr
 
 
@@ -276,8 +298,21 @@ def save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None) -> 
 
     flat_params, treedef = jax.tree.flatten(params)
     flat_keys = treedef.flatten_up_to(key_map)
+    fused_halves: dict[str, list] = {}  # fused3d gate/up pairs awaiting merge
     for p, key in zip(flat_params, flat_keys):
-        if key.transform == "expert_linear":
+        if key.transform in ("fused3d_half0", "fused3d_half1"):
+            stacked = _is_stacked(key)
+            n_layers = p.shape[0] if stacked else 1
+            for li in range(n_layers):
+                hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset) \
+                    if stacked else key.template
+                half = np.asarray(jax.device_get(p[li] if stacked else p))
+                slot = fused_halves.setdefault(hf_key, [None, None])
+                slot[1 if key.transform.endswith("1") else 0] = half
+                if slot[0] is not None and slot[1] is not None:
+                    writer.add(hf_key, np.concatenate(slot, axis=-1))
+                    del fused_halves[hf_key]
+        elif key.transform == "expert_linear":
             stacked = p.ndim == 4
             n_layers = p.shape[0] if stacked else 1
             for li in range(n_layers):

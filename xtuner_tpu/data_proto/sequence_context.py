@@ -38,10 +38,18 @@ class SequenceContext:
     segment_ids: jax.Array  # (B, L) int32, 0 = padding, docs numbered from 1
     position_ids: jax.Array  # (B, L) int32, restart per document
     # --- VLM (mirrors reference fields; None for text-only) ---
-    pixel_values: Optional[jax.Array] = None  # (num_tiles, C, H, W) or patchified
+    pixel_values: Optional[jax.Array] = None  # (num_tiles, C, H, W) or patchified (P, patch_dim)
     image_grid_thw: Optional[jax.Array] = None
     image_token_mask: Optional[jax.Array] = None  # (B, L) bool: positions receiving vision embeds
     inputs_embeds: Optional[jax.Array] = None  # (B, L, H) precomputed embeddings
+    # --- Qwen3-VL (reference sequence_context.py deepstack/mrope fields) ---
+    mrope_positions: Optional[jax.Array] = None  # (B, 3, L) int32 (t, h, w) positions
+    deepstack_embeds: Optional[jax.Array] = None  # (n_ds, B, L, H): pre-scattered layer adds
+    # host-precomputed ViT geometry (collator output; static per batch):
+    vision_segment_ids: Optional[jax.Array] = None  # (P,) int32, 0 = pad patch
+    vision_rot_pos: Optional[jax.Array] = None  # (P, 2) int32 (row, col) per patch
+    vision_pos_interp_idx: Optional[jax.Array] = None  # (P, 4) int32 into pos_embed table
+    vision_pos_interp_w: Optional[jax.Array] = None  # (P, 4) fp32 bilinear weights
     # --- MoE rollout replay (reference: rollout_routed_experts) ---
     rollout_routed_experts: Optional[jax.Array] = None
 

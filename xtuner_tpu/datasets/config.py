@@ -23,7 +23,7 @@ class DatasetConfig(BaseModel):
     anno_path: str  # jsonl file or directory of jsonl files
     name: str = ""
     sample_ratio: float = 1.0
-    class_name: Literal["openai_sft", "pretrain", "internvl"] = "openai_sft"
+    class_name: Literal["openai_sft", "pretrain", "internvl", "qwen3_vl"] = "openai_sft"
     chat_template: str = "qwen"
     max_length: Optional[int] = None
 
@@ -52,6 +52,13 @@ class DataloaderConfig(BaseModel):
     tokens_per_tile: int = 256
     image_size: int = 448
     image_max_num: int = 12
+    # Qwen3-VL: max ViT patches per micro-batch (static shape); 0 = disabled
+    max_patches: int = 0
+    image_min_pixels: int = 65536
+    image_max_pixels: int = 16777216
+    vision_patch_size: int = 16
+    vision_merge_size: int = 2
+    vision_num_grid_per_side: int = 48
 
     def build(self, tokenizer, global_batch_rows: int, micro_batch_rows: int) -> Dataloader:
         datasets = []
@@ -67,6 +74,16 @@ class DataloaderConfig(BaseModel):
                     fn = InternVLTokenizeFn(
                         tokenizer, ds_cfg.chat_template, image_size=self.image_size,
                         max_num=self.image_max_num, tokens_per_tile=self.tokens_per_tile,
+                        max_length=ds_cfg.max_length)
+                elif ds_cfg.class_name == "qwen3_vl":
+                    from .qwen_vl import Qwen3VLTokenizeFn
+
+                    fn = Qwen3VLTokenizeFn(
+                        tokenizer, ds_cfg.chat_template,
+                        patch_size=self.vision_patch_size,
+                        merge_size=self.vision_merge_size,
+                        min_pixels=self.image_min_pixels,
+                        max_pixels=self.image_max_pixels,
                         max_length=ds_cfg.max_length)
                 else:
                     fn = PretrainTokenizeFn(tokenizer, max_length=ds_cfg.max_length)
@@ -103,5 +120,7 @@ class DataloaderConfig(BaseModel):
             packed, sampler, pack_max_length=self.pack_max_length,
             global_batch_rows=global_batch_rows, micro_batch_rows=micro_batch_rows,
             loss_reduction=self.loss_reduction, num_workers=self.num_workers,
-            max_tiles=self.max_tiles,
+            max_tiles=self.max_tiles, max_patches=self.max_patches,
+            num_grid_per_side=self.vision_num_grid_per_side,
+            merge_size=self.vision_merge_size,
         )

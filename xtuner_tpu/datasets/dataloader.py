@@ -22,7 +22,8 @@ class Dataloader:
     def __init__(self, packed_dataset, sampler, pack_max_length: int,
                  global_batch_rows: int, micro_batch_rows: int,
                  loss_reduction: str = "token", num_workers: int = 0, prefetch: int = 2,
-                 max_tiles: int = 0):
+                 max_tiles: int = 0, max_patches: int = 0,
+                 num_grid_per_side: int = 48, merge_size: int = 2):
         if global_batch_rows % micro_batch_rows != 0:
             raise ValueError("global_batch_rows must be divisible by micro_batch_rows")
         self.dataset = packed_dataset
@@ -32,7 +33,10 @@ class Dataloader:
         self.micro_batch_rows = micro_batch_rows
         self.grad_accum = global_batch_rows // micro_batch_rows
         self.loss_reduction = loss_reduction
-        self.max_tiles = max_tiles  # >0 enables the VLM collator
+        self.max_tiles = max_tiles  # >0 enables the InternVL tile collator
+        self.max_patches = max_patches  # >0 enables the Qwen3-VL patch collator
+        self.num_grid_per_side = num_grid_per_side
+        self.merge_size = merge_size
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._sampler_iter = iter(self.sampler)
@@ -45,6 +49,16 @@ class Dataloader:
     def _next_batch(self) -> dict[str, np.ndarray]:
         rows = [self.dataset[next(self._sampler_iter)] for _ in range(self.global_batch_rows)]
         a, b = self.grad_accum, self.micro_batch_rows
+        if self.max_patches > 0:
+            from .qwen_vl import qwen3vl_collator
+
+            micro = [qwen3vl_collator(rows[i * b:(i + 1) * b], self.pack_max_length,
+                                      self.loss_reduction, max_patches=self.max_patches,
+                                      num_grid_per_side=self.num_grid_per_side,
+                                      merge_size=self.merge_size)
+                     for i in range(a)]
+            keys = micro[0].keys()
+            return {k: np.stack([m[k] for m in micro]) for k in keys}
         if self.max_tiles > 0:
             from .vlm import vlm_collator
 

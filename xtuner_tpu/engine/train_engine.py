@@ -33,6 +33,13 @@ from ..utils.logger import get_logger
 
 logger = get_logger()
 
+# optional batch keys forwarded into SequenceContext (VLM paths)
+VLM_BATCH_KEYS = (
+    "pixel_values", "image_token_mask", "mrope_positions",
+    "vision_segment_ids", "vision_rot_pos",
+    "vision_pos_interp_idx", "vision_pos_interp_w",
+)
+
 
 class EngineConfig(BaseModel):
     """Analog of reference EngineConfig (engine/config.py:17-28)."""
@@ -143,7 +150,7 @@ class TrainEngine:
                 input_ids=mb["input_ids"],
                 segment_ids=mb["segment_ids"],
                 position_ids=mb["position_ids"],
-                pixel_values=mb.get("pixel_values"),
+                **{k: mb[k] for k in VLM_BATCH_KEYS if k in mb},
             )
             out = model.loss(params, seq_ctx, mb["shifted_labels"], mb["loss_weights"],
                              denom, sc=sc, compute_dtype=dtype, remat=remat)

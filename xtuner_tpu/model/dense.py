@@ -19,7 +19,7 @@ from ..module.attention import mha_forward, mha_param_specs
 from ..module.mla import MLAConfig, mla_forward, mla_param_specs
 from ..module.mlp import mlp_forward, mlp_param_specs
 from ..module.params import ParamSpec, cast_tree, stack_specs
-from ..module.rope import rope_cos_sin
+from ..module.rope import model_rope_cos_sin
 from ..ops.rms_norm import rms_norm
 from ..parallel.sharding import NULL_SHARD_CTX, ShardCtx
 from .base import ModelOutputs, TransformerConfig
@@ -134,8 +134,8 @@ class Dense:
         else:
             x = jnp.take(params["embed"]["w"], seq_ctx.input_ids, axis=0).astype(compute_dtype)
         x = sc(x, "batch", "seq", None)
-        cos, sin = rope_cos_sin(seq_ctx.position_ids, cfg.attention.head_dim, cfg.rope_theta,
-                                cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+        cos, sin = model_rope_cos_sin(seq_ctx, cfg.attention.head_dim, cfg.rope_theta,
+                                      cfg.rope_scaling_cfg, cfg.max_position_embeddings)
         segment_ids = seq_ctx.segment_ids
 
         def layer_fn(x, lp):
@@ -144,7 +144,26 @@ class Dense:
         policy = _remat_policy(remat)
         if policy != "none":
             layer_fn = jax.checkpoint(layer_fn, policy=policy, prevent_cse=False)
-        x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+        ds = seq_ctx.deepstack_embeds
+        if ds is not None:
+            # Qwen3-VL deepstack: visual features from intermediate ViT layers
+            # are added to the hidden states after each of the first n_ds text
+            # layers (reference dense/qwen3vl_text.py:66-75). `ds` arrives
+            # pre-scattered to (n_ds, B, L, H) (zeros at non-visual positions)
+            # so the injection is a plain add inside a short second scan.
+            n_ds = ds.shape[0]
+            head = jax.tree.map(lambda a: a[:n_ds], params["layers"])
+            tail = jax.tree.map(lambda a: a[n_ds:], params["layers"])
+
+            def layer_ds_fn(x, xs):
+                lp, add = xs
+                x, _ = layer_fn(x, lp)
+                return x + add.astype(x.dtype), None
+
+            x, _ = jax.lax.scan(layer_ds_fn, x, (head, ds))
+            x, _ = jax.lax.scan(layer_fn, x, tail)
+        else:
+            x, _ = jax.lax.scan(layer_fn, x, params["layers"])
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                      cfg.rms_norm_type == "zero_centered")
         return x.astype(compute_dtype)

@@ -29,7 +29,7 @@ from ..module.mla import MLAConfig, mla_forward, mla_param_specs
 from ..module.mlp import mlp_forward, mlp_param_specs
 from ..module.moe_layer import expert_mlp_param_specs, moe_mlp_forward
 from ..module.params import ParamSpec, cast_tree, stack_specs
-from ..module.rope import rope_cos_sin
+from ..module.rope import model_rope_cos_sin
 from ..module.router import GreedyRouterConfig, RouterConfig, router_param_specs
 from ..ops.rms_norm import rms_norm
 from ..parallel.sharding import NULL_SHARD_CTX, ShardCtx
@@ -54,6 +54,10 @@ class MoEConfig(DenseConfig):
     # "gspmd" (sharding-derived collectives) | "a2a" (explicit shard_map
     # ragged all-to-all over ep — reference dispatcher: deepep/all2all)
     dispatcher: str = "gspmd"
+    # HF expert tensor layout: "per_expert" (one (out,in) tensor per expert,
+    # qwen3_moe et al) | "fused_3d" (gate_up_proj (E,H,2F) + down_proj (E,F,H),
+    # qwen3_vl_moe Qwen3VLMoeTextExperts)
+    hf_expert_format: str = "per_expert"
     # multi-token prediction (reference module/mtp/, DeepSeek V3 / GLM-5)
     mtp_num_layers: int = 0
     mtp_loss_coef: float = 0.3
@@ -155,11 +159,16 @@ class MoE(Dense):
         else:
             x = jnp.take(params["embed"]["w"], seq_ctx.input_ids, axis=0).astype(compute_dtype)
         x = sc(x, "batch", "seq", None)
-        cos, sin = rope_cos_sin(seq_ctx.position_ids, cfg.attention.head_dim, cfg.rope_theta,
-                                cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+        cos, sin = model_rope_cos_sin(seq_ctx, cfg.attention.head_dim, cfg.rope_theta,
+                                      cfg.rope_scaling_cfg, cfg.max_position_embeddings)
         segment_ids = seq_ctx.segment_ids
         valid = (segment_ids != 0).reshape(-1)
         policy = _remat_policy(remat)
+        ds = seq_ctx.deepstack_embeds  # (n_ds, B, L, H) pre-scattered or None
+        if ds is not None and (cfg.first_k_dense_replace > 0 or cfg.layer_window_pattern):
+            raise NotImplementedError(
+                "deepstack injection assumes the first n_ds layers are plain MoE "
+                "layers (Qwen3-VL MoE shape: first_k_dense_replace=0, no window pattern)")
 
         if cfg.first_k_dense_replace > 0:
             def dense_fn(x, lp):
@@ -197,7 +206,25 @@ class MoE(Dense):
                                                sc, compute_dtype)
             if policy != "none":
                 moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
-            x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
+            if ds is not None:
+                # Qwen3-VL deepstack (reference moe/qwen3vl_text.py): add the
+                # pre-scattered visual features after each of the first n_ds layers
+                n_ds = ds.shape[0]
+                head = jax.tree.map(lambda a: a[:n_ds], params["moe_layers"])
+                tail = jax.tree.map(lambda a: a[n_ds:], params["moe_layers"])
+
+                def moe_ds_fn(x, xs):
+                    lp, add = xs
+                    x, aux = moe_fn(x, lp)
+                    return x + add.astype(x.dtype), aux
+
+                x, (bal0, zl0, load0) = jax.lax.scan(moe_ds_fn, x, (head, ds))
+                x, (bal1, zl1, load1) = jax.lax.scan(moe_fn, x, tail)
+                bal = jnp.concatenate([bal0, bal1])
+                zl = jnp.concatenate([zl0, zl1])
+                load = jnp.concatenate([load0, load1])
+            else:
+                x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
 
         self._last_trunk = x  # pre-final-norm trunk (MTP input; same trace)
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
@@ -283,11 +310,21 @@ class MoE(Dense):
             "input_norm": dense_part["input_norm"],
             "post_attn_norm": dense_part["post_attn_norm"],
             "router": {"w": HFKey("model.layers.{layer}.mlp.gate.weight", "linear")},
-            "experts": {
-                "gate_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.gate_proj.weight", "expert_linear"),
-                "up_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.up_proj.weight", "expert_linear"),
-                "down_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.down_proj.weight", "expert_linear"),
-            },
+            "experts": (
+                {
+                    # qwen3_vl_moe fused layout: (E, H, 2F) gate|up halves and
+                    # (E, F, H) down — already (in, out) per expert, no transpose
+                    "gate_proj": HFKey("model.layers.{layer}.mlp.experts.gate_up_proj", "fused3d_half0"),
+                    "up_proj": HFKey("model.layers.{layer}.mlp.experts.gate_up_proj", "fused3d_half1"),
+                    "down_proj": HFKey("model.layers.{layer}.mlp.experts.down_proj"),
+                }
+                if cfg.hf_expert_format == "fused_3d" else
+                {
+                    "gate_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.gate_proj.weight", "expert_linear"),
+                    "up_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.up_proj.weight", "expert_linear"),
+                    "down_proj": HFKey("model.layers.{layer}.mlp.experts.{expert}.down_proj.weight", "expert_linear"),
+                }
+            ),
         }
         if cfg.router.router_type == "noaux":
             moe_part["router"]["e_score_correction_bias"] = HFKey(

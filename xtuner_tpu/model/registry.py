@@ -23,6 +23,16 @@ def _moe_presets():
     }
 
 
+def _vlm_presets():
+    from . import qwen3_vl
+
+    return {
+        "qwen3-vl-4b": qwen3_vl.Qwen3VLDense4BConfig,
+        "qwen3-vl-8b": qwen3_vl.Qwen3VLDense8BConfig,
+        "qwen3-vl-moe-30b-a3": qwen3_vl.Qwen3VLMoE30BA3Config,
+    }
+
+
 model_mapping: dict[str, Callable] = {
     "qwen2-5-0.5b": qwen.qwen2_5_0_5b,
     "qwen2-7b": qwen.qwen2_7b,
@@ -30,6 +40,7 @@ model_mapping: dict[str, Callable] = {
     "qwen3-4b": qwen.qwen3_4b,
     "qwen3-8b": qwen.qwen3_8b,
     **_moe_presets(),
+    **_vlm_presets(),
 }
 
 
@@ -55,6 +66,10 @@ def get_model_config(name_or_path: str):
             from .deepseek import deepseek_config_from_hf
 
             return deepseek_config_from_hf(hf_cfg)
+        if model_type in ("qwen3_vl", "qwen3_vl_moe"):
+            from .qwen3_vl import qwen3vl_config_from_hf
+
+            return qwen3vl_config_from_hf(hf_cfg)
         return qwen.dense_config_from_hf(hf_cfg)
     raise KeyError(
         f"Unknown model {name_or_path!r}; known: {sorted(model_mapping)} or an HF checkpoint dir"

@@ -18,8 +18,10 @@ class RopeScalingConfig(BaseModel):
     """Mirrors the reference RopeScalingConfig surface (rope.py:33-78)."""
 
     model_config = ConfigDict(extra="forbid")
-    rope_type: Literal["default", "linear", "dynamic", "yarn", "llama3"] = "default"
+    rope_type: Literal["default", "linear", "dynamic", "yarn", "llama3", "qwen3_vl"] = "default"
     factor: float = 1.0
+    # qwen3_vl interleaved MRoPE: frequency pairs owned by (t, h, w)
+    mrope_section: Optional[list[int]] = None
     # yarn
     beta_fast: float = 32.0
     beta_slow: float = 1.0
@@ -40,7 +42,7 @@ def compute_inv_freq_and_scale(head_dim: int, theta: float,
                                max_position_embeddings: int = 4096):
     """Returns (inv_freq (head_dim//2,), attention_scaling scalar)."""
     inv_freq = _base_inv_freq(head_dim, theta)
-    if scaling is None or scaling.rope_type == "default":
+    if scaling is None or scaling.rope_type in ("default", "qwen3_vl"):
         return inv_freq, 1.0
     if scaling.rope_type == "linear":
         return inv_freq / scaling.factor, 1.0
@@ -124,6 +126,51 @@ def mrope_cos_sin(position_ids_3d, head_dim: int, theta: float,
     )[0]  # (B, L, hd/2)
     emb = jnp.concatenate([picked, picked], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
+
+
+def mrope_cos_sin_interleaved(position_ids_3d, head_dim: int, theta: float,
+                              mrope_section: tuple[int, ...] = (24, 20, 20)):
+    """Qwen3-VL interleaved MRoPE (reference rope.py:545-561
+    apply_interleaved_mrope): instead of chunked [T..T H..H W..W] frequency
+    bands, H owns indices 1,4,7,..<3*sec_h and W owns 2,5,8,..<3*sec_w of the
+    T-frequency layout — preserving frequency continuity.
+
+    position_ids_3d: (3, B, L) int32. Returns cos, sin (B, L, head_dim) fp32.
+    """
+    import numpy as _np
+
+    inv_freq = _base_inv_freq(head_dim, theta)  # (hd/2,)
+    sel = _np.zeros(head_dim // 2, dtype=_np.int32)
+    sel[1:mrope_section[1] * 3:3] = 1
+    sel[2:mrope_section[2] * 3:3] = 2
+    freqs = position_ids_3d.astype(jnp.float32)[..., None] * inv_freq  # (3, B, L, hd/2)
+    picked = jnp.take_along_axis(
+        freqs, jnp.asarray(sel)[None, None, :, None].transpose(3, 0, 1, 2), axis=0
+    )[0]  # (B, L, hd/2)
+    emb = jnp.concatenate([picked, picked], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def model_rope_cos_sin(seq_ctx, head_dim: int, theta: float,
+                       scaling: Optional[RopeScalingConfig],
+                       max_position_embeddings: int):
+    """Model-facing rope dispatch: plain RoPE for text models, interleaved
+    MRoPE when the config declares rope_type='qwen3_vl' (cf. reference
+    get_rope_embedding, rope.py:589-605). Text-only batches (no
+    mrope_positions) broadcast position_ids into all three axes — identical
+    to plain rope because t==h==w for text tokens."""
+    if scaling is not None and scaling.rope_type == "qwen3_vl":
+        sec = tuple(scaling.mrope_section or (24, 20, 20))
+        assert sum(sec) == head_dim // 2, (sec, head_dim)
+        pos3 = seq_ctx.mrope_positions
+        if pos3 is None:
+            pos3 = jnp.broadcast_to(seq_ctx.position_ids[None],
+                                    (3, *seq_ctx.position_ids.shape))
+        else:
+            pos3 = jnp.transpose(pos3, (1, 0, 2))  # (B, 3, L) -> (3, B, L)
+        return mrope_cos_sin_interleaved(pos3, head_dim, theta, sec)
+    return rope_cos_sin(seq_ctx.position_ids, head_dim, theta, scaling,
+                        max_position_embeddings)
 
 
 def build_mrope_positions(input_ids, image_token_mask, image_grid_thw, spatial_merge: int = 2):
