@@ -76,3 +76,50 @@ def test_fp8_model_trains():
     losses = [float(eng.train_step(batch, s)["reduced_llm_loss"]) for s in range(1, 5)]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_tilewise_kernel_matches_emulation():
+    """Pallas tile-wise fp8 GEMM (interpret mode) == jnp emulation == manual
+    per-tile dequant product — locks the kernel's scale indexing."""
+    from xtuner_tpu.ops.fp8_gemm import (fp8_gemm_tilewise, fp8_gemm_tilewise_emulated,
+                                         quantize_blockwise, quantize_tilewise)
+
+    rng = np.random.default_rng(3)
+    m, k, n = 96, 384, 384  # not block multiples (kernel pads engage)
+    x = jnp.asarray(rng.standard_normal((m, k)) * (1 + 10 * (rng.random((m, k)) > 0.99)),
+                    jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    xq, sx = quantize_tilewise(x, 128)
+    wq, sw = quantize_blockwise(w, 128)
+    ker = np.asarray(fp8_gemm_tilewise(xq, sx, wq, sw, tile=128, out_dtype=jnp.float32,
+                                       block_m=64, block_n=128, block_k=256,
+                                       interpret=True))
+    emu = np.asarray(fp8_gemm_tilewise_emulated(xq, sx, wq, sw, tile=128,
+                                                out_dtype=jnp.float32))
+    np.testing.assert_allclose(ker, emu, rtol=2e-5, atol=2e-5)
+    # and both approximate the exact product
+    exact = np.asarray(x @ w)
+    rel = np.abs(emu - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert rel < 0.1, rel
+
+
+def test_e5m2_grads_close_to_bf16_grads():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((32, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 128)) * 0.05, jnp.float32)
+
+    def f(e5m2):
+        def loss(x, w):
+            return jnp.sum(fp8_matmul(x, w, "tilewise", 128, e5m2) ** 2)
+        return jax.grad(loss, argnums=(0, 1))(x, w)
+
+    gx_q, gw_q = f(True)
+    gx_b, gw_b = f(False)
+    for q, b in ((gx_q, gx_b), (gw_q, gw_b)):
+        denom = np.abs(np.asarray(b)).max() + 1e-9
+        assert np.abs(np.asarray(q) - np.asarray(b)).max() / denom < 0.15
+
+
+def test_float8_config_e5m2_field():
+    cfg = Float8Config(e5m2_grads=True)
+    assert cfg.e5m2_grads and cfg.scaling_granularity == "tilewise"

@@ -75,7 +75,8 @@ def lora_linear(x, p: dict, scaling: float, fp8_cfg=None):
     elif fp8_cfg is not None and getattr(fp8_cfg, "enabled", False):
         from ..ops.float8 import fp8_matmul
 
-        y = fp8_matmul(x, p["w"], fp8_cfg.scaling_granularity, fp8_cfg.tile)
+        y = fp8_matmul(x, p["w"], fp8_cfg.scaling_granularity, fp8_cfg.tile,
+                       getattr(fp8_cfg, "e5m2_grads", False))
     else:
         y = x @ p["w"]
     if "lora_a" in p:

@@ -31,6 +31,9 @@ class Float8Config(BaseModel):
     enabled: bool = True
     scaling_granularity: Literal["tensorwise", "tilewise"] = "tilewise"
     tile: int = 128
+    # quantize incoming grads to e5m2 in backward (reference e5m2 grad path);
+    # False = fp8 forward, bf16 backward
+    e5m2_grads: bool = False
 
 
 def _amax_scale(x, axes, eps=1e-12):
@@ -60,50 +63,77 @@ def dequantize(q, scale, granularity: str = "tilewise", tile: int = 128):
     return (q.reshape(*lead, nt, tile).astype(jnp.float32) * scale).reshape(*lead, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fp8_matmul(x, w, granularity: str = "tilewise", tile: int = 128):
-    """y = x @ w with both operands quantized to e4m3 (fwd); bwd in bf16.
+def _tile_dot(a, b, tile: int, out_dtype, a_dtype=jnp.float8_e4m3fn,
+              b_dtype=jnp.float8_e4m3fn):
+    """a (M, K) x b (K, N) through the REAL tile-wise fp8 path: a quantized
+    per (row, K-tile), b per (K-tile, N-tile) block, fp8 GEMM with per-tile
+    rescale in the fp32 accumulator (Pallas kernel on TPU; numerically
+    equivalent jnp emulation elsewhere). Mirrors reference
+    float8_linear_tile_wise.py:34-182. K/N are zero-padded to tile multiples."""
+    from .fp8_gemm import (fp8_gemm_tilewise, fp8_gemm_tilewise_emulated,
+                           quantize_blockwise, quantize_tilewise)
 
-    x: (..., K); w: (K, N). The contraction runs on fp8 values; the combined
-    scale is applied to the fp32 accumulator.
+    k, n = b.shape
+    pk, pn = (-k) % tile, (-n) % tile
+    if pk:
+        a = jnp.pad(a, ((0, 0), (0, pk)))
+    if pk or pn:
+        b = jnp.pad(b, ((0, pk), (0, pn)))
+    aq, sa = quantize_tilewise(a, tile, a_dtype)
+    bq, sb = quantize_blockwise(b, tile, b_dtype)
+    fn = fp8_gemm_tilewise if jax.default_backend() == "tpu" else fp8_gemm_tilewise_emulated
+    y = fn(aq, sa, bq, sb, tile=tile, out_dtype=out_dtype)
+    return y[:, :n] if pn else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fp8_matmul(x, w, granularity: str = "tilewise", tile: int = 128,
+               e5m2_grads: bool = False):
+    """y = x @ w with fp8 operands. x: (..., K); w: (K, N).
+
+    tensorwise: one amax scale per tensor, single fp8 dot.
+    tilewise: real per-tile-scaled fp8 GEMM (see _tile_dot) for the forward
+    AND both backward GEMMs; grads quantized to e5m2 when `e5m2_grads`
+    (reference float8_linear_tile_wise dgrad/wgrad path), bf16 otherwise.
     """
-    return _fp8_matmul_fwd(x, w, granularity, tile)[0]
+    return _fp8_matmul_fwd(x, w, granularity, tile, e5m2_grads)[0]
 
 
-def _fp8_matmul_fwd(x, w, granularity, tile):
+def _fp8_matmul_fwd(x, w, granularity, tile, e5m2_grads):
     if granularity == "tensorwise":
         xq, sx = quantize_e4m3(x, "tensorwise")
         wq, sw = quantize_e4m3(w, "tensorwise")
         y = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        y = y * (sx * sw)
+        y = (y * (sx * sw)).astype(x.dtype)
     else:
-        # tilewise 1x128: quantize, rescale back to bf16, one GEMM. Numerics
-        # are exactly the per-tile-scaled fp8 product; on fp8-MXU generations
-        # (v6e+) the pallas fused quant-GEMM slot replaces this (round-2).
         *lead, k = x.shape
-        n = w.shape[1]
-        xq, sx = quantize_e4m3(x, "tilewise", tile)
-        wq, sw = quantize_e4m3(w.T, "tilewise", tile)  # (N, K) layout
-        xd = dequantize(xq, sx, "tilewise", tile).astype(jnp.bfloat16)
-        wd = dequantize(wq, sw, "tilewise", tile).astype(jnp.bfloat16)
-        y = jax.lax.dot_general(xd, wd, (((x.ndim - 1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    return y.astype(x.dtype), (x, w)
+        y = _tile_dot(x.reshape(-1, k), w, tile, x.dtype).reshape(*lead, w.shape[1])
+    return y, (x, w)
 
 
-def _fp8_matmul_bwd(granularity, tile, res, g):
+def _fp8_matmul_bwd(granularity, tile, e5m2_grads, res, g):
     x, w = res
-    g = g.astype(jnp.bfloat16)
-    dx = jax.lax.dot_general(g, w.astype(jnp.bfloat16).T,
-                             (((g.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32).astype(x.dtype)
-    x2d = x.reshape(-1, x.shape[-1])
-    g2d = g.reshape(-1, g.shape[-1])
-    dw = jax.lax.dot_general(x2d.astype(jnp.bfloat16), g2d,
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32).astype(w.dtype)
-    return dx, dw
+    *lead, k = x.shape
+    n = w.shape[1]
+    g2d = g.reshape(-1, n)
+    x2d = x.reshape(-1, k)
+    if granularity == "tilewise" and e5m2_grads:
+        # dgrad: g (M, N) x w^T (N, K) — g per-row N-tiles in e5m2, w^T blocks
+        dx = _tile_dot(g2d, w.T, tile, x.dtype, a_dtype=jnp.float8_e5m2)[:, :k]
+        # wgrad: x^T (K, M) x g (M, N) — x^T per-row M-tiles, g (M, N) blocks
+        # in e5m2 (requantized along the contraction dim, reference wgrad)
+        dw = _tile_dot(x2d.T, g2d, tile, w.dtype,
+                       b_dtype=jnp.float8_e5m2)[:, :n]
+    else:
+        gb = g2d.astype(jnp.bfloat16)
+        dx = jax.lax.dot_general(gb, w.astype(jnp.bfloat16).T,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32).astype(x.dtype)
+        dw = jax.lax.dot_general(x2d.astype(jnp.bfloat16), gb,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx.reshape(x.shape), dw
 
 
 fp8_matmul.defvjp(_fp8_matmul_fwd, _fp8_matmul_bwd)
