@@ -48,19 +48,22 @@ def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
         kv_mask=kv_mask)
     x = x + h
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_c)
+    routing = None
     if "experts" in lp:
         from ..module.moe_layer import moe_mlp_forward
 
-        moe_out, _, _ = moe_mlp_forward(
+        moe_out, r, _ = moe_mlp_forward(
             lp["experts"], lp["router"], cfg.router, h,
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
             act=cfg.hidden_act, compute_dtype=compute_dtype)
+        # (B, C, K) expert assignment — R3 rollout-routing record
+        routing = r.topk_idx.reshape(h.shape[0], h.shape[1], -1)
         if "shared_experts" in lp:
             moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
         h = moe_out
     else:
         h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s)
-    return x + h, cache_k, cache_v
+    return x + h, cache_k, cache_v, routing
 
 
 def _stacks(model, params):
@@ -87,27 +90,38 @@ def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):
 
 
 def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dtype,
-                    kv_mask=None):
-    """ids: (B, C) -> (logits (B, C, V), new caches)."""
+                    kv_mask=None, record_routing: bool = False):
+    """ids: (B, C) -> (logits (B, C, V), new caches, routing or None).
+
+    routing: (B, C, nL_moe, K) int32 per-layer expert assignment of the MoE
+    stacks (R3 rollout-routing record, reference rollout/worker.py:784)."""
     cfg = model.cfg
     x = jnp.take(params["embed"]["w"], ids, axis=0).astype(compute_dtype)
     cos, sin = rope_cos_sin(positions, cfg.attention.head_dim, cfg.rope_theta,
                             cfg.rope_scaling_cfg, cfg.max_position_embeddings)
     new_caches = []
+    routings = []
     for stack, (ck, cv) in zip(_stacks(model, params), caches):
         def body(x, xs):
             lp, ck_l, cv_l = xs
-            x, ck_l, cv_l = _layer_cached(model, lp, cfg, x, cos, sin, ck_l, cv_l,
-                                          cache_len, compute_dtype, kv_mask)
-            return x, (ck_l, cv_l)
+            x, ck_l, cv_l, routing = _layer_cached(model, lp, cfg, x, cos, sin, ck_l, cv_l,
+                                                   cache_len, compute_dtype, kv_mask)
+            ys = (ck_l, cv_l) if (routing is None or not record_routing) \
+                else (ck_l, cv_l, routing)
+            return x, ys
 
-        x, (ck, cv) = jax.lax.scan(body, x, (stack, ck, cv))
-        new_caches.append((ck, cv))
+        x, ys = jax.lax.scan(body, x, (stack, ck, cv))
+        new_caches.append((ys[0], ys[1]))
+        if len(ys) == 3 and record_routing:
+            routings.append(ys[2])  # (nL, B, C, K)
     x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                  cfg.rms_norm_type == "zero_centered")
     logits = jnp.dot(x.astype(compute_dtype), model.lm_head_weight(params).astype(compute_dtype),
                      preferred_element_type=jnp.float32)
-    return logits, new_caches
+    routing = None
+    if routings:
+        routing = jnp.transpose(jnp.concatenate(routings, axis=0), (1, 2, 0, 3))
+    return logits, new_caches, routing
 
 
 def _sample(logits, rng, gen_cfg: GenerateConfig):
@@ -130,11 +144,15 @@ def _sample(logits, rng, gen_cfg: GenerateConfig):
 
 def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
              rng=None, compute_dtype=jnp.bfloat16, pad_token_id: int = 0,
-             return_logprobs: bool = False):
+             return_logprobs: bool = False, record_routing: bool = False):
     """prompt_ids: (B, P) int32, left-padded with pad_token_id.
 
     Returns dict with `sequences` (B, P+N), `num_generated`, and optionally
     per-step `logprobs` (B, N) of the sampled tokens (RL rollout needs them).
+    record_routing (MoE only): adds `routed_experts` (B, N, nL_moe, K) — the
+    expert assignment of the forward step that SAMPLED each token, i.e.
+    routing of input position p+j-1 for response token j, which is exactly
+    the position token j occupies as a training input (R3 replay).
     """
     cfg = model.cfg
     rng = rng if rng is not None else jax.random.key(0)
@@ -155,13 +173,15 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     # while one step compiles in ~1s and the host loop adds only dispatch
     # latency per token.
     def prefill(params, prompt_ids, positions, kv_mask0, caches, rng):
-        logits, caches = _forward_cached(model, params, prompt_ids, positions, caches,
-                                         jnp.int32(0), compute_dtype, kv_mask0)
+        logits, caches, routing = _forward_cached(model, params, prompt_ids, positions,
+                                                  caches, jnp.int32(0), compute_dtype,
+                                                  kv_mask0, record_routing)
         last = logits[:, -1]
         next_tok = _sample(last, rng, gen_cfg)
         lp = jax.nn.log_softmax(last, axis=-1)
         lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
-        return next_tok, lp, caches
+        rout = routing[:, -1] if routing is not None else None  # (B, nL, K)
+        return next_tok, lp, caches, rout
 
     def decode_step(params, tok, pos, cache_len, kv_mask0, caches, rng, done):
         # unmask only the GENERATED slots [p, cache_len]; `< cache_len + 1`
@@ -170,17 +190,19 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
         # (diverges from the unpadded run at ~10 pads)
         slots = jnp.arange(max_len)[None, :]
         kv_mask = kv_mask0 | ((slots >= p) & (slots < cache_len + 1))
-        logits, caches = _forward_cached(model, params, tok[:, None], pos[:, None],
-                                         caches, cache_len, compute_dtype, kv_mask)
+        logits, caches, routing = _forward_cached(model, params, tok[:, None], pos[:, None],
+                                                  caches, cache_len, compute_dtype,
+                                                  kv_mask, record_routing)
         last = logits[:, -1]
         new_tok = _sample(last, rng, gen_cfg)
         lp = jax.nn.log_softmax(last, axis=-1)
         lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
         new_done = done | (tok == eos)
         new_tok = jnp.where(new_done, eos, new_tok)
-        return new_tok, lp, caches, new_done
+        rout = routing[:, 0] if routing is not None else None
+        return new_tok, lp, caches, new_done, rout
 
-    cache_key = (b, p, n_new, eos, pad_token_id, str(compute_dtype),
+    cache_key = (b, p, n_new, eos, pad_token_id, str(compute_dtype), record_routing,
                  gen_cfg.model_dump_json())
     jit_cache = getattr(model, "_gen_jit_cache", None)
     if jit_cache is None:
@@ -192,16 +214,17 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
         )
     prefill_fn, step_fn = jit_cache[cache_key]
 
-    tok, lp, caches = prefill_fn(params, prompt_ids, positions, kv_mask0, caches, rng)
-    toks_list, lps_list = [tok], [lp]
+    tok, lp, caches, rout = prefill_fn(params, prompt_ids, positions, kv_mask0, caches, rng)
+    toks_list, lps_list, rout_list = [tok], [lp], [rout]
     done = jnp.zeros(b, bool)
     pos = positions[:, -1]
     for i in range(n_new - 1):
         rng, step_rng = jax.random.split(rng)
-        new_tok, lp, caches, done = step_fn(
+        new_tok, lp, caches, done, rout = step_fn(
             params, tok, pos + 1, jnp.int32(p + i), kv_mask0, caches, step_rng, done)
         toks_list.append(new_tok)
         lps_list.append(lp)
+        rout_list.append(rout)
         tok, pos = new_tok, pos + 1
     toks = jnp.stack(toks_list, axis=1)  # (B, N)
     lps = jnp.stack(lps_list, axis=1)
@@ -210,4 +233,6 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
            "num_generated": n_new}
     if return_logprobs:
         out["logprobs"] = np.asarray(lps)
+    if record_routing and rout_list[0] is not None:
+        out["routed_experts"] = np.asarray(jnp.stack(rout_list, axis=1))  # (B, N, nL, K)
     return out

@@ -116,7 +116,7 @@ class MoE(Dense):
 
     # ------------------------------------------------------------------
     def _moe_layer_forward(self, x, lp, cfg, cos, sin, segment_ids, valid, sc, compute_dtype,
-                           window="cfg"):
+                           window="cfg", forced_routing=None):
         lp = cast_tree(lp, compute_dtype)
         zero_centered = cfg.rms_norm_type == "zero_centered"
         if window == "cfg":
@@ -140,7 +140,7 @@ class MoE(Dense):
             lp["experts"], lp["router"], cfg.router, h,
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
             act=cfg.hidden_act, compute_dtype=compute_dtype,
-            dispatcher=cfg.dispatcher, sc=sc,
+            dispatcher=cfg.dispatcher, sc=sc, forced_topk_idx=forced_routing,
         )
         if "shared_experts" in lp:
             moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
@@ -200,6 +200,26 @@ class MoE(Dense):
             x, (bal, zl, load) = jax.lax.scan(moe_fn, x, stacked)
             bal, zl = bal.reshape(-1), zl.reshape(-1)
             load = load.reshape(-1, load.shape[-1])
+        elif seq_ctx.rollout_routed_experts is not None:
+            # R3 rollout-routing replay (reference trainer/worker.py:473 +
+            # greedy.py:74): per-layer recorded expert ids ride the scan xs;
+            # entries < 0 (prompt/pad positions) keep fresh routing
+            rre = seq_ctx.rollout_routed_experts  # (B, L, nL_moe, K) int32
+            nl = rre.shape[2]
+            routing_xs = jnp.transpose(rre, (2, 0, 1, 3)).reshape(
+                nl, rre.shape[0] * rre.shape[1], rre.shape[3])
+
+            def moe_replay_fn(x, xs):
+                lp, fr = xs
+                return self._moe_layer_forward(x, lp, cfg, cos, sin, segment_ids,
+                                               valid, sc, compute_dtype,
+                                               forced_routing=fr)
+
+            if policy != "none":
+                moe_replay_fn = jax.checkpoint(moe_replay_fn, policy=policy,
+                                               prevent_cse=False)
+            x, (bal, zl, load) = jax.lax.scan(
+                moe_replay_fn, x, (params["moe_layers"], routing_xs))
         else:
             def moe_fn(x, lp):
                 return self._moe_layer_forward(x, lp, cfg, cos, sin, segment_ids, valid,

@@ -33,7 +33,8 @@ def expert_mlp_param_specs(hidden_size: int, moe_intermediate_size: int,
 
 def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
                     x, *, num_experts: int, top_k: int, act: str = "silu",
-                    compute_dtype=jnp.bfloat16, dispatcher: str = "gspmd", sc=None):
+                    compute_dtype=jnp.bfloat16, dispatcher: str = "gspmd", sc=None,
+                    forced_topk_idx=None):
     """x: (B, L, H) -> (out (B, L, H), RouterOutput, expert_load (E,)).
 
     Dropless: every routed token is computed (no capacity factor).
@@ -45,7 +46,8 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
 
     b, l, h = x.shape
     x2d = x.reshape(b * l, h)
-    r: RouterOutput = route(router_p, router_cfg, x2d, top_k)
+    r: RouterOutput = route(router_p, router_cfg, x2d, top_k,
+                            forced_idx=forced_topk_idx)
     probe("after_moe_gate", r.logits)
 
     if dispatcher == "a2a" and sc is not None and sc.mesh is not None:

@@ -112,10 +112,25 @@ def noaux_route(p: dict, cfg: NoAuxRouterConfig, x, top_k: int) -> RouterOutput:
     return RouterOutput(topk_weights, topk_idx.astype(jnp.int32), logits, scores)
 
 
-def route(p: dict, cfg: RouterConfig, x, top_k: int) -> RouterOutput:
-    if cfg.router_type == "greedy":
-        return greedy_route(p, cfg, x, top_k)
-    return noaux_route(p, cfg, x, top_k)
+def route(p: dict, cfg: RouterConfig, x, top_k: int,
+          forced_idx=None) -> RouterOutput:
+    """forced_idx (N, K) int32 or None: rollout-routing replay (R3). Entries
+    >= 0 override the fresh top-k selection (reference greedy.py:74-79 —
+    replay keeps the rollout's expert ASSIGNMENT; combine weights are
+    re-gathered from the training router's probabilities, then normalized);
+    entries < 0 (non-response positions) keep fresh routing."""
+    out = greedy_route(p, cfg, x, top_k) if cfg.router_type == "greedy" \
+        else noaux_route(p, cfg, x, top_k)
+    if forced_idx is None:
+        return out
+    use = forced_idx >= 0
+    idx = jnp.where(use, forced_idx, out.topk_idx).astype(jnp.int32)
+    w = jnp.take_along_axis(out.probs, idx, axis=-1)
+    if cfg.norm_topk_prob:
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+    w = w * cfg.routed_scaling_factor
+    weights = jnp.where(use, w, out.topk_weights)
+    return RouterOutput(weights, idx, out.logits, out.probs)
 
 
 def update_noaux_bias(bias, expert_load, update_speed: float):

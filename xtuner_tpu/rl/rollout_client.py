@@ -46,8 +46,15 @@ class RolloutClient:
     def resume(self) -> None:
         self._paused = False
 
+    def _post_url(self, base_url: str, path: str, payload: dict) -> dict:
+        """POST against an explicit worker url (registry-routed callers)."""
+        url = base_url.rstrip("/") + path
+        return self._post_abs(url, payload)
+
     def _post(self, path: str, payload: dict) -> dict:
-        url = self.cfg.base_url.rstrip("/") + path
+        return self._post_abs(self.cfg.base_url.rstrip("/") + path, payload)
+
+    def _post_abs(self, url: str, payload: dict) -> dict:
         body = json.dumps(payload).encode()
         headers = {"Content-Type": "application/json"}
         if self.cfg.api_key:

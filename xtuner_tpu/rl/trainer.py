@@ -68,6 +68,9 @@ class RLTrainerConfig(BaseModel):
     seed: int = 0
     max_staleness: Optional[int] = None
     eval_cfg: Optional["EvaluatorConfig"] = None
+    # R3 rollout-routing replay (MoE): train with the rollout's expert
+    # assignment (reference rollout/worker.py:784 -> trainer/worker.py:473)
+    rollout_routing_replay: bool = False
 
     def build(self) -> "RLColocateTrainer":
         return RLColocateTrainer(self)
@@ -174,7 +177,8 @@ class RLColocateTrainer:
         self.gen_rng, rng = jax.random.split(self.gen_rng)
         out = generate(self.engine.model, self.engine.params, prompt_arr, cfg.gen_cfg,
                        rng=rng, compute_dtype=self.engine.compute_dtype,
-                       pad_token_id=self.pad_id, return_logprobs=True)
+                       pad_token_id=self.pad_id, return_logprobs=True,
+                       record_routing=cfg.rollout_routing_replay)
         eos = cfg.gen_cfg.eos_token_id or cfg.model_cfg.eos_token_id
         groups = []
         for i, (pi, item, prompt) in enumerate(zip(idxs, items, prompts)):
@@ -195,6 +199,8 @@ class RLColocateTrainer:
                     "logprobs": out["logprobs"][row][:n_resp],
                     "reward": reward,
                 })
+                if "routed_experts" in out:
+                    samples[-1]["routed_experts"] = out["routed_experts"][row][:n_resp]
             advs = compute_advantage(np.asarray(rewards), cfg.advantage)
             for s, a in zip(samples, advs):
                 s["advantage"] = float(a)
@@ -217,6 +223,12 @@ class RLColocateTrainer:
         labels = np.full((b, max_len), -100, np.int32)
         old_lp = np.zeros((b, max_len), np.float32)
         adv = np.zeros((b, max_len), np.float32)
+        routed = None
+        route_shape = next((np.asarray(s["routed_experts"]).shape[1:]
+                            for s in rows if "routed_experts" in s), None)
+        if route_shape is not None:
+            # -1 = "no replay here": prompt/pad positions keep fresh routing
+            routed = np.full((b, max_len, *route_shape), -1, np.int32)
         for bi, s in enumerate(rows):
             p, r = s["prompt_ids"], s["response_ids"]
             n = len(p) + len(r)
@@ -229,12 +241,19 @@ class RLColocateTrainer:
                 labels[bi, t] = tok
                 old_lp[bi, t] = s["logprobs"][j]
                 adv[bi, t] = s["advantage"]
+                if routed is not None and "routed_experts" in s:
+                    # routing of the forward that sampled token j == routing of
+                    # input position len(p)+j-1 (see generate docstring)
+                    routed[bi, t] = s["routed_experts"][j]
         mask = (labels != -100).astype(np.float32)
-        return {
+        out = {
             "input_ids": ids[None], "segment_ids": seg[None], "position_ids": pos[None],
             "shifted_labels": labels[None], "loss_weights": mask[None],
             "old_logprobs": old_lp[None], "advantages": adv[None],
         }
+        if routed is not None:
+            out["rollout_routed_experts"] = routed[None]
+        return out
 
     def _rl_loss_fn(self):
         model, sc, dtype = self.engine.model, self.engine.sc, self.engine.compute_dtype
@@ -244,7 +263,8 @@ class RLColocateTrainer:
         def loss_fn(params, mb, denom):
             seq_ctx = SequenceContext(input_ids=mb["input_ids"],
                                       segment_ids=mb["segment_ids"],
-                                      position_ids=mb["position_ids"])
+                                      position_ids=mb["position_ids"],
+                                      rollout_routed_experts=mb.get("rollout_routed_experts"))
             hidden = model.forward(params, seq_ctx, sc=sc, compute_dtype=dtype)
             w = model.lm_head_weight(params).astype(dtype)
             logps = per_token_logprobs(hidden, w, mb["shifted_labels"], chunk, sc=sc)

@@ -1,0 +1,121 @@
+"""Weight-update transports: trainer -> rollout worker param delivery.
+
+Reference: xtuner/v1/rl/weight_update/transport.py:55 (NCCL broadcast /
+CUDA-IPC / shared-memory transports binding train and rollout workers) and
+weight_iterator.py (chunked weight streaming). TPU redesign: there is no
+NCCL plane outside jit — cross-process delivery rides host memory:
+
+- ColocateTransport: trainer and rollout share one process; "transport" is
+  swapping the live params reference in a versioned ParamStore (the reference
+  colocate mode's CUDA-IPC handle-passing collapses to this under GSPMD).
+- FilesystemTransport: versioned host snapshots (one .npz per publish +
+  atomic `latest` marker) — the disaggregated analog; rollout workers on any
+  host of the pod reload from shared storage.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+from ..utils.logger import get_logger
+
+logger = get_logger()
+
+
+class ParamStore:
+    """Versioned, thread-safe reference to live params (colocate plane)."""
+
+    def __init__(self, params: Any = None, version: int = 0):
+        self._lock = threading.Lock()
+        self._params = params
+        self._version = version
+
+    def get(self):
+        with self._lock:
+            return self._params, self._version
+
+    def set(self, params, version: int) -> None:
+        with self._lock:
+            self._params = params
+            self._version = version
+
+    @property
+    def version(self) -> int:
+        with self._lock:
+            return self._version
+
+
+class ColocateTransport:
+    """Same-process delivery: publish = swap the shared reference."""
+
+    def __init__(self, store: ParamStore):
+        self.store = store
+
+    def publish(self, params, version: int) -> dict:
+        self.store.set(params, version)
+        return {"version": version}
+
+    def fetch(self, treedef=None):
+        return self.store.get()
+
+
+class FilesystemTransport:
+    """Versioned host snapshots on (shared) storage.
+
+    publish(): device_get the tree -> flat .npz -> atomic `latest` marker.
+    fetch(): read marker, load flat leaves, unflatten with the receiver's
+    treedef (both sides build the same model config => same treedef).
+    """
+
+    def __init__(self, root: str | Path, keep: int = 2):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+
+    def publish(self, params, version: int) -> dict:
+        leaves = jax.tree.leaves(params)
+        host = [np.asarray(jax.device_get(l)) for l in leaves]
+        path = self.root / f"weights-{version:08d}.npz"
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez(tmp, *host)
+        tmp.rename(path)
+        marker = self.root / "latest"
+        marker_tmp = self.root / "latest.tmp"
+        marker_tmp.write_text(json.dumps({"version": version, "path": path.name,
+                                          "ts": time.time()}))
+        marker_tmp.rename(marker)
+        self._gc(version)
+        return {"version": version, "path": str(path)}
+
+    def _gc(self, latest_version: int) -> None:
+        snaps = sorted(self.root.glob("weights-*.npz"))
+        for old in snaps[: max(0, len(snaps) - self.keep)]:
+            old.unlink(missing_ok=True)
+
+    def latest_version(self) -> Optional[int]:
+        marker = self.root / "latest"
+        if not marker.exists():
+            return None
+        return int(json.loads(marker.read_text())["version"])
+
+    def fetch(self, treedef) -> tuple[Any, int]:
+        marker = self.root / "latest"
+        meta = json.loads(marker.read_text())
+        with np.load(self.root / meta["path"]) as z:
+            leaves = [z[k] for k in z.files]
+        return jax.tree.unflatten(treedef, leaves), int(meta["version"])
+
+
+def make_transport(kind: str, **kw) -> Any:
+    if kind == "colocate":
+        return ColocateTransport(kw.get("store") or ParamStore())
+    if kind == "filesystem":
+        return FilesystemTransport(kw["root"], keep=kw.get("keep", 2))
+    raise KeyError(f"unknown transport {kind!r} (colocate | filesystem)")

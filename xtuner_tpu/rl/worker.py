@@ -1,0 +1,224 @@
+"""Rollout worker: HTTP server wrapping engine-native generation.
+
+Reference: xtuner/v1/rl/rollout/worker.py (RolloutWorker :510 — OpenAI wire
+protocol, per-token logprobs :784, pause/abort :730, update_weights) and the
+engine backends (vllm.py/sglang.py/lmdeploy.py). TPU redesign: the "engine"
+IS model/generate.py on the local chip/mesh — one ThreadingHTTPServer exposes
+
+  POST /v1/completions   prompt text OR prompt_ids; returns token ids,
+                         sampled-token logprobs, text (when a tokenizer is
+                         attached), finish_reason, and the serving policy
+                         version (for staleness/truncated-IS bookkeeping)
+  GET  /health           liveness + current weight version
+  POST /pause /resume    generation gate (weight-sync windows)
+  POST /update_weights   {"path": snapshot_dir} filesystem transport reload,
+                         or {"version": n} colocate bump (params already
+                         swapped via the shared ParamStore)
+
+MoE models additionally return per-token routed expert indices when asked
+(`return_routing`) — the R3 rollout-routing-replay hook (worker.py:784).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.generate import GenerateConfig, generate
+from ..utils.logger import get_logger
+from .transport import ParamStore
+
+logger = get_logger()
+
+
+class RolloutWorker:
+    def __init__(self, model_cfg, params=None, tokenizer=None,
+                 gen_cfg: Optional[GenerateConfig] = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 compute_dtype=jnp.bfloat16, pad_token_id: int = 0,
+                 param_store: Optional[ParamStore] = None):
+        self.model_cfg = model_cfg
+        self.model = model_cfg.build()
+        self.store = param_store if param_store is not None else ParamStore(params)
+        self.tokenizer = tokenizer
+        self.gen_defaults = gen_cfg or GenerateConfig()
+        self.compute_dtype = compute_dtype
+        self.pad_token_id = pad_token_id
+        self.host, self.port = host, port
+        self.paused = False
+        self._gen_lock = threading.Lock()
+        self._rng = jax.random.key(0)
+        self._server: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self._treedef = None
+
+    # ------------------------------------------------------------------
+    @property
+    def base_url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> str:
+        handler = _make_handler(self)
+        self._server = ThreadingHTTPServer((self.host, self.port), handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        logger.info(f"rollout worker serving at {self.base_url}")
+        return self.base_url
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    # ------------------------------------------------------------------
+    def update_weights(self, path: Optional[str] = None, version: Optional[int] = None) -> int:
+        """Filesystem reload or colocate version acknowledgement."""
+        if path is not None:
+            from .transport import FilesystemTransport
+
+            if self._treedef is None:
+                params, _ = self.store.get()
+                if params is None:
+                    # build the treedef from specs without initializing
+                    from ..module.params import init_params  # noqa: F401
+
+                    raise RuntimeError("worker has no params to derive a treedef from; "
+                                       "seed it with initial params first")
+                self._treedef = jax.tree.structure(params)
+            params, ver = FilesystemTransport(path).fetch(self._treedef)
+            self.store.set(params, ver)
+            return ver
+        if version is not None:
+            # colocate: params were swapped in the shared store by the trainer
+            return self.store.version
+        raise ValueError("update_weights needs `path` or `version`")
+
+    # ------------------------------------------------------------------
+    def complete(self, req: dict[str, Any]) -> dict[str, Any]:
+        """One /v1/completions request (token-ids native; text via tokenizer)."""
+        if self.paused:
+            raise PausedError()
+        params, version = self.store.get()
+        if params is None:
+            raise RuntimeError("rollout worker has no weights yet")
+
+        if "prompt_ids" in req:
+            prompt_lists = req["prompt_ids"]
+            if prompt_lists and isinstance(prompt_lists[0], int):
+                prompt_lists = [prompt_lists]
+        else:
+            if self.tokenizer is None:
+                raise ValueError("text prompt requires a tokenizer on the worker")
+            texts = req.get("prompt", "")
+            texts = [texts] if isinstance(texts, str) else texts
+            prompt_lists = [self.tokenizer.encode(t, add_special_tokens=False) for t in texts]
+        n = int(req.get("n", 1))
+        rows = [p for p in prompt_lists for _ in range(n)]
+        p_max = max(len(p) for p in rows)
+        arr = np.full((len(rows), p_max), self.pad_token_id, np.int32)
+        for i, p in enumerate(rows):
+            arr[i, p_max - len(p):] = p  # left padding
+
+        # map OpenAI names -> GenerateConfig names
+        upd = {}
+        if "max_tokens" in req:
+            upd["max_new_tokens"] = int(req["max_tokens"])
+        for k in ("temperature", "top_p", "top_k"):
+            if k in req:
+                upd[k] = req[k]
+        g = self.gen_defaults.model_copy(update=upd)
+
+        with self._gen_lock:
+            self._rng, rng = jax.random.split(self._rng)
+            out = generate(self.model, params, arr, g, rng=rng,
+                           compute_dtype=self.compute_dtype,
+                           pad_token_id=self.pad_token_id,
+                           return_logprobs=bool(req.get("logprobs", True)),
+                           record_routing=bool(req.get("return_routing")))
+        eos = g.eos_token_id if g.eos_token_id is not None else self.model_cfg.eos_token_id
+        choices = []
+        for i in range(len(rows)):
+            toks = out["generated"][i].tolist()
+            if eos in toks:
+                n_resp = toks.index(eos) + 1
+                finish = "stop"
+            else:
+                n_resp = len(toks)
+                finish = "length"
+            choice: dict[str, Any] = {
+                "index": i,
+                "token_ids": toks[:n_resp],
+                "finish_reason": finish,
+            }
+            if "logprobs" in out:
+                choice["logprobs"] = {
+                    "token_logprobs": [float(x) for x in out["logprobs"][i][:n_resp]]}
+            if self.tokenizer is not None:
+                stripped = toks[:n_resp]
+                if finish == "stop":
+                    stripped = stripped[:-1]
+                choice["text"] = self.tokenizer.decode(stripped)
+            if "routed_experts" in out and req.get("return_routing"):
+                choice["routed_experts"] = np.asarray(
+                    out["routed_experts"][i][:n_resp]).tolist()
+            choices.append(choice)
+        return {"object": "text_completion", "model": req.get("model", "default"),
+                "policy_version": version, "choices": choices}
+
+
+class PausedError(RuntimeError):
+    pass
+
+
+def _make_handler(worker: RolloutWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence default stderr access log
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "paused" if worker.paused else "ok",
+                                 "version": worker.store.version})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            try:
+                if self.path == "/v1/completions":
+                    self._send(200, worker.complete(req))
+                elif self.path == "/pause":
+                    worker.paused = True
+                    self._send(200, {"status": "paused"})
+                elif self.path == "/resume":
+                    worker.paused = False
+                    self._send(200, {"status": "ok"})
+                elif self.path == "/update_weights":
+                    ver = worker.update_weights(req.get("path"), req.get("version"))
+                    self._send(200, {"status": "ok", "version": ver})
+                else:
+                    self._send(404, {"error": "not found"})
+            except PausedError:
+                self._send(409, {"error": "worker paused"})
+            except Exception as e:  # surface errors to the client
+                logger.error(f"rollout worker error: {e!r}")
+                self._send(500, {"error": repr(e)})
+
+    return Handler
