@@ -42,10 +42,18 @@ def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
     zero_c = cfg.rms_norm_type == "zero_centered"
     lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_c)
-    h, cache_k, cache_v = mha_cached_forward(
-        lp["attn"], cfg.attention, h, cos, sin, cache_k, cache_v, cache_len,
-        window=cfg.sliding_window if cfg.use_sliding_window else None, lora_scaling=lora_s,
-        kv_mask=kv_mask)
+    from ..module.mla import MLAConfig, mla_cached_forward
+
+    if isinstance(cfg.attention, MLAConfig):
+        # compressed-KV decode: caches hold the latent + shared rope key
+        h, cache_k, cache_v = mla_cached_forward(
+            lp["attn"], cfg.attention, h, cos, sin, cache_k, cache_v, cache_len,
+            rope_scaling=cfg.rope_scaling_cfg, kv_mask=kv_mask)
+    else:
+        h, cache_k, cache_v = mha_cached_forward(
+            lp["attn"], cfg.attention, h, cos, sin, cache_k, cache_v, cache_len,
+            window=cfg.sliding_window if cfg.use_sliding_window else None,
+            lora_scaling=lora_s, kv_mask=kv_mask)
     x = x + h
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_c)
     routing = None
@@ -81,11 +89,19 @@ def _stacks(model, params):
 def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):
     cfg = model.cfg
     attn = cfg.attention
-    shape = (batch_size, max_length, attn.num_key_value_heads, attn.head_dim)
+    from ..module.mla import MLAConfig
+
+    if isinstance(attn, MLAConfig):
+        # compressed-KV: latent (rank) + shared rope key per position —
+        # kv_lora_rank+rope_dim dims vs nh*(dn+dv) materialized (mla.py:83-123)
+        shape_k = (batch_size, max_length, 1, attn.kv_lora_rank)
+        shape_v = (batch_size, max_length, 1, attn.qk_rope_head_dim)
+    else:
+        shape_k = shape_v = (batch_size, max_length, attn.num_key_value_heads, attn.head_dim)
     caches = []
     for stack in _stacks(model, model.param_specs()):
         n = jax.tree.leaves(stack, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
-        caches.append((jnp.zeros((n, *shape), dtype), jnp.zeros((n, *shape), dtype)))
+        caches.append((jnp.zeros((n, *shape_k), dtype), jnp.zeros((n, *shape_v), dtype)))
     return caches
 
 
@@ -144,7 +160,8 @@ def _sample(logits, rng, gen_cfg: GenerateConfig):
 
 def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
              rng=None, compute_dtype=jnp.bfloat16, pad_token_id: int = 0,
-             return_logprobs: bool = False, record_routing: bool = False):
+             return_logprobs: bool = False, record_routing: bool = False,
+             prompt_group_size: int = 1):
     """prompt_ids: (B, P) int32, left-padded with pad_token_id.
 
     Returns dict with `sequences` (B, P+N), `num_generated`, and optionally
@@ -153,6 +170,10 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     expert assignment of the forward step that SAMPLED each token, i.e.
     routing of input position p+j-1 for response token j, which is exactly
     the position token j occupies as a training input (R3 replay).
+    prompt_group_size g > 1: rows come in groups of g IDENTICAL prompts (GRPO
+    rollout); prefill runs once per unique prompt (B/g rows) and the prompt
+    KV is tiled across the group — the prefix-sharing compute win without
+    paging (cf. module/kv_cache.py for the paged memory analog).
     """
     cfg = model.cfg
     rng = rng if rng is not None else jax.random.key(0)
@@ -162,7 +183,10 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     max_len = p + n_new
     eos = gen_cfg.eos_token_id if gen_cfg.eos_token_id is not None else cfg.eos_token_id
 
-    caches = init_cache(model, b, max_len, compute_dtype)
+    g = prompt_group_size
+    assert b % max(g, 1) == 0
+    b_u = b // g if g > 1 else b
+    caches = init_cache(model, b_u, max_len, compute_dtype)
     prompt_mask = prompt_ids != pad_token_id
     positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
 
@@ -177,10 +201,15 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
                                                   caches, jnp.int32(0), compute_dtype,
                                                   kv_mask0, record_routing)
         last = logits[:, -1]
+        rout = routing[:, -1] if routing is not None else None  # (B_u, nL, K)
+        if g > 1:
+            # tile the shared prompt KV / logits across the rollout group
+            caches = jax.tree.map(lambda a: jnp.repeat(a, g, axis=1), caches)
+            last = jnp.repeat(last, g, axis=0)
+            rout = jnp.repeat(rout, g, axis=0) if rout is not None else None
         next_tok = _sample(last, rng, gen_cfg)
         lp = jax.nn.log_softmax(last, axis=-1)
         lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
-        rout = routing[:, -1] if routing is not None else None  # (B, nL, K)
         return next_tok, lp, caches, rout
 
     def decode_step(params, tok, pos, cache_len, kv_mask0, caches, rng, done):
@@ -203,7 +232,7 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
         return new_tok, lp, caches, new_done, rout
 
     cache_key = (b, p, n_new, eos, pad_token_id, str(compute_dtype), record_routing,
-                 gen_cfg.model_dump_json())
+                 g, gen_cfg.model_dump_json())
     jit_cache = getattr(model, "_gen_jit_cache", None)
     if jit_cache is None:
         jit_cache = model._gen_jit_cache = {}
@@ -214,7 +243,12 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
         )
     prefill_fn, step_fn = jit_cache[cache_key]
 
-    tok, lp, caches, rout = prefill_fn(params, prompt_ids, positions, kv_mask0, caches, rng)
+    if g > 1:
+        tok, lp, caches, rout = prefill_fn(params, prompt_ids[::g], positions[::g],
+                                           kv_mask0[::g], caches, rng)
+    else:
+        tok, lp, caches, rout = prefill_fn(params, prompt_ids, positions, kv_mask0,
+                                           caches, rng)
     toks_list, lps_list, rout_list = [tok], [lp], [rout]
     done = jnp.zeros(b, bool)
     pos = positions[:, -1]

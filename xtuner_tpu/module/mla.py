@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from pydantic import BaseModel, ConfigDict
 
@@ -94,6 +95,74 @@ def _deinterleave_rope(t):
     """(..., d) interleaved pairs (x0,y0,x1,y1,...) -> half-split (x..., y...)."""
     *lead, d = t.shape
     return t.reshape(*lead, d // 2, 2).swapaxes(-1, -2).reshape(*lead, d)
+
+
+def mla_cached_forward(p: dict, cfg: MLAConfig, x, cos, sin, cache_c, cache_r,
+                       cache_len, rope_scaling: Optional[RopeScalingConfig] = None,
+                       kv_mask=None):
+    """Compressed-KV (latent) incremental attention for generation.
+
+    Reference: mla.py:83-123 flash_mla_with_kvcache — the cache stores ONLY
+    the rank-`kv_lora_rank` latent + the shared rope key (576 dims for
+    DeepSeek V3 vs nh*(dn+dv)=32k materialized), and the query is ABSORBED
+    into latent space through the k-half of kv_b_proj, so decode attention
+    contracts over kv_lora_rank instead of per-head keys:
+
+      q_lat = q_nope @ W_uk          (B, C, nh, rank)
+      logit = q_lat·cache_c + q_rope·cache_rope
+      out   = (softmax @ cache_c) @ W_uv
+
+    x: (B, C, H); cache_c: (B, S, 1, rank); cache_r: (B, S, 1, rope_dim).
+    Exactly the materialized-path math by associativity (fp32 softmax).
+    """
+    b, c, _ = x.shape
+    nh, rank = cfg.num_attention_heads, cfg.kv_lora_rank
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    s_max = cache_c.shape[1]
+
+    if cfg.q_lora_rank is not None:
+        q = x @ p["q_a_proj"]["w"]
+        q = rms_norm(q, p["q_a_norm"], cfg.rms_norm_eps)
+        q = q @ p["q_b_proj"]["w"]
+    else:
+        q = x @ p["q_proj"]["w"]
+    q = q.reshape(b, c, nh, cfg.qk_head_dim)
+    q_nope, q_rope = q[..., :dn], q[..., dn:]
+
+    kv = x @ p["kv_a_proj"]["w"]
+    kv_c, k_rope = kv[..., :rank], kv[..., rank:]
+    kv_c = rms_norm(kv_c, p["kv_a_norm"], cfg.rms_norm_eps)
+    q_rope = _deinterleave_rope(q_rope)
+    k_rope = _deinterleave_rope(k_rope[:, :, None, :])
+    q_rope, k_rope = apply_rotary_emb(q_rope, k_rope, cos, sin)
+
+    cache_c = jax.lax.dynamic_update_slice(
+        cache_c, kv_c[:, :, None, :].astype(cache_c.dtype), (0, cache_len, 0, 0))
+    cache_r = jax.lax.dynamic_update_slice(
+        cache_r, k_rope.astype(cache_r.dtype), (0, cache_len, 0, 0))
+
+    # absorbed projections from the k/v halves of kv_b_proj
+    wkb = p["kv_b_proj"]["w"].reshape(rank, nh, dn + dv)
+    w_uk, w_uv = wkb[..., :dn], wkb[..., dn:]
+    q_lat = jnp.einsum("bcnd,rnd->bcnr", q_nope.astype(jnp.float32),
+                       w_uk.astype(jnp.float32))
+
+    scale = mla_softmax_scale(cfg, rope_scaling)
+    lat = cache_c[:, :, 0].astype(jnp.float32)  # (B, S, rank)
+    rop = cache_r[:, :, 0].astype(jnp.float32)  # (B, S, dr)
+    logits = (jnp.einsum("bcnr,bsr->bncs", q_lat, lat)
+              + jnp.einsum("bcnd,bsd->bncs", q_rope.astype(jnp.float32), rop)) * scale
+    kpos = jnp.arange(s_max)[None, :]
+    qpos = cache_len + jnp.arange(c)[:, None]
+    mask = (kpos <= qpos)[None, None]
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, None, :]
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out_lat = jnp.einsum("bncs,bsr->bcnr", probs, lat)
+    o = jnp.einsum("bcnr,rnd->bcnd", out_lat, w_uv.astype(jnp.float32)).astype(x.dtype)
+    o = o.reshape(b, c, nh * dv)
+    return o @ p["o_proj"]["w"], cache_c, cache_r
 
 
 def mla_forward(p: dict, cfg: MLAConfig, x, cos, sin, segment_ids, sc: ShardCtx,

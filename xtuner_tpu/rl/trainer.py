@@ -178,7 +178,8 @@ class RLColocateTrainer:
         out = generate(self.engine.model, self.engine.params, prompt_arr, cfg.gen_cfg,
                        rng=rng, compute_dtype=self.engine.compute_dtype,
                        pad_token_id=self.pad_id, return_logprobs=True,
-                       record_routing=cfg.rollout_routing_replay)
+                       record_routing=cfg.rollout_routing_replay,
+                       prompt_group_size=g)  # prompt KV prefilled once per group
         eos = cfg.gen_cfg.eos_token_id or cfg.model_cfg.eos_token_id
         groups = []
         for i, (pi, item, prompt) in enumerate(zip(idxs, items, prompts)):
