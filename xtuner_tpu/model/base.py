@@ -40,6 +40,9 @@ class ModelOutputs:
     balancing_loss: Optional[jax.Array] = None
     z_loss: Optional[jax.Array] = None
     mtp_loss: Optional[jax.Array] = None
+    # DSA lightning-indexer distillation (reference ops/sparse_mla; the
+    # indexer's only gradient path) — summed into total_loss by name
+    dsa_index_loss: Optional[jax.Array] = None
     hidden_states: Optional[jax.Array] = None
     # per-layer expert token counts (L_moe, E) — consumed by the engine's
     # post-step noaux bias update (reference moe.py:296-361); NOT a loss field
@@ -83,6 +86,10 @@ class TransformerConfig(PydanticBaseModel):
     lm_loss_cfg: CELossConfig = CELossConfig()
     # hf interop
     hf_config_overrides: dict[str, Any] = {}
+
+    # DSA lightning-indexer distillation weight (only read when attention is
+    # a DSAConfig; reference dsa_mla indexer loss)
+    dsa_index_loss_coef: float = 1.0
 
     # ---- knobs the engine reads ----
     init_scale: float = 0.02

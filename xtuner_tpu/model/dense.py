@@ -19,7 +19,7 @@ from ..module.attention import mha_forward, mha_param_specs
 from ..module.mla import MLAConfig, mla_forward, mla_param_specs
 from ..module.mlp import mlp_forward, mlp_param_specs
 from ..module.params import ParamSpec, cast_tree, stack_specs
-from ..module.rope import model_rope_cos_sin
+from ..module.rope import _rope_dim, model_rope_cos_sin
 from ..ops.rms_norm import rms_norm
 from ..parallel.sharding import NULL_SHARD_CTX, ShardCtx
 from .base import ModelOutputs, TransformerConfig
@@ -60,6 +60,23 @@ def _remat_policy(name: str):
     raise ValueError(f"Unknown remat policy {name!r}")
 
 
+def _is_dsa(attn_cfg) -> bool:
+    from ..module.dsa import DSAConfig
+
+    return isinstance(attn_cfg, DSAConfig)
+
+
+def _attn_param_specs(cfg, lora_cfg=None):
+    """Attention spec dispatch shared by Dense/MoE: DSA > MLA > MHA."""
+    from ..module.dsa import dsa_param_specs
+
+    if _is_dsa(cfg.attention):
+        return dsa_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale)
+    if isinstance(cfg.attention, MLAConfig):
+        return mla_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale)
+    return mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale, lora_cfg)
+
+
 class DenseConfig(TransformerConfig):
     def build(self) -> "Dense":
         return Dense(self)
@@ -74,10 +91,7 @@ class Dense:
     # ------------------------------------------------------------------
     def layer_param_specs(self) -> dict:
         cfg = self.cfg
-        attn_specs = (mla_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale)
-                      if isinstance(cfg.attention, MLAConfig)
-                      else mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale,
-                                           cfg.lora_cfg))
+        attn_specs = _attn_param_specs(cfg, cfg.lora_cfg)
         return {
             "attn": attn_specs,
             "mlp": mlp_param_specs(cfg.hidden_size, cfg.intermediate_size, cfg.init_scale,
@@ -95,6 +109,12 @@ class Dense:
         }
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = {"w": ParamSpec((cfg.hidden_size, cfg.vocab_size), ("embed_shard", "vocab"), scale=cfg.init_scale)}
+        if cfg.rope_scaling_cfg is not None and cfg.rope_scaling_cfg.use_fope:
+            from ..module.rope import _rope_dim as _rd, fope_param_specs
+
+            specs["fope"] = fope_param_specs(_rd(cfg.attention), cfg.rope_theta,
+                                             cfg.rope_scaling_cfg,
+                                             cfg.max_position_embeddings)
         return specs
 
     # ------------------------------------------------------------------
@@ -108,7 +128,14 @@ class Dense:
         # SPMD involuntary full remat with fsdp-sharded projection weights)
         h = sc(rms_norm(x, lp["input_norm"], cfg.rms_norm_eps,
                         cfg.rms_norm_type == "zero_centered"), "batch", "seq", None)
-        if isinstance(cfg.attention, MLAConfig):
+        idx_loss = jnp.float32(0.0)
+        if _is_dsa(cfg.attention):
+            from ..module.dsa import dsa_forward
+
+            h, _, idx_loss = dsa_forward(lp["attn"], cfg.attention, h, cos, sin,
+                                         segment_ids, sc,
+                                         rope_scaling=cfg.rope_scaling_cfg)
+        elif isinstance(cfg.attention, MLAConfig):
             h = mla_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             rope_scaling=cfg.rope_scaling_cfg, attn_impl=cfg.attn_impl)
         else:
@@ -123,7 +150,7 @@ class Dense:
         h = mlp_forward(lp["mlp"], h, cfg.hidden_act, lora_scaling=lora_s,
                         fp8_cfg=cfg.float8_cfg)
         x = x + h
-        return sc(x, "batch", "seq", None)
+        return sc(x, "batch", "seq", None), idx_loss
 
     def forward(self, params, seq_ctx, sc: ShardCtx = NULL_SHARD_CTX,
                 compute_dtype=jnp.bfloat16, remat: str = "full"):
@@ -134,12 +161,15 @@ class Dense:
         else:
             x = jnp.take(params["embed"]["w"], seq_ctx.input_ids, axis=0).astype(compute_dtype)
         x = sc(x, "batch", "seq", None)
-        cos, sin = model_rope_cos_sin(seq_ctx, cfg.attention.head_dim, cfg.rope_theta,
-                                      cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+        cos, sin = model_rope_cos_sin(seq_ctx, _rope_dim(cfg.attention), cfg.rope_theta,
+                                      cfg.rope_scaling_cfg, cfg.max_position_embeddings,
+                                      fope_params=params.get("fope"))
         segment_ids = seq_ctx.segment_ids
 
         def layer_fn(x, lp):
-            return self._layer_forward(x, lp, cfg, cos, sin, segment_ids, sc, compute_dtype), None
+            x, idx_loss = self._layer_forward(x, lp, cfg, cos, sin, segment_ids, sc,
+                                              compute_dtype)
+            return x, idx_loss
 
         policy = _remat_policy(remat)
         if policy != "none":
@@ -157,13 +187,17 @@ class Dense:
 
             def layer_ds_fn(x, xs):
                 lp, add = xs
-                x, _ = layer_fn(x, lp)
-                return x + add.astype(x.dtype), None
+                x, idx = layer_fn(x, lp)
+                return x + add.astype(x.dtype), idx
 
-            x, _ = jax.lax.scan(layer_ds_fn, x, (head, ds))
-            x, _ = jax.lax.scan(layer_fn, x, tail)
+            x, idx0 = jax.lax.scan(layer_ds_fn, x, (head, ds))
+            x, idx1 = jax.lax.scan(layer_fn, x, tail)
+            idx_losses = jnp.concatenate([idx0, idx1])
         else:
-            x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+            x, idx_losses = jax.lax.scan(layer_fn, x, params["layers"])
+        # DSA lightning-indexer distillation loss (the indexer's only gradient
+        # path, reference dsa_mla.py); zero for non-DSA attention
+        self._last_idx_loss = jnp.sum(idx_losses)
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                      cfg.rms_norm_type == "zero_centered")
         return x.astype(compute_dtype)
@@ -180,7 +214,10 @@ class Dense:
         w = self.lm_head_weight(params).astype(compute_dtype)
         loss, sum_ce, num_tokens = ce_loss(hidden, w, shifted_labels, loss_weights,
                                            global_denom, self.cfg.lm_loss_cfg, sc=sc)
-        return ModelOutputs(loss=loss, sum_ce=sum_ce, num_tokens=num_tokens)
+        out = ModelOutputs(loss=loss, sum_ce=sum_ce, num_tokens=num_tokens)
+        if _is_dsa(self.cfg.attention):
+            out.dsa_index_loss = self.cfg.dsa_index_loss_coef * self._last_idx_loss
+        return out
 
     # ------------------------------------------------------------------
     # HF interop (reference: to_hf_key_list converters, dense presets)
@@ -292,4 +329,7 @@ class Dense:
             keymap["layers"]["mlp"]["down_proj"]["b"] = HFKey("model.layers.{layer}.mlp.down_proj.bias")
         if not cfg.tie_word_embeddings:
             keymap["lm_head"] = {"w": HFKey("lm_head.weight", "linear")}
+        if cfg.rope_scaling_cfg is not None and cfg.rope_scaling_cfg.use_fope:
+            keymap["fope"] = {"sin_coef": HFKey("model.rotary_emb.sin_coef"),
+                              "cos_coef": HFKey("model.rotary_emb.cos_coef")}
         return keymap

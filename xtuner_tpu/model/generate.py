@@ -21,7 +21,7 @@ from pydantic import BaseModel, ConfigDict
 from ..module.attention import mha_cached_forward
 from ..module.mlp import mlp_forward
 from ..module.params import cast_tree
-from ..module.rope import rope_cos_sin
+from ..module.rope import _rope_dim, rope_cos_sin
 from ..ops.rms_norm import rms_norm
 
 
@@ -113,7 +113,7 @@ def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dt
     stacks (R3 rollout-routing record, reference rollout/worker.py:784)."""
     cfg = model.cfg
     x = jnp.take(params["embed"]["w"], ids, axis=0).astype(compute_dtype)
-    cos, sin = rope_cos_sin(positions, cfg.attention.head_dim, cfg.rope_theta,
+    cos, sin = rope_cos_sin(positions, _rope_dim(cfg.attention), cfg.rope_theta,
                             cfg.rope_scaling_cfg, cfg.max_position_embeddings)
     new_caches = []
     routings = []

@@ -29,12 +29,12 @@ from ..module.mla import MLAConfig, mla_forward, mla_param_specs
 from ..module.mlp import mlp_forward, mlp_param_specs
 from ..module.moe_layer import expert_mlp_param_specs, moe_mlp_forward
 from ..module.params import ParamSpec, cast_tree, stack_specs
-from ..module.rope import model_rope_cos_sin
+from ..module.rope import _rope_dim, model_rope_cos_sin
 from ..module.router import GreedyRouterConfig, RouterConfig, router_param_specs
 from ..ops.rms_norm import rms_norm
 from ..parallel.sharding import NULL_SHARD_CTX, ShardCtx
 from .base import ModelOutputs
-from .dense import Dense, DenseConfig, _remat_policy
+from .dense import Dense, DenseConfig, _attn_param_specs, _is_dsa, _remat_policy
 
 
 class MoEConfig(DenseConfig):
@@ -74,9 +74,7 @@ class MoE(Dense):
     # ------------------------------------------------------------------
     def moe_layer_param_specs(self) -> dict:
         cfg = self.cfg
-        attn_specs = (mla_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale)
-                      if isinstance(cfg.attention, MLAConfig)
-                      else mha_param_specs(cfg.attention, cfg.hidden_size, cfg.init_scale))
+        attn_specs = _attn_param_specs(cfg)
         specs = {
             "attn": attn_specs,
             "input_norm": ParamSpec((cfg.hidden_size,), (None,), init="ones"),
@@ -112,6 +110,12 @@ class MoE(Dense):
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = {"w": ParamSpec((cfg.hidden_size, cfg.vocab_size),
                                                ("embed_shard", "vocab"), scale=cfg.init_scale)}
+        if cfg.rope_scaling_cfg is not None and cfg.rope_scaling_cfg.use_fope:
+            from ..module.rope import _rope_dim as _rd, fope_param_specs
+
+            specs["fope"] = fope_param_specs(_rd(cfg.attention), cfg.rope_theta,
+                                             cfg.rope_scaling_cfg,
+                                             cfg.max_position_embeddings)
         return specs
 
     # ------------------------------------------------------------------
@@ -127,7 +131,14 @@ class MoE(Dense):
         # (fsdp, ep) mesh (XLA b/433785288)
         h = sc(rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_centered),
                "batch", "seq", None)
-        if isinstance(cfg.attention, MLAConfig):
+        idx_loss = jnp.float32(0.0)
+        if _is_dsa(cfg.attention):
+            from ..module.dsa import dsa_forward
+
+            h, _, idx_loss = dsa_forward(lp["attn"], cfg.attention, h, cos, sin,
+                                         segment_ids, sc,
+                                         rope_scaling=cfg.rope_scaling_cfg)
+        elif isinstance(cfg.attention, MLAConfig):
             h = mla_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             rope_scaling=cfg.rope_scaling_cfg, attn_impl=cfg.attn_impl)
         else:
@@ -149,7 +160,7 @@ class MoE(Dense):
         bal, _ = balancing_loss(r.probs, r.topk_idx, valid,
                                 cfg.n_routed_experts, cfg.num_experts_per_tok)
         zl = z_loss(r.logits, valid)
-        return x, (bal, zl, load)
+        return x, (bal, zl, load, idx_loss)
 
     def forward(self, params, seq_ctx, sc: ShardCtx = NULL_SHARD_CTX,
                 compute_dtype=jnp.bfloat16, remat: str = "full"):
@@ -159,8 +170,9 @@ class MoE(Dense):
         else:
             x = jnp.take(params["embed"]["w"], seq_ctx.input_ids, axis=0).astype(compute_dtype)
         x = sc(x, "batch", "seq", None)
-        cos, sin = model_rope_cos_sin(seq_ctx, cfg.attention.head_dim, cfg.rope_theta,
-                                      cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+        cos, sin = model_rope_cos_sin(seq_ctx, _rope_dim(cfg.attention), cfg.rope_theta,
+                                      cfg.rope_scaling_cfg, cfg.max_position_embeddings,
+                                      fope_params=params.get("fope"))
         segment_ids = seq_ctx.segment_ids
         valid = (segment_ids != 0).reshape(-1)
         policy = _remat_policy(remat)
@@ -170,13 +182,16 @@ class MoE(Dense):
                 "deepstack injection assumes the first n_ds layers are plain MoE "
                 "layers (Qwen3-VL MoE shape: first_k_dense_replace=0, no window pattern)")
 
+        dense_idx_loss = jnp.float32(0.0)
         if cfg.first_k_dense_replace > 0:
             def dense_fn(x, lp):
-                return self._layer_forward(x, lp, cfg, cos, sin, segment_ids, sc,
-                                           compute_dtype), None
+                x, idx = self._layer_forward(x, lp, cfg, cos, sin, segment_ids, sc,
+                                             compute_dtype)
+                return x, idx
             if policy != "none":
                 dense_fn = jax.checkpoint(dense_fn, policy=policy, prevent_cse=False)
-            x, _ = jax.lax.scan(dense_fn, x, params["dense_layers"])
+            x, dense_idx = jax.lax.scan(dense_fn, x, params["dense_layers"])
+            dense_idx_loss = jnp.sum(dense_idx)
 
         pattern = cfg.layer_window_pattern
         if pattern:
@@ -187,17 +202,19 @@ class MoE(Dense):
 
             def moe_fn(x, lp):
                 bals, zls, loads = [], [], []
+                idxs = []
                 for k in range(period):  # static unroll within the scan body
                     sub = jax.tree.map(lambda a: a[k], lp)
-                    x, (b_, z_, l_) = self._moe_layer_forward(
+                    x, (b_, z_, l_, i_) = self._moe_layer_forward(
                         x, sub, cfg, cos, sin, segment_ids, valid, sc, compute_dtype,
                         window=pattern[k])
-                    bals.append(b_); zls.append(z_); loads.append(l_)
-                return x, (jnp.stack(bals), jnp.stack(zls), jnp.stack(loads))
+                    bals.append(b_); zls.append(z_); loads.append(l_); idxs.append(i_)
+                return x, (jnp.stack(bals), jnp.stack(zls), jnp.stack(loads),
+                           jnp.stack(idxs))
 
             if policy != "none":
                 moe_fn = jax.checkpoint(moe_fn, policy=policy, prevent_cse=False)
-            x, (bal, zl, load) = jax.lax.scan(moe_fn, x, stacked)
+            x, (bal, zl, load, idxl) = jax.lax.scan(moe_fn, x, stacked)
             bal, zl = bal.reshape(-1), zl.reshape(-1)
             load = load.reshape(-1, load.shape[-1])
         elif seq_ctx.rollout_routed_experts is not None:
@@ -218,7 +235,7 @@ class MoE(Dense):
             if policy != "none":
                 moe_replay_fn = jax.checkpoint(moe_replay_fn, policy=policy,
                                                prevent_cse=False)
-            x, (bal, zl, load) = jax.lax.scan(
+            x, (bal, zl, load, idxl) = jax.lax.scan(
                 moe_replay_fn, x, (params["moe_layers"], routing_xs))
         else:
             def moe_fn(x, lp):
@@ -238,13 +255,14 @@ class MoE(Dense):
                     x, aux = moe_fn(x, lp)
                     return x + add.astype(x.dtype), aux
 
-                x, (bal0, zl0, load0) = jax.lax.scan(moe_ds_fn, x, (head, ds))
-                x, (bal1, zl1, load1) = jax.lax.scan(moe_fn, x, tail)
+                x, (bal0, zl0, load0, idx0) = jax.lax.scan(moe_ds_fn, x, (head, ds))
+                x, (bal1, zl1, load1, idx1) = jax.lax.scan(moe_fn, x, tail)
                 bal = jnp.concatenate([bal0, bal1])
                 zl = jnp.concatenate([zl0, zl1])
                 load = jnp.concatenate([load0, load1])
+                idxl = jnp.concatenate([idx0, idx1])
             else:
-                x, (bal, zl, load) = jax.lax.scan(moe_fn, x, params["moe_layers"])
+                x, (bal, zl, load, idxl) = jax.lax.scan(moe_fn, x, params["moe_layers"])
 
         self._last_trunk = x  # pre-final-norm trunk (MTP input; same trace)
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
@@ -252,6 +270,7 @@ class MoE(Dense):
         # NOTE: aux stash is trace-local state consumed by loss() in the same
         # trace; forward() used standalone simply ignores it
         self._last_aux = (bal, zl, load)  # per-layer arrays (scan outputs)
+        self._last_idx_loss = dense_idx_loss + jnp.sum(idxl)
         return x.astype(compute_dtype)
 
     def loss(self, params, seq_ctx, shifted_labels, loss_weights, global_denom,
@@ -265,6 +284,8 @@ class MoE(Dense):
                                          global_denom, cfg.lm_loss_cfg, sc=sc)
         out = ModelOutputs(loss=lm, sum_ce=sum_ce, num_tokens=num_tokens,
                            expert_load=load)
+        if _is_dsa(cfg.attention):
+            out.dsa_index_loss = cfg.dsa_index_loss_coef * self._last_idx_loss
         if cfg.balancing_loss_coef > 0:
             out.balancing_loss = cfg.balancing_loss_coef * jnp.mean(bal)
         if cfg.z_loss_coef > 0:
@@ -283,7 +304,7 @@ class MoE(Dense):
 
         cfg = self.cfg
         seg = seq_ctx.segment_ids
-        cos, sin = rope_cos_sin(seq_ctx.position_ids, cfg.attention.head_dim, cfg.rope_theta,
+        cos, sin = rope_cos_sin(seq_ctx.position_ids, _rope_dim(cfg.attention), cfg.rope_theta,
                                 cfg.rope_scaling_cfg, cfg.max_position_embeddings)
         valid = (seg != 0).reshape(-1)
         h = self._last_trunk

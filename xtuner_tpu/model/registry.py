@@ -20,6 +20,15 @@ def _moe_presets():
         "gpt-oss-20b": gpt_oss.gpt_oss_20b,
         "gpt-oss-120b": gpt_oss.gpt_oss_120b,
         "glm-4.5-air": glm.glm_45_air,
+        "glm-5.2": glm.glm_52,
+    }
+
+
+def _hybrid_presets():
+    from . import hybrid
+
+    return {
+        "qwen3.5-moe-35b-a3b": hybrid.qwen3_5_moe_35b_a3b,
     }
 
 
@@ -41,6 +50,7 @@ model_mapping: dict[str, Callable] = {
     "qwen3-8b": qwen.qwen3_8b,
     **_moe_presets(),
     **_vlm_presets(),
+    **_hybrid_presets(),
 }
 
 

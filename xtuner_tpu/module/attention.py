@@ -38,6 +38,18 @@ class MHAConfig(BaseModel):
     sliding_window: Optional[int] = None  # applied per-layer by the model
     with_sinks: bool = False
     rms_norm_eps: float = 1e-6
+    rms_norm_type: str = "default"  # default | zero_centered (qk-norm flavor)
+    # Qwen3-Next gated attention (reference mha.py:45,342-346,430-432):
+    # q_proj emits (q ‖ gate) per head; sigmoid(gate) scales the attention
+    # output before o_proj
+    with_gate: bool = False
+    # rotary on only the first `rope_dim` dims of each head (Qwen3.5: 0.25)
+    partial_rotary_factor: float = 1.0
+
+    @property
+    def rope_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
     # dims of the projections
     def q_dim(self) -> int:
         return self.num_attention_heads * self.head_dim
@@ -48,8 +60,9 @@ class MHAConfig(BaseModel):
 
 def mha_param_specs(cfg: MHAConfig, hidden_size: int, init_scale: float = 0.02,
                     lora: Optional[LoraConfig] = None) -> dict:
+    q_out = cfg.q_dim() * (2 if cfg.with_gate else 1)
     specs: dict = {
-        "q_proj": {"w": ParamSpec((hidden_size, cfg.q_dim()), ("embed_shard", "heads"), scale=init_scale)},
+        "q_proj": {"w": ParamSpec((hidden_size, q_out), ("embed_shard", "heads"), scale=init_scale)},
         "k_proj": {"w": ParamSpec((hidden_size, cfg.kv_dim()), ("embed_shard", "kv_heads"), scale=init_scale)},
         "v_proj": {"w": ParamSpec((hidden_size, cfg.kv_dim()), ("embed_shard", "kv_heads"), scale=init_scale)},
         "o_proj": {"w": ParamSpec((cfg.q_dim(), hidden_size), ("heads", "embed_shard"), scale=init_scale)},
@@ -70,6 +83,17 @@ def mha_param_specs(cfg: MHAConfig, hidden_size: int, init_scale: float = 0.02,
     return specs
 
 
+def apply_partial_rotary(q, k, cos, sin, rope_dim: int):
+    """Rotate only the first `rope_dim` dims of each head (partial rotary,
+    Qwen3.5 factor 0.25); cos/sin are (B, L, rope_dim)."""
+    if rope_dim == q.shape[-1]:
+        return apply_rotary_emb(q, k, cos, sin)
+    q_rot, k_rot = apply_rotary_emb(q[..., :rope_dim], k[..., :rope_dim], cos, sin)
+    q = jnp.concatenate([q_rot, q[..., rope_dim:]], axis=-1)
+    k = jnp.concatenate([k_rot, k[..., rope_dim:]], axis=-1)
+    return q, k
+
+
 def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
                 sc: ShardCtx, window: Optional[int] = None, attn_impl: Optional[str] = None,
                 lora_scaling: float = 1.0, fp8_cfg=None):
@@ -78,15 +102,21 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
         return lora_linear(x, p, lora_scaling, fp8_cfg)
 
     b, l, _ = x.shape
-    q = _linear(x, p["q_proj"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
+    gate = None
+    if cfg.with_gate:
+        qg = _linear(x, p["q_proj"]).reshape(b, l, cfg.num_attention_heads, 2 * cfg.head_dim)
+        q, gate = qg[..., : cfg.head_dim], qg[..., cfg.head_dim:]
+    else:
+        q = _linear(x, p["q_proj"]).reshape(b, l, cfg.num_attention_heads, cfg.head_dim)
     k = _linear(x, p["k_proj"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
     v = _linear(x, p["v_proj"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
 
     if cfg.qk_norm:
-        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        zc = cfg.rms_norm_type == "zero_centered"
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, zc)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, zc)
 
-    q, k = apply_rotary_emb(q, k, cos, sin)
+    q, k = apply_partial_rotary(q, k, cos, sin, cfg.rope_dim)
 
     sinks = p["sinks"] if cfg.with_sinks else None
     # Ulysses handled inside `attention`: Pallas impls run under shard_map
@@ -103,6 +133,9 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
     o = sc(o, "batch", "seq", None, None)
     o = checkpoint_name(o, "attn_out")
     o = o.reshape(b, l, cfg.q_dim())
+    if gate is not None:
+        o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype).reshape(
+            b, l, cfg.q_dim())
     return _linear(o, p["o_proj"])
 
 
@@ -123,13 +156,19 @@ def mha_cached_forward(p: dict, cfg: MHAConfig, x, cos, sin, cache_k, cache_v,
 
     b, c, _ = x.shape
     s_max = cache_k.shape[1]
-    q = _linear(x, p["q_proj"]).reshape(b, c, cfg.num_attention_heads, cfg.head_dim)
+    gate = None
+    if cfg.with_gate:
+        qg = _linear(x, p["q_proj"]).reshape(b, c, cfg.num_attention_heads, 2 * cfg.head_dim)
+        q, gate = qg[..., : cfg.head_dim], qg[..., cfg.head_dim:]
+    else:
+        q = _linear(x, p["q_proj"]).reshape(b, c, cfg.num_attention_heads, cfg.head_dim)
     k = _linear(x, p["k_proj"]).reshape(b, c, cfg.num_key_value_heads, cfg.head_dim)
     v = _linear(x, p["v_proj"]).reshape(b, c, cfg.num_key_value_heads, cfg.head_dim)
     if cfg.qk_norm:
-        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
-    q, k = apply_rotary_emb(q, k, cos, sin)
+        zc = cfg.rms_norm_type == "zero_centered"
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, zc)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, zc)
+    q, k = apply_partial_rotary(q, k, cos, sin, cfg.rope_dim)
 
     cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
@@ -159,4 +198,7 @@ def mha_cached_forward(p: dict, cfg: MHAConfig, x, cos, sin, cache_k, cache_v,
         probs = jax.nn.softmax(logits, axis=-1)
     o = jnp.einsum("bhcs,bshd->bchd", probs, v_all.astype(jnp.float32)).astype(x.dtype)
     o = o.reshape(b, c, cfg.q_dim())
+    if gate is not None:
+        o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype).reshape(
+            b, c, cfg.q_dim())
     return _linear(o, p["o_proj"]), cache_k, cache_v

@@ -36,6 +36,12 @@ class ParamSpec:
             return lambda key: jnp.ones(self.shape, self.dtype)
         if self.init == "normal":
             return lambda key: (jax.random.normal(key, self.shape, jnp.float32) * self.scale).astype(self.dtype)
+        if self.init == "eye_plus_normal":
+            # identity + scaled noise over the trailing square dims (FoPE
+            # sin/cos coefficient init, reference rope.py:442-453)
+            return lambda key: (jnp.eye(self.shape[-1], dtype=jnp.float32)
+                                + jax.random.normal(key, self.shape, jnp.float32)
+                                * self.scale).astype(self.dtype)
         raise ValueError(f"Unknown init {self.init!r}")
 
 

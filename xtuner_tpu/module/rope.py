@@ -22,6 +22,13 @@ class RopeScalingConfig(BaseModel):
     factor: float = 1.0
     # qwen3_vl interleaved MRoPE: frequency pairs owned by (t, h, w)
     mrope_section: Optional[list[int]] = None
+    # FoPE — Fourier position embedding (reference rope.py:405-515
+    # FourierEmbedding): LEARNED mixing of the rotary sin/cos basis; under-
+    # trained (too-low) frequencies are dropped and the coefficient matrices
+    # are trained parameters (see fope_param_specs / fope_cos_sin)
+    use_fope: bool = False
+    num_inv_freq: Optional[int] = None
+    fope_init_factor: float = 1.0
     # yarn
     beta_fast: float = 32.0
     beta_slow: float = 1.0
@@ -31,6 +38,12 @@ class RopeScalingConfig(BaseModel):
     # llama3
     low_freq_factor: float = 1.0
     high_freq_factor: float = 4.0
+
+
+def _rope_dim(attn_cfg) -> int:
+    """Rotary dim of an attention config: MHA partial_rotary_factor aware;
+    MLA's `head_dim` property already IS the rope dim."""
+    return getattr(attn_cfg, "rope_dim", attn_cfg.head_dim)
 
 
 def _base_inv_freq(head_dim: int, theta: float):
@@ -128,6 +141,53 @@ def mrope_cos_sin(position_ids_3d, head_dim: int, theta: float,
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def fope_num_freqs(head_dim: int, theta: float, scaling: "RopeScalingConfig",
+                   max_position_embeddings: int) -> int:
+    """Count of retained frequencies: explicit num_inv_freq or all with more
+    than one full period inside the context (reference
+    _compute_fope_parameters, rope.py:383-402)."""
+    import numpy as _np
+
+    inv = 1.0 / (theta ** (_np.arange(0, head_dim, 2, dtype=_np.float64) / head_dim))
+    if scaling.num_inv_freq is not None:
+        return int(scaling.num_inv_freq)
+    return int((inv > 2.0 * _np.pi / max_position_embeddings).sum())
+
+
+def fope_param_specs(head_dim: int, theta: float, scaling: "RopeScalingConfig",
+                     max_position_embeddings: int) -> dict:
+    """Learned (n, n) sin/cos mixing matrices, init identity + xavier noise
+    scaled by fope_init_factor (reference rope.py:442-453)."""
+    from .params import ParamSpec
+
+    n = fope_num_freqs(head_dim, theta, scaling, max_position_embeddings)
+    std = scaling.fope_init_factor / math.sqrt(n)
+    return {
+        "sin_coef": ParamSpec((n, n), (None, None), init="eye_plus_normal", scale=std),
+        "cos_coef": ParamSpec((n, n), (None, None), init="eye_plus_normal", scale=std),
+    }
+
+
+def fope_cos_sin(position_ids, head_dim: int, theta: float,
+                 scaling: "RopeScalingConfig", max_position_embeddings: int,
+                 fope_params: dict):
+    """position_ids (B, L) -> cos, sin (B, L, head_dim) with the learned
+    Fourier mixing; dropped-frequency slots pad with 1.0 (reference
+    rope.py:470-508 — pad value 1 keeps those dims un-rotated-ish)."""
+    n = fope_num_freqs(head_dim, theta, scaling, max_position_embeddings)
+    inv = _base_inv_freq(head_dim, theta)[:n]
+    freqs = position_ids.astype(jnp.float32)[:, :, None] * inv  # (B, L, n)
+    sin = jnp.sin(freqs) @ fope_params["sin_coef"].astype(jnp.float32)
+    cos = jnp.cos(freqs) @ fope_params["cos_coef"].astype(jnp.float32)
+    pad = head_dim // 2 - n
+    if pad > 0:
+        ones = jnp.ones((*sin.shape[:-1], pad), jnp.float32)
+        sin = jnp.concatenate([sin, ones], axis=-1)
+        cos = jnp.concatenate([cos, ones], axis=-1)
+    return (jnp.concatenate([cos, cos], axis=-1),
+            jnp.concatenate([sin, sin], axis=-1))
+
+
 def mrope_cos_sin_interleaved(position_ids_3d, head_dim: int, theta: float,
                               mrope_section: tuple[int, ...] = (24, 20, 20)):
     """Qwen3-VL interleaved MRoPE (reference rope.py:545-561
@@ -153,12 +213,16 @@ def mrope_cos_sin_interleaved(position_ids_3d, head_dim: int, theta: float,
 
 def model_rope_cos_sin(seq_ctx, head_dim: int, theta: float,
                        scaling: Optional[RopeScalingConfig],
-                       max_position_embeddings: int):
+                       max_position_embeddings: int, fope_params=None):
     """Model-facing rope dispatch: plain RoPE for text models, interleaved
-    MRoPE when the config declares rope_type='qwen3_vl' (cf. reference
-    get_rope_embedding, rope.py:589-605). Text-only batches (no
-    mrope_positions) broadcast position_ids into all three axes — identical
-    to plain rope because t==h==w for text tokens."""
+    MRoPE when the config declares rope_type='qwen3_vl', learned FoPE when
+    `use_fope` (cf. reference get_rope_embedding, rope.py:589-605). Text-only
+    batches (no mrope_positions) broadcast position_ids into all three axes —
+    identical to plain rope because t==h==w for text tokens."""
+    if scaling is not None and scaling.use_fope:
+        assert fope_params is not None, "FoPE needs the model's fope coef params"
+        return fope_cos_sin(seq_ctx.position_ids, head_dim, theta, scaling,
+                            max_position_embeddings, fope_params)
     if scaling is not None and scaling.rope_type == "qwen3_vl":
         sec = tuple(scaling.mrope_section or (24, 20, 20))
         assert sum(sec) == head_dim // 2, (sec, head_dim)
