@@ -12,6 +12,8 @@ MODES = {
     "rl": "xtuner_tpu.train.cli.rl",
     "chat": "xtuner_tpu.train.cli.chat",
     "convert": "xtuner_tpu.train.cli.convert",
+    "mmbench": "xtuner_tpu.train.cli.mmbench",
+    "preprocess": "xtuner_tpu.train.cli.preprocess",
 }
 
 HELP = """usage: xtuner-tpu <mode> [args]
@@ -20,6 +22,8 @@ modes:
   rl              GRPO reinforcement learning
   chat            interactive chat REPL against an HF checkpoint
   convert         orbax training checkpoint -> HF safetensors export
+  mmbench         MMBench VLM evaluation over a TSV benchmark
+  preprocess      dataset converters (alpaca/sharegpt/arxiv/refcoco) + count
 """
 
 
