@@ -275,11 +275,18 @@ class TrainEngine:
         if l % max(sizes["sp"], 1) != 0:
             raise ValueError(f"pack_max_length ({l}) must be divisible by sp ({sizes['sp']})")
         replicated = NamedSharding(self.mesh, P())
+        n_all = data_ways * max(sizes["sp"], 1)
+        vis_sharding = named_sharding(self.mesh, P(None, "vis_patch"), self.rules)
         out = {}
         for k, v in batch.items():
             if v.ndim == 3 and v.shape[:2] == (a, b):
                 out[k] = jax.device_put(v, self.batch_sharding)
-            else:  # e.g. VLM pixel tiles (A, T, 3, S, S): replicated for now
+            elif (k.startswith(("pixel_values", "vision_")) and v.ndim >= 2
+                  and v.shape[1] % n_all == 0):
+                # ViT patch arrays (A, P, ...): patch dim sharded over every
+                # data axis (reference shards vision tiles across SP ranks)
+                out[k] = jax.device_put(v, vis_sharding)
+            else:  # small aux arrays (mrope, grids): replicated
                 out[k] = jax.device_put(v, replicated)
         return out
 

@@ -137,7 +137,7 @@ def _vision_block(lp, cfg: Qwen3VLVisionConfig, x, cos, sin, segment_ids, sc: Sh
     hs = layer_norm(x, lp["norm2"]["w"], lp["norm2"]["b"], cfg.layer_norm_eps)
     hs = get_act_fn(cfg.hidden_act)(hs @ lp["mlp"]["fc1"]["w"] + lp["mlp"]["fc1"]["b"])
     x = x + (hs @ lp["mlp"]["fc2"]["w"] + lp["mlp"]["fc2"]["b"])
-    return sc(x, "seq", None)
+    return sc(x, "vis_patch", None)
 
 
 def qwen3vl_vision_forward(params, cfg: Qwen3VLVisionConfig, seq_ctx,
@@ -159,7 +159,10 @@ def qwen3vl_vision_forward(params, cfg: Qwen3VLVisionConfig, seq_ctx,
     pe = params["pos_embed"].astype(jnp.float32)  # (n_pos, H)
     pos = jnp.einsum("pkh,pk->ph", pe[interp_idx], interp_w.astype(jnp.float32))
     x = x + pos.astype(compute_dtype)
-    x = sc(x, "seq", None)
+    # patch dim sharded over ALL data axes (reference shards the vision tower
+    # sequence across SP ranks, modeling_vision.py:469-492); GSPMD inserts the
+    # gathers at the text-scatter boundary
+    x = sc(x, "vis_patch", None)
 
     # 2D rotary table: head_dim//4 frequencies per (row, col) axis
     # (HF Qwen3VLVisionRotaryEmbedding(head_dim // 2) -> rot_pos_emb)

@@ -38,6 +38,10 @@ DEFAULT_SHARDING_RULES: tuple[tuple[str, Any], ...] = (
     # data / activations
     ("batch", ("dp", "fsdp", "ep")),  # packed rows: every non-sp/tp device is data-parallel
     ("seq", "sp"),
+    # ViT patch sequence: batch-like, sharded over EVERY data axis (the
+    # reference shards vision tiles across SP ranks; here all of dp/fsdp/ep/sp
+    # carry patches — reference modeling_vision.py:469-492)
+    ("vis_patch", ("dp", "fsdp", "ep", "sp")),
     ("act_embed", None),
     ("act_heads", ("sp", "tp")),  # heads axis *inside* attention (Ulysses re-shard)
     ("act_mlp", "tp"),
