@@ -96,6 +96,49 @@ def test_grad_parity_sinks():
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("bound", [10.0, 1000.0])  # max-free path / cond fallback
+def test_forward_parity_max_logit(bound):
+    q, k, v, seg = make_inputs(seed=8)
+    out_ref = reference_attention(q, k, v, seg)
+    out_flash = flash_attention(q, k, v, seg, max_logit=jnp.float32(bound),
+                                block_q=64, block_k=64, interpret=True)
+    valid = np.asarray(seg != 0)
+    np.testing.assert_allclose(
+        np.asarray(out_flash)[valid], np.asarray(out_ref)[valid], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out_flash)[~valid], 0.0)
+
+
+def test_grad_parity_max_logit():
+    q, k, v, seg = make_inputs(b=1, l=128, seed=9)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, seg) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, seg, max_logit=jnp.float32(12.0),
+                                       block_q=64, block_k=64, interpret=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_ref, g_flash, "qkv"):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=1e-4, atol=1e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_forward_parity_max_logit_sinks_window():
+    q, k, v, seg = make_inputs(seed=10, hq=4, hkv=4)
+    sinks = jnp.asarray(np.random.default_rng(11).standard_normal(4), jnp.float32)
+    out_ref = reference_attention(q, k, v, seg, sinks=sinks, window=64)
+    out_flash = flash_attention(q, k, v, seg, sinks=sinks, window=64,
+                                max_logit=jnp.float32(15.0),
+                                block_q=64, block_k=64, interpret=True)
+    valid = np.asarray(seg != 0)
+    np.testing.assert_allclose(
+        np.asarray(out_flash)[valid], np.asarray(out_ref)[valid], rtol=3e-5, atol=3e-5
+    )
+
+
 def test_non_divisible_length_padding():
     q, k, v, seg = make_inputs(b=1, l=200, seed=7)
     out_ref = reference_attention(q, k, v, seg)

@@ -31,12 +31,15 @@ def main():
     fwd_flops = b * hq * (seq * seq / 2) * 2 * d * 2
     bwd_flops = 2.5 * fwd_flops  # dq + dkv kernels re-do s/p + 3 grad matmuls
 
+    import os
+    maxl = jnp.float32(20.0) if os.environ.get("BENCH_MAX_LOGIT") else None
+
     for block in blocks:
-        fwd = jax.jit(lambda q, k, v: flash_attention(q, k, v, seg, causal=True,
+        fwd = jax.jit(lambda q, k, v: flash_attention(q, k, v, seg, causal=True, max_logit=maxl,
                                                       block_q=block, block_k=block))
 
         def loss(q, k, v):
-            return jnp.sum(flash_attention(q, k, v, seg, causal=True,
+            return jnp.sum(flash_attention(q, k, v, seg, causal=True, max_logit=maxl,
                                            block_q=block, block_k=block).astype(jnp.float32))
 
         fb = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))

@@ -111,10 +111,20 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
     k = _linear(x, p["k_proj"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
     v = _linear(x, p["v_proj"]).reshape(b, l, cfg.num_key_value_heads, cfg.head_dim)
 
+    max_logit = None
     if cfg.qk_norm:
         zc = cfg.rms_norm_type == "zero_centered"
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, zc)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, zc)
+        # provable |scaled logit| bound: normed rows have ||x|| = sqrt(d), so
+        # |q·k|/sqrt(d) <= sqrt(d) * max|g_q| * max|g_k| (Cauchy-Schwarz);
+        # rope is a per-pair rotation and preserves norms. Enables the
+        # max-free flash forward (no online-softmax max tracking).
+        gq = p["q_norm"].astype(jnp.float32)
+        gk = p["k_norm"].astype(jnp.float32)
+        if zc:
+            gq, gk = 1.0 + gq, 1.0 + gk
+        max_logit = (cfg.head_dim ** 0.5) * jnp.max(jnp.abs(gq)) * jnp.max(jnp.abs(gk))
 
     q, k = apply_partial_rotary(q, k, cos, sin, cfg.rope_dim)
 
@@ -123,7 +133,7 @@ def mha_forward(p: dict, cfg: MHAConfig, x, cos, sin, segment_ids,
     # (heads over sp/tp, seq gathered); jnp impls re-shard via constraints.
     if attn_impl in (None, "pallas"):
         o = attention(q, k, v, segment_ids, causal=True, window=window, sinks=sinks,
-                      impl=attn_impl, sc=sc)
+                      max_logit=max_logit, impl=attn_impl, sc=sc)
     else:
         q = sc(q, "batch", None, "act_heads", None)
         k = sc(k, "batch", None, "act_heads", None)

@@ -38,20 +38,27 @@ def get_attention(impl: Optional[str] = None):
 
 
 def attention(q, k, v, segment_ids, *, causal: bool = True, scale: Optional[float] = None,
-              window: Optional[int] = None, sinks=None, impl: Optional[str] = None,
-              sc=None):
+              window: Optional[int] = None, sinks=None, max_logit=None,
+              impl: Optional[str] = None, sc=None):
     """sc: optional ShardCtx. With a mesh present and a Pallas impl, attention
     runs under shard_map: heads sharded over (sp, tp), sequence gathered —
     the Ulysses layout (reference mha.py:365-390) with the all_to_alls
-    inserted by GSPMD at the shard_map boundary."""
+    inserted by GSPMD at the shard_map boundary.
+
+    max_logit: optional proven |scaled logit| bound (see flash_attention) —
+    enables the max-free flash forward; ignored by the reference impl."""
     if impl is None and q.shape[-1] % 128 != 0:
         # head_dim must be lane-aligned for the Pallas kernel; small/odd head
         # dims (tiny test models) take the XLA path instead
         impl = "reference"
     fn = get_attention(impl)
-    if sc is None or sc.mesh is None or fn.__name__ != "flash_attention":
+    if fn.__name__ != "flash_attention":
         return fn(q, k, v, segment_ids, causal=causal, scale=scale, window=window, sinks=sinks)
-    return _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window, sinks, sc)
+    if sc is None or sc.mesh is None:
+        return fn(q, k, v, segment_ids, causal=causal, scale=scale, window=window,
+                  sinks=sinks, max_logit=max_logit)
+    return _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window,
+                                   sinks, max_logit, sc)
 
 
 def _axes_of(rules, name):
@@ -61,9 +68,8 @@ def _axes_of(rules, name):
     return phys if isinstance(phys, tuple) else (phys,)
 
 
-def _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window, sinks, sc):
-    import functools
-
+def _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window, sinks,
+                            max_logit, sc):
     from jax.sharding import PartitionSpec as P
 
     from .reference import repeat_kv
@@ -76,7 +82,8 @@ def _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window, sin
     for a in head_axes:
         head_ways *= sizes[a]
     if head_ways == 1 and not batch_axes:
-        return fn(q, k, v, segment_ids, causal=causal, scale=scale, window=window, sinks=sinks)
+        return fn(q, k, v, segment_ids, causal=causal, scale=scale, window=window,
+                  sinks=sinks, max_logit=max_logit)
 
     hq, hkv = q.shape[2], k.shape[2]
     if head_ways > 1 and hkv % head_ways != 0:
@@ -92,19 +99,24 @@ def _shard_mapped_attention(fn, q, k, v, segment_ids, causal, scale, window, sin
     segspec = P(batch_axes or None, None)
     sinkspec = P(head_axes or None)
 
-    def local_attn(q, k, v, seg, sinks_arg):
-        return fn(q, k, v, seg, causal=causal, scale=scale, window=window, sinks=sinks_arg)
+    # optional operands folded into one dict so one shard_map handles every
+    # combination of {sinks, max_logit} present/absent
+    opt = {}
+    opt_specs = {}
+    if sinks is not None:
+        opt["sinks"] = sinks
+        opt_specs["sinks"] = sinkspec
+    if max_logit is not None:
+        opt["max_logit"] = max_logit
+        opt_specs["max_logit"] = P()  # replicated scalar
 
-    if sinks is None:
-        wrapped = jax.shard_map(
-            lambda q_, k_, v_, s_: local_attn(q_, k_, v_, s_, None),
-            mesh=mesh, in_specs=(qspec, qspec, qspec, segspec), out_specs=qspec,
-            check_vma=False,
-        )
-        return wrapped(q, k, v, segment_ids)
+    def local_attn(q_, k_, v_, seg_, opt_):
+        return fn(q_, k_, v_, seg_, causal=causal, scale=scale, window=window,
+                  sinks=opt_.get("sinks"), max_logit=opt_.get("max_logit"))
+
     wrapped = jax.shard_map(
         local_attn, mesh=mesh,
-        in_specs=(qspec, qspec, qspec, segspec, sinkspec), out_specs=qspec,
+        in_specs=(qspec, qspec, qspec, segspec, opt_specs), out_specs=qspec,
         check_vma=False,
     )
-    return wrapped(q, k, v, segment_ids, sinks)
+    return wrapped(q, k, v, segment_ids, opt)

@@ -35,9 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 BIG_LSE = 1e30  # lse sentinel for fully-masked (padding) rows
+LOG2E = 1.4426950408889634  # kernels work in base-2 (exp2 is the TPU-native
+LN2 = 0.6931471805599453  # transcendental; exp costs an extra multiply/elem)
 # single-sweep fused backward (5 matmuls + 1 exp per tile vs two-pass 7 + 2);
 # set XTUNER_FUSED_ATTN_BWD=0 to fall back to the separate dq / dkv kernels
 FUSED_BWD = os.environ.get("XTUNER_FUSED_ATTN_BWD", "1") != "0"
+# |scaled logit| bound below which the max-free forward kernel is numerically
+# safe: exp2(s * log2e) stays inside f32 range (overflow 2^127, denormal
+# 2^-149) for |s| <= 45, with headroom for the row sum
+MAX_FREE_BOUND = 45.0
 
 
 def _tile_mask(qpos, kpos, qseg, kseg, causal: bool, window: Optional[int]):
@@ -67,15 +73,22 @@ def _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k):
 
 def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale, causal, window,
-                block_q, block_k):
+                block_q, block_k, max_free):
     # grid order (b, i, h, j): heads iterate *inside* a q-block so the
     # full-head lse output block stays resident until all head rows are written
+    #
+    # max_free: the scaled logits are guaranteed in [-MAX_FREE_BOUND,
+    # MAX_FREE_BOUND] (provable for qk-normed models), so exp2 of the raw
+    # logits stays inside f32 range and the online-softmax max tracking —
+    # the row max reduce, the alpha rescale of acc, the m scratch — is
+    # skipped entirely. Softmax is shift-invariant, so the result is exact.
     b, i, h, j = (pl.program_id(x) for x in range(4))
     nk = pl.num_programs(3)
 
     @pl.when(j == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        if not max_free:
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -91,18 +104,34 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     def compute(use_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        # scale * log2(e) folded into the (block_q, d) q tile — one small
+        # multiply instead of a (block_q, block_k) one on s
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         if use_mask:
             qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
             kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
             mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
-            s = jnp.where(mask, s, NEG_INF)
 
+        if max_free:
+            p = jnp.exp2(s)
+            if use_mask:
+                p = jnp.where(mask, p, 0.0)
+            l_new = l_scr[:, 0] + jnp.sum(p, axis=1)
+            acc_scr[:] += jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
+            return
+
+        if use_mask:
+            s = jnp.where(mask, s, NEG_INF)
         m_prev = m_scr[:, 0]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, None])
         if use_mask:
             # fully-masked rows have m_new == NEG_INF -> exp(NaN); zero them
             p = jnp.where(mask, p, 0.0)
@@ -124,13 +153,17 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(j == nk - 1)
     def _finalize():
-        m = m_scr[:, 0]
         l_total = l_scr[:, 0]
         valid = l_total > 0
         o_ref[0, 0] = jnp.where(
             valid[:, None], acc_scr[:] / jnp.maximum(l_total, 1e-37)[:, None], 0.0
         ).astype(o_ref.dtype)
-        lse = jnp.where(valid, m + jnp.log(jnp.maximum(l_total, 1e-37)), BIG_LSE)
+        # lse returned in natural base (consumers: sinks fold, backward)
+        log2l = jnp.log2(jnp.maximum(l_total, 1e-37))
+        if max_free:
+            lse = jnp.where(valid, log2l * LN2, BIG_LSE)
+        else:
+            lse = jnp.where(valid, (m_scr[:, 0] + log2l) * LN2, BIG_LSE)
         lse_ref[0, h] = lse
 
 
@@ -154,11 +187,12 @@ def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
     def compute(use_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         # lse of padding rows is BIG_LSE -> exp(s - BIG_LSE) == 0, so the
         # full path needs no row masking
-        p = jnp.exp(s - lse_ref[0, h][:, None])
+        p = jnp.exp2(s - (lse_ref[0, h] * LOG2E)[:, None])
         if use_mask:
             qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
             kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
@@ -166,7 +200,7 @@ def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
             p = jnp.where(mask, p, 0.0)
         dp = jax.lax.dot_general(do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, h][:, None]) * scale
+        ds = p * (dp - delta_ref[0, h][:, None])  # grad scale deferred to finalize
         dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
@@ -180,7 +214,7 @@ def _dq_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_r
 
     @pl.when(j == nk - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -205,9 +239,10 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
     def compute(use_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse_ref[0, h][:, None])
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - (lse_ref[0, h] * LOG2E)[:, None])
         if use_mask:
             qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
             kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
@@ -218,7 +253,7 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
                                          preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, h][:, None]) * scale
+        ds = p * (dp - delta_ref[0, h][:, None])  # grad scale deferred to finalize
         dk_scr[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
@@ -232,7 +267,7 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
 
     @pl.when(i == nq - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -266,9 +301,10 @@ def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def compute(use_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse_ref[0, h][:, None])
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - (lse_ref[0, h] * LOG2E)[:, None])
         if use_mask:
             qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
             kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
@@ -277,9 +313,13 @@ def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         do = do_ref[0, 0]
         dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta_ref[0, h][:, None]) * scale).astype(q.dtype)
+        # dq accumulates in HBM across the j sweep, so ds must carry the grad
+        # scale per-tile; fold it into the small (block_k, dv) v tile instead
+        # of a (block_q, block_k) multiply on dp
+        vs = v_ref[0, 0] * jnp.asarray(scale, v_ref.dtype)
+        dp_s = jax.lax.dot_general(do, vs, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds = (p * (dp_s - (delta_ref[0, h] * scale)[:, None])).astype(q.dtype)
         dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
         dq_ref[0, 0] = dq_in_ref[0, 0] + jax.lax.dot_general(
@@ -378,15 +418,16 @@ def _pad_len(l: int, block: int) -> int:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
-def _flash(q, k, v, segment_ids, sinks, scale, causal, window, block_q, block_k, interpret):
-    out, _ = _flash_fwd_rule(q, k, v, segment_ids, sinks, scale, causal, window,
-                             block_q, block_k, interpret)
+def _flash(q, k, v, segment_ids, sinks, max_logit, scale, causal, window,
+           block_q, block_k, interpret):
+    out, _ = _flash_fwd_rule(q, k, v, segment_ids, sinks, max_logit, scale,
+                             causal, window, block_q, block_k, interpret)
     return out
 
 
-def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
+def _flash_forward(q, k, v, segment_ids, sinks, max_logit, scale, causal, window,
                    block_q, block_k, interpret):
     """q: (B, Hq, L, D); k, v: (B, Hkv, L, D); segment_ids: (B, L).
     Returns (out (B, Hq, L, D), lse (B, Hq, L) fp32)."""
@@ -399,10 +440,6 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
     seg3 = segment_ids[:, None, :]
     operands = (seg3, seg3, q, k, v)
     grid = (b, nq, hq, nk)
-    kern = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, window=window,
-        block_q=block_q, block_k=block_k,
-    )
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q), lambda b_, i_, h_, j_: (b_, 0, i_)),  # qseg
@@ -426,18 +463,34 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
         pltpu.VMEM((block_q, 128), jnp.float32),
         pltpu.VMEM((block_q, dv), jnp.float32),
     ]
-    out, lse = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*operands)
+
+    def run(max_free, ops):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, scale=scale, causal=causal, window=window,
+                              block_q=block_q, block_k=block_k, max_free=max_free),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*ops)
+
+    if max_logit is None:
+        out, lse = run(False, operands)
+    else:
+        # provable |scaled logit| bound (e.g. from qk-norm gains): when small
+        # enough, run the max-free kernel — exact by shift invariance; the
+        # cond compiles both variants, executes one
+        out, lse = jax.lax.cond(
+            jnp.asarray(max_logit, jnp.float32) <= MAX_FREE_BOUND,
+            functools.partial(run, True),
+            functools.partial(run, False),
+            operands,
+        )
 
     if sinks is not None:
         # fold the sink column into out/lse outside the kernel:
@@ -449,12 +502,12 @@ def _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
     return out, lse
 
 
-def _flash_fwd_rule(q, k, v, segment_ids, sinks, scale, causal, window,
+def _flash_fwd_rule(q, k, v, segment_ids, sinks, max_logit, scale, causal, window,
                     block_q, block_k, interpret):
     from jax.ad_checkpoint import checkpoint_name
 
-    out, lse = _flash_forward(q, k, v, segment_ids, sinks, scale, causal, window,
-                              block_q, block_k, interpret)
+    out, lse = _flash_forward(q, k, v, segment_ids, sinks, max_logit, scale,
+                              causal, window, block_q, block_k, interpret)
     # named so remat policies can SAVE the kernel residuals — without these,
     # rematerialisation re-runs the forward flash kernel inside backward
     out = checkpoint_name(out, "attn_res_out")
@@ -485,7 +538,7 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
             dsinks = -(p_sink * delta).sum(axis=(0, 2)).astype(sinks.dtype)
         else:
             dsinks = None
-        return dq_f.astype(q.dtype), dk_out, dv_out, None, dsinks
+        return dq_f.astype(q.dtype), dk_out, dv_out, None, dsinks, None
 
     common_specs = [
         pl.BlockSpec((1, 1, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # qseg
@@ -565,7 +618,7 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
         dsinks = -(p_sink * delta).sum(axis=(0, 2)).astype(sinks.dtype)
     else:
         dsinks = None
-    return dq, dk_out, dv_out, None, dsinks
+    return dq, dk_out, dv_out, None, dsinks, None
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -573,9 +626,14 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def flash_attention(q, k, v, segment_ids, *, causal: bool = True,
                     scale: Optional[float] = None, window: Optional[int] = None,
-                    sinks=None, block_q: int = 1024, block_k: int = 1024,
+                    sinks=None, max_logit=None, block_q: int = 1024, block_k: int = 1024,
                     interpret: Optional[bool] = None):
     """Public entry. q: (B, L, Hq, D); k, v: (B, L, Hkv, D); seg: (B, L).
+
+    max_logit: optional traced f32 scalar — a PROVEN upper bound on the
+    absolute value of the scaled logits (e.g. sqrt(d)*max|g_q|*max|g_k| for
+    qk-normed heads). When <= MAX_FREE_BOUND the forward runs the max-free
+    kernel (no running-max tracking); exact either way.
 
     Returns (B, L, Hq, D) in q.dtype.
     """
@@ -597,7 +655,9 @@ def flash_attention(q, k, v, segment_ids, *, causal: bool = True,
     qt = jnp.swapaxes(q, 1, 2)  # (B, Hq, L, D)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    out = _flash(qt, kt, vt, segment_ids, sinks, scale, causal, window,
+    if max_logit is not None:
+        max_logit = jnp.asarray(max_logit, jnp.float32)
+    out = _flash(qt, kt, vt, segment_ids, sinks, max_logit, scale, causal, window,
                  block_q, block_k, interpret)
     out = jnp.swapaxes(out, 1, 2)
     if pad:
