@@ -128,3 +128,83 @@ def test_flops_balanced_packing_reduces_variance():
 
 def test_flops_proxy_is_quadratic():
     assert attention_flops_proxy(100) == 4 * attention_flops_proxy(50)
+
+
+def test_preset_pack_roundtrip(corpus, tmp_path):
+    from xtuner_tpu.datasets.packing import PresetPackDataset, save_pack_config
+
+    path, lens = corpus
+    ds = JsonlDataset(path, CountingTokenizeFn(), num_proc=1)
+    # two packs: [s0 full, s1[:5]] and [s2 sliced 1:4, pad]
+    n0, n2 = int(lens[0]), int(lens[2])
+    samples = np.array([
+        [0, 0, -1, -1, 0, 0],           # sample 0, full
+        [0, 1, -1, -1, 0, 5],           # sample 1, first 5 tokens
+        [0, 2, -1, -1, 1, min(4, n2)],  # sample 2, token slice
+    ], np.int64)
+    boundaries = np.array([0, 2, 3], np.int64)
+    cfg_dir = tmp_path / "pack_cfg"
+    save_pack_config(cfg_dir, boundaries, samples, [str(ds.path)])
+
+    pml = n0 + 5
+    pp = PresetPackDataset([ds], cfg_dir, pack_max_length=pml,
+                           short_pack_strategy="padding")
+    assert len(pp) == 2
+    pack0 = pp[0]
+    assert [s["num_tokens"] for s in pack0] == [n0, 5]
+    np.testing.assert_array_equal(pack0[1]["input_ids"], np.arange(5))
+    pack1 = pp[1]
+    take = min(4, n2) - 1
+    assert pack1[0]["num_tokens"] == take
+    np.testing.assert_array_equal(pack1[0]["input_ids"], np.arange(1, 1 + take))
+    assert pack1[-1].get("is_padding") and sum(s["num_tokens"] for s in pack1) == pml
+
+
+def test_preset_pack_strategies(corpus, tmp_path):
+    from xtuner_tpu.datasets.packing import PresetPackDataset, save_pack_config
+
+    path, lens = corpus
+    ds = JsonlDataset(path, CountingTokenizeFn(), num_proc=1)
+    samples = np.array([[0, 0, -1, -1, 0, 0]], np.int64)
+    cfg_dir = tmp_path / "pack_cfg2"
+    save_pack_config(cfg_dir, np.array([0, 1], np.int64), samples, [str(ds.path)])
+    n0 = int(lens[0])
+    with pytest.raises(ValueError, match="short_pack_strategy"):
+        PresetPackDataset([ds], cfg_dir, pack_max_length=n0 + 10)[0]
+    with pytest.raises(ValueError, match="long_pack_strategy"):
+        PresetPackDataset([ds], cfg_dir, pack_max_length=n0 - 1)[0]
+    trunc = PresetPackDataset([ds], cfg_dir, pack_max_length=n0 - 1,
+                              long_pack_strategy="truncate",
+                              short_pack_strategy="ignore")[0]
+    assert sum(s["num_tokens"] for s in trunc) == n0 - 1
+
+
+def test_hybrid_mllm_pack_routing(corpus, tmp_path):
+    from xtuner_tpu.datasets.packing import (
+        HardPackDataset, HybridMLLMPackDataset, SoftPackDataset)
+
+    path, lens = corpus
+    text_ds = JsonlDataset(path, CountingTokenizeFn(), num_proc=1)
+
+    class VLMTokenizeFn(CountingTokenizeFn):
+        is_vlm = True
+
+        def hash(self):
+            return "vlm-counting-v1"
+
+    vlm_path = tmp_path / "vlm.jsonl"
+    with open(vlm_path, "w") as f:
+        for n in [30, 40, 50]:
+            f.write(json.dumps({"text": "y" * n}) + "\n")
+    vlm_ds = JsonlDataset(vlm_path, VLMTokenizeFn(), num_proc=1)
+
+    hybrid = HybridMLLMPackDataset([text_ds, vlm_ds], pack_max_length=128, seed=0)
+    # text routed to exact hard-pack, vlm to soft-pack, concatenated
+    assert len(hybrid.parts) == 2
+    assert isinstance(hybrid.parts[0], HardPackDataset)
+    assert isinstance(hybrid.parts[1], SoftPackDataset)
+    assert len(hybrid) == len(hybrid.parts[0]) + len(hybrid.parts[1])
+    # hard packs are exact-length; soft packs never split a sample
+    assert sum(s["num_tokens"] for s in hybrid[0]) == 128
+    soft0 = hybrid[len(hybrid.parts[0])]
+    assert all(s["num_tokens"] in (30, 40, 50) for s in soft0)

@@ -53,7 +53,7 @@ def test_a2a_matches_gspmd(mesh_kw):
     args = (jnp.asarray(labels), jnp.asarray(weights), jnp.sum(weights))
 
     results = {}
-    for disp in ("gspmd", "a2a"):
+    for disp in ("gspmd", "a2a", "agrs"):
         cfg = cfg_with(disp)
         model = cfg.build()
         specs = model.param_specs()
@@ -67,6 +67,7 @@ def test_a2a_matches_gspmd(mesh_kw):
 
         results[disp] = float(f(params))
     np.testing.assert_allclose(results["a2a"], results["gspmd"], rtol=1e-5)
+    np.testing.assert_allclose(results["agrs"], results["gspmd"], rtol=1e-5)
 
 
 @pytest.mark.slow

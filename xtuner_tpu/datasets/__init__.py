@@ -1,7 +1,7 @@
 from .config import DataloaderConfig, DatasetConfig
 from .dataloader import Dataloader
 from .jsonl import JsonlDataset
-from .packing import SoftPackDataset
+from .packing import HardPackDataset, HybridMLLMPackDataset, PresetPackDataset, SoftPackDataset
 from .sampler import ParallelSampler
 from .tokenize_fns import OpenaiSFTTokenizeFn, PretrainTokenizeFn
 
@@ -11,6 +11,9 @@ __all__ = [
     "Dataloader",
     "JsonlDataset",
     "SoftPackDataset",
+    "HardPackDataset",
+    "HybridMLLMPackDataset",
+    "PresetPackDataset",
     "ParallelSampler",
     "OpenaiSFTTokenizeFn",
     "PretrainTokenizeFn",

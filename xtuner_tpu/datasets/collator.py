@@ -15,10 +15,12 @@ from ..loss.ce_loss import IGNORE_IDX, build_loss_weights
 
 
 def sft_llm_collator(packs: list[list[dict]], pack_max_length: int,
-                     loss_reduction: str = "token") -> dict[str, np.ndarray]:
-    """packs: B lists of tokenized samples -> dict of (B, L) arrays."""
+                     loss_reduction: str = "token",
+                     pad_token_id: int = 0) -> dict[str, np.ndarray]:
+    """packs: B lists of tokenized samples -> dict of (B, L) arrays. Pad
+    slots carry pad_token_id with segment 0 (attention-masked, loss-ignored)."""
     b, l = len(packs), pack_max_length
-    input_ids = np.zeros((b, l), np.int32)
+    input_ids = np.full((b, l), pad_token_id, np.int32)
     segment_ids = np.zeros((b, l), np.int32)
     position_ids = np.zeros((b, l), np.int32)
     shifted_labels = np.full((b, l), IGNORE_IDX, np.int32)

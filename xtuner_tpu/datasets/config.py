@@ -42,6 +42,9 @@ class DataloaderConfig(BaseModel):
     tokenize_num_proc: int = 0
     cache_dir: Optional[str] = None
     loss_reduction: Literal["token", "sample", "square"] = "token"
+    # pad fill for unused pack slots; None -> resolved from the tokenizer by
+    # Trainer._reconcile_config (reference trainer.py:1953-1994)
+    pad_token_id: int | None = None
     seed: int = 0
     shuffle: bool = True
     # group packs of similar token counts inside shuffled mega-batches
@@ -123,4 +126,5 @@ class DataloaderConfig(BaseModel):
             max_tiles=self.max_tiles, max_patches=self.max_patches,
             num_grid_per_side=self.vision_num_grid_per_side,
             merge_size=self.vision_merge_size,
+            pad_token_id=self.pad_token_id or 0,
         )

@@ -23,7 +23,8 @@ class Dataloader:
                  global_batch_rows: int, micro_batch_rows: int,
                  loss_reduction: str = "token", num_workers: int = 0, prefetch: int = 2,
                  max_tiles: int = 0, max_patches: int = 0,
-                 num_grid_per_side: int = 48, merge_size: int = 2):
+                 num_grid_per_side: int = 48, merge_size: int = 2,
+                 pad_token_id: int = 0):
         if global_batch_rows % micro_batch_rows != 0:
             raise ValueError("global_batch_rows must be divisible by micro_batch_rows")
         self.dataset = packed_dataset
@@ -39,6 +40,7 @@ class Dataloader:
         self.merge_size = merge_size
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.pad_token_id = pad_token_id
         self._sampler_iter = iter(self.sampler)
         self._queue: Optional[queue.Queue] = None
         self._thread: Optional[threading.Thread] = None
@@ -67,7 +69,8 @@ class Dataloader:
                      for i in range(a)]
             keys = micro[0].keys()
             return {k: np.stack([m[k] for m in micro]) for k in keys}
-        batch = sft_llm_collator(rows, self.pack_max_length, self.loss_reduction)
+        batch = sft_llm_collator(rows, self.pack_max_length, self.loss_reduction,
+                                 pad_token_id=self.pad_token_id)
         return {k: v.reshape(a, b, -1) for k, v in batch.items()}
 
     def _worker(self):

@@ -8,10 +8,16 @@ samples across pack boundaries for zero padding. Here:
   precomputed token counts; samples longer than pack_max_length are truncated.
 - HardPackDataset: contiguous token stream chopped into exact-length rows
   (pretrain-style; documents keep their own segment ids but may split).
+- PresetPackDataset: user-supplied NPY-CSR pack layout
+  (reference preset_pack.py:57-291).
+- HybridMLLMPackDataset: text datasets hard-packed, VLM datasets soft-packed,
+  concatenated (reference packing.py:666 MLLMPretrainHybridPackDataset).
 """
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
 from typing import Sequence
 
 import numpy as np
@@ -203,3 +209,136 @@ class HardPackDataset:
                 entry_i += 1
                 entry_off = 0
         return out
+
+
+def save_pack_config(path: str | Path, boundaries: np.ndarray, samples: np.ndarray,
+                     paths: list[str]) -> None:
+    """Write a preset pack config directory (boundaries.npy / samples.npy /
+    paths.json — reference preset_pack.py:1-10 NPY-CSR format)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    np.save(path / "boundaries.npy", np.asarray(boundaries, np.int64))
+    np.save(path / "samples.npy", np.asarray(samples, np.int64))
+    (path / "paths.json").write_text(json.dumps([str(p) for p in paths]))
+
+
+class PresetPackDataset:
+    """Pack groupings read from a user-supplied NPY-CSR directory.
+
+    Reference: xtuner/v1/datasets/preset_pack.py (PresetPackDataset :57-291).
+    Directory format: boundaries.npy int64 (num_packs+1,) CSR boundaries;
+    samples.npy int64 (total_slices, 6) with columns [path_id, sample_idx,
+    char_start, char_end, token_start, token_end] (char range -1/-1 for plain
+    items); paths.json maps path_id -> dataset path.
+
+    short_pack_strategy: "error" | "padding" (pad row appended with num_tokens
+    set so collators pad to pack_max_length). long_pack_strategy: "error" |
+    "truncate" (tail slices clipped at pack_max_length).
+    """
+
+    def __init__(self, datasets: Sequence, pack_config_path: str | Path,
+                 pack_max_length: int, short_pack_strategy: str = "error",
+                 long_pack_strategy: str = "error", mmap: bool = True,
+                 pad_token_id: int = 0):
+        self.datasets = list(datasets)
+        self.pack_max_length = pack_max_length
+        self.short_pack_strategy = short_pack_strategy
+        self.long_pack_strategy = long_pack_strategy
+        self.pad_token_id = pad_token_id
+        d = Path(pack_config_path)
+        mode = "r" if mmap else None
+        self._boundaries = np.load(d / "boundaries.npy", mmap_mode=mode)
+        self._samples = np.load(d / "samples.npy", mmap_mode=mode)
+        paths = json.loads((d / "paths.json").read_text())
+        by_path = {str(ds.path): i for i, ds in enumerate(self.datasets)}
+        try:
+            self._path_to_ds = [by_path[p] for p in paths]
+        except KeyError as e:
+            raise ValueError(f"pack config references unknown dataset path {e}") from None
+        if self._samples.ndim != 2 or self._samples.shape[1] != 6:
+            raise ValueError(f"samples.npy must be (n, 6), got {self._samples.shape}")
+        logger.info(f"[preset-pack] {len(self)} packs from {d}")
+
+    def __len__(self) -> int:
+        return len(self._boundaries) - 1
+
+    def __getitem__(self, i: int) -> list[dict]:
+        rows = self._samples[int(self._boundaries[i]): int(self._boundaries[i + 1])]
+        out, total = [], 0
+        for path_id, sample_idx, c0, c1, t0, t1 in rows.tolist():
+            if c0 != -1 or c1 != -1:
+                raise NotImplementedError(
+                    "char-sliced (LongText) preset entries are not supported; "
+                    "pre-split long documents at tokenize time instead")
+            sample = self.datasets[self._path_to_ds[path_id]][sample_idx]
+            n = sample["num_tokens"]
+            t1 = n if t1 <= 0 else min(t1, n)
+            take = t1 - t0
+            if total + take > self.pack_max_length:
+                if self.long_pack_strategy != "truncate":
+                    raise ValueError(
+                        f"pack {i} exceeds pack_max_length={self.pack_max_length}; "
+                        "set long_pack_strategy='truncate'")
+                take = self.pack_max_length - total
+                t1 = t0 + take
+            if take <= 0:
+                continue
+            out.append({
+                "input_ids": sample["input_ids"][t0:t1],
+                "labels": sample["labels"][t0:t1],
+                "num_tokens": take,
+            })
+            total += take
+        if total < self.pack_max_length:
+            if self.short_pack_strategy == "padding":
+                pad = self.pack_max_length - total
+                out.append({
+                    "input_ids": np.full(pad, self.pad_token_id, np.int64),
+                    "labels": np.full(pad, -100, np.int64),
+                    "num_tokens": pad,
+                    "is_padding": True,
+                })
+            elif self.short_pack_strategy != "ignore":
+                raise ValueError(
+                    f"pack {i} has {total} < pack_max_length={self.pack_max_length} "
+                    "tokens; set short_pack_strategy='padding'")
+        return out
+
+
+class HybridMLLMPackDataset:
+    """Mixed text + VLM corpora: text datasets go through exact HardPack
+    (documents may split), VLM datasets through SoftPack (tiles must never
+    split across rows); packs concatenated. Reference packing.py:666
+    (MLLMPretrainHybridPackDataset routing Jsonl->Hard, VLMJsonl->ExpandSoft).
+
+    A dataset is VLM if its tokenize_fn sets `is_vlm = True` (InternVL /
+    Qwen3VL tokenize fns do) or the dataset itself carries `is_vlm`.
+    """
+
+    def __init__(self, datasets: Sequence, pack_max_length: int = 16384,
+                 seed: int = 0, balance: str = "none"):
+        text, vlm = [], []
+        for ds in datasets:
+            if getattr(ds, "is_vlm", False) or getattr(
+                    getattr(ds, "tokenize_fn", None), "is_vlm", False):
+                vlm.append(ds)
+            else:
+                text.append(ds)
+        self.parts: list = []
+        if text:
+            self.parts.append(HardPackDataset(text, pack_max_length, seed))
+        if vlm:
+            self.parts.append(SoftPackDataset(vlm, pack_max_length, seed, balance=balance))
+        if not self.parts:
+            raise ValueError("no datasets provided")
+        self._lens = [len(p) for p in self.parts]
+
+    def __len__(self) -> int:
+        return sum(self._lens)
+
+    def __getitem__(self, i: int) -> list[dict]:
+        for p, n in zip(self.parts, self._lens):
+            if i < n:
+                return p[i]
+            i -= n
+        raise IndexError(i)

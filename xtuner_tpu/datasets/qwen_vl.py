@@ -32,6 +32,8 @@ class Qwen3VLTokenizeFn:
     VISION_START + IMAGE_PAD * (t*h*w / merge^2) + VISION_END with the image
     preprocessed into patch rows (reference qwen3_vl_tokenize_fn.py:569-653)."""
 
+    is_vlm = True  # routes to SoftPack in HybridMLLMPackDataset
+
     def __init__(self, tokenizer, chat_template: str = "qwen",
                  patch_size: int = 16, merge_size: int = 2, temporal_patch_size: int = 2,
                  min_pixels: int = 65536, max_pixels: int = 16777216,

@@ -109,6 +109,8 @@ class InternVLTokenizeFn:
     items or a literal <image> placeholder; each image expands to
     IMG_START + IMG_CONTEXT * (tiles * tokens_per_tile) + IMG_END."""
 
+    is_vlm = True  # routes to SoftPack in HybridMLLMPackDataset
+
     def __init__(self, tokenizer, chat_template: str = "qwen",
                  image_size: int = 448, max_num: int = 12, tokens_per_tile: int = 256,
                  img_start_token: str = "<img>", img_end_token: str = "</img>",

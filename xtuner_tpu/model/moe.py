@@ -52,7 +52,8 @@ class MoEConfig(DenseConfig):
     # (GPT-OSS alternates sliding/full attention); None = uniform
     layer_window_pattern: Optional[list[Optional[int]]] = None
     # "gspmd" (sharding-derived collectives) | "a2a" (explicit shard_map
-    # ragged all-to-all over ep — reference dispatcher: deepep/all2all)
+    # ragged all-to-all over ep — reference dispatcher: deepep/all2all) |
+    # "agrs" (all-gather + reduce-scatter over ep — reference dispatcher/agrs.py)
     dispatcher: str = "gspmd"
     # HF expert tensor layout: "per_expert" (one (out,in) tensor per expert,
     # qwen3_moe et al) | "fused_3d" (gate_up_proj (E,H,2F) + down_proj (E,F,H),

@@ -40,7 +40,9 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
     Dropless: every routed token is computed (no capacity factor).
     dispatcher="gspmd": global sort + ragged_dot, XLA derives collectives from
     shardings. dispatcher="a2a": explicit shard_map ragged all-to-all over ep
-    (the DeepEP analog, ops/moe_a2a.py).
+    (the DeepEP analog, ops/moe_a2a.py). dispatcher="agrs": all-gather +
+    reduce-scatter over ep (reference dispatcher/agrs.py analog,
+    ops/moe_agrs.py).
     """
     from ..profiler.prober import probe
 
@@ -50,10 +52,13 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
                             forced_idx=forced_topk_idx)
     probe("after_moe_gate", r.logits)
 
-    if dispatcher == "a2a" and sc is not None and sc.mesh is not None:
-        from ..ops.moe_a2a import moe_mlp_a2a
+    if dispatcher in ("a2a", "agrs") and sc is not None and sc.mesh is not None:
+        if dispatcher == "a2a":
+            from ..ops.moe_a2a import moe_mlp_a2a as moe_mlp_dispatch
+        else:
+            from ..ops.moe_agrs import moe_mlp_agrs as moe_mlp_dispatch
 
-        out2d = moe_mlp_a2a(
+        out2d = moe_mlp_dispatch(
             x2d, r.topk_idx, r.topk_weights, p["gate_proj"], p["up_proj"], p["down_proj"],
             num_experts=num_experts, act=act, mesh=sc.mesh, rules=sc.rules,
             compute_dtype=compute_dtype,

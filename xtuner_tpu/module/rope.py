@@ -18,8 +18,13 @@ class RopeScalingConfig(BaseModel):
     """Mirrors the reference RopeScalingConfig surface (rope.py:33-78)."""
 
     model_config = ConfigDict(extra="forbid")
-    rope_type: Literal["default", "linear", "dynamic", "yarn", "llama3", "qwen3_vl"] = "default"
+    rope_type: Literal["default", "linear", "dynamic", "yarn", "longrope", "llama3", "qwen3_vl"] = "default"
     factor: float = 1.0
+    # longrope (Phi-3 family; HF _compute_longrope_parameters parity):
+    # per-frequency rescale lists + optional explicit attention factor
+    short_factor: Optional[list[float]] = None
+    long_factor: Optional[list[float]] = None
+    attention_factor: Optional[float] = None
     # qwen3_vl interleaved MRoPE: frequency pairs owned by (t, h, w)
     mrope_section: Optional[list[int]] = None
     # FoPE — Fourier position embedding (reference rope.py:405-515
@@ -99,6 +104,22 @@ def compute_inv_freq_and_scale(head_dim: int, theta: float,
             scaling.factor, scaling.mscale_all_dim
         ) if scaling.mscale_all_dim else get_mscale(scaling.factor, scaling.mscale)
         return out, float(att_scale)
+    if scaling.rope_type == "longrope":
+        # HF _compute_longrope_parameters parity (Phi-3/LongRoPE): the model's
+        # deployed max length stands in for the runtime seq_len — long_factor
+        # applies when extending past the pretrained window, short_factor
+        # otherwise. inv_freq_i /= ext_factor_i; cos/sin scaled by
+        # sqrt(1 + ln(factor)/ln(orig)) unless given explicitly.
+        orig = scaling.original_max_position_embeddings or max_position_embeddings
+        factor = (max_position_embeddings / orig
+                  if scaling.original_max_position_embeddings else scaling.factor)
+        att = scaling.attention_factor
+        if att is None:
+            att = 1.0 if factor <= 1.0 else math.sqrt(1 + math.log(factor) / math.log(orig))
+        use_long = max_position_embeddings > orig
+        ext = (scaling.long_factor if use_long else scaling.short_factor) or [1.0]
+        ext_factors = jnp.asarray(ext, jnp.float32)
+        return inv_freq / ext_factors, float(att)
     raise ValueError(f"Unknown rope_type {scaling.rope_type}")
 
 

@@ -73,7 +73,7 @@ def _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k):
 
 def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale, causal, window,
-                block_q, block_k, max_free):
+                block_q, block_k, max_free, sub_k):
     # grid order (b, i, h, j): heads iterate *inside* a q-block so the
     # full-head lse output block stays resident until all head rows are written
     #
@@ -101,11 +101,40 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     needed = causal_needed & seg_needed
     full = _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k)
 
-    def compute(use_mask: bool):
+    def compute_max_free(use_mask: bool):
+        # max-free path with the k block processed in unrolled sub-blocks:
+        # sub-iterations are fully independent (no running max), so Mosaic
+        # interleaves sub-block t+1's QK matmul with sub-block t's exp2/sum
+        # VPU work instead of serializing MXU and VPU per tile
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
         # scale * log2(e) folded into the (block_q, d) q tile — one small
         # multiply instead of a (block_q, block_k) one on s
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+        if use_mask:
+            qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+        l_add = jnp.zeros((block_q,), jnp.float32)
+        for t in range(block_k // sub_k):
+            sl = slice(t * sub_k, (t + 1) * sub_k)
+            s = jax.lax.dot_general(qs, k_ref[0, 0, sl], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = jnp.exp2(s)
+            if use_mask:
+                kpos = (j * block_k + t * sub_k
+                        + jax.lax.broadcasted_iota(jnp.int32, (sub_k, 1), 0)[:, 0])
+                p = jnp.where(_tile_mask(qpos, kpos, qseg, kseg[sl], causal, window), p, 0.0)
+            l_add = l_add + jnp.sum(p, axis=1)
+            acc_scr[:] += jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        l_scr[:] = jnp.broadcast_to((l_scr[:, 0] + l_add)[:, None], l_scr.shape)
+
+    def compute(use_mask: bool):
+        if max_free:
+            compute_max_free(use_mask)
+            return
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         qs = q * jnp.asarray(scale * LOG2E, q.dtype)
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -113,20 +142,6 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
             kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
             mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
-
-        if max_free:
-            p = jnp.exp2(s)
-            if use_mask:
-                p = jnp.where(mask, p, 0.0)
-            l_new = l_scr[:, 0] + jnp.sum(p, axis=1)
-            acc_scr[:] += jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
-            return
-
-        if use_mask:
             s = jnp.where(mask, s, NEG_INF)
         m_prev = m_scr[:, 0]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -464,10 +479,19 @@ def _flash_forward(q, k, v, segment_ids, sinks, max_logit, scale, causal, window
         pltpu.VMEM((block_q, dv), jnp.float32),
     ]
 
+    # k sub-block size for the max-free path's unrolled inner loop. Default =
+    # whole tile: measured on v5e @64k, sub-blocking LOSES (256: 89 TF/s,
+    # 512: 102, 1024/full: 114) — smaller QK matmuls cost more MXU efficiency
+    # than the extra VPU/MXU interleave recovers. Knob kept for other chips.
+    sub_k = min(int(os.environ.get("XTUNER_FLASH_SUBK", str(block_k))), block_k)
+    while block_k % sub_k:
+        sub_k //= 2
+
     def run(max_free, ops):
         return pl.pallas_call(
             functools.partial(_fwd_kernel, scale=scale, causal=causal, window=window,
-                              block_q=block_q, block_k=block_k, max_free=max_free),
+                              block_q=block_q, block_k=block_k, max_free=max_free,
+                              sub_k=sub_k),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,

@@ -145,10 +145,38 @@ class Trainer:
         return UTF8ByteTokenizer()
 
     def _reconcile_config(self) -> None:
-        """Config conflict resolution (reference trainer.py:1946-2026)."""
-        loss_red = self.cfg.model_cfg.lm_loss_cfg.loss_reduction
-        if self.cfg.dataloader_cfg.loss_reduction != loss_red:
-            self.cfg.dataloader_cfg.loss_reduction = loss_red
+        """Config conflict resolution (reference trainer.py:1946-2026).
+
+        The reference additionally reconciles model_cfg.ep_size against
+        fsdp_cfg.ep_size; here parallel sizes live ONLY in mesh_cfg, so that
+        conflict cannot exist by construction.
+        """
+        cfg = self.cfg
+        loss_red = cfg.model_cfg.lm_loss_cfg.loss_reduction
+        if cfg.dataloader_cfg.loss_reduction != loss_red:
+            cfg.dataloader_cfg.loss_reduction = loss_red
+
+        # pad id: tokenizer pad -> eos -> 0 (reference :1953-1967)
+        if cfg.dataloader_cfg.pad_token_id is None:
+            pad = getattr(self.tokenizer, "pad_token_id", None)
+            if pad is None:
+                pad = getattr(self.tokenizer, "eos_token_id", None)
+            if isinstance(pad, list):
+                pad = pad[0]
+            if not isinstance(pad, int):
+                logger.warning(f"tokenizer pad_token_id is {pad!r}; using 0")
+                pad = 0
+            cfg.dataloader_cfg.pad_token_id = pad
+
+        # sequence parallel needs fixed-length packed rows (reference :1996-2001)
+        sp = cfg.mesh_cfg.sp_size
+        if sp > 1 and cfg.dataloader_cfg.pack_level == "none":
+            logger.warning("pack_level='none' is incompatible with sp>1; forcing 'soft'")
+            cfg.dataloader_cfg.pack_level = "soft"
+        if sp > 1 and cfg.dataloader_cfg.pack_max_length % sp != 0:
+            raise ValueError(
+                f"pack_max_length ({cfg.dataloader_cfg.pack_max_length}) must be "
+                f"divisible by sp_size ({sp})")
 
     def _maybe_resume(self) -> None:
         latest = self.ckpt_mgr.latest_step()
