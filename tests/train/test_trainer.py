@@ -80,3 +80,34 @@ def test_resume(data_file, tmp_path):
     assert t2.start_step == 3
     t2.fit()
     assert (t2.work_dir / "checkpoints" / "step-5" / "train_state.json").exists()
+
+
+def test_selective_resume(data_file, tmp_path):
+    """load_optimizer_states=False: weights restored, optimizer state fresh
+    (reference arguments.py load_model/load_optimizer_states/load_dataset)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_cfg(data_file, tmp_path, total_steps=3, checkpoint_interval=3)
+    t1 = Trainer(cfg)
+    t1.fit()
+    p_saved = jax.tree.leaves(t1.engine.params)[0]
+
+    cfg2 = make_cfg(data_file, tmp_path, total_steps=5, resume=True,
+                    load_optimizer_states=False, load_dataset=False)
+    t2 = Trainer(cfg2)
+    assert t2.start_step == 3
+    # weights came from the checkpoint
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(t2.engine.params)[0]),
+                               np.asarray(p_saved), rtol=1e-6)
+    # optimizer state untouched (fresh zeros moments)
+    mu = [x for x in jax.tree.leaves(t2.engine.opt_state)
+          if hasattr(x, "shape") and x.ndim > 0]
+    assert all(float(jnp.abs(m).sum()) == 0.0 for m in mu)
+
+    cfg3 = make_cfg(data_file, tmp_path, total_steps=5, resume=True,
+                    load_model=False)
+    t3 = Trainer(cfg3)
+    # weights NOT restored -> fresh init differs from the checkpoint
+    assert not np.allclose(np.asarray(jax.tree.leaves(t3.engine.params)[0]),
+                           np.asarray(p_saved))

@@ -91,9 +91,16 @@ class TrainCheckpointManager:
             shutil.rmtree(self._step_dir(step), ignore_errors=True)
 
     # ------------------------------------------------------------------
-    def restore(self, step: int, params_template, opt_template):
+    def restore(self, step: int, params_template, opt_template, *,
+                load_model: bool = True, load_optimizer: bool = True,
+                load_dataset: bool = True):
         """Templates: concrete sharded pytrees (current params/opt_state);
-        restored arrays are placed back onto each template leaf's sharding."""
+        restored arrays are placed back onto each template leaf's sharding.
+
+        Selective resume (reference arguments.py load_model/load_optimizer_states/
+        load_dataset): a False flag keeps the caller's current state for that
+        component (e.g. fresh optimizer over restored weights).
+        """
         import numpy as np
 
         step_dir = self._step_dir(step)
@@ -109,11 +116,12 @@ class TrainCheckpointManager:
         def jnp_cast(h, t):
             return h.astype(t.dtype) if hasattr(t, "dtype") and h.dtype != t.dtype else h
 
-        params = load("params", params_template)
-        opt_state = load("opt_state", opt_template)
+        params = load("params", params_template) if load_model else params_template
+        opt_state = load("opt_state", opt_template) if load_optimizer else opt_template
         train_state = json.loads((step_dir / "train_state.json").read_text())
         dl_path = step_dir / "dataloader_state.json"
-        dataloader_state = json.loads(dl_path.read_text()) if dl_path.exists() else None
+        dataloader_state = (json.loads(dl_path.read_text())
+                            if load_dataset and dl_path.exists() else None)
         return params, opt_state, train_state, dataloader_state
 
     def restore_params(self, step: int, params_template):

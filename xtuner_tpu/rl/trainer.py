@@ -121,6 +121,8 @@ class RLColocateTrainer:
         """Format each history turn with ITS role's template (assistant turns
         previously went through the user template, malforming multi-turn
         prompts). The user template ends with the assistant generation prompt."""
+        if "prompt_ids" in item:  # pre-tokenized (datasets/rl_tokenize.py)
+            return list(item["prompt_ids"])[-self.cfg.max_prompt_length:]
         template = get_chat_template(self.cfg.chat_template)
         if "messages" in item:
             msgs = item["messages"]

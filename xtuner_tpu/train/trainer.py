@@ -66,6 +66,12 @@ class TrainerConfig(BaseModel):
     snapshot_max_keep: int = 1
     hf_interval: Optional[int] = None
     resume: bool = False
+    # selective resume (reference arguments.py:load_model/load_optimizer_states/
+    # load_dataset). load_scheduler has no analog: the LR schedule is a pure
+    # function of the restored step.
+    load_model: bool = True
+    load_optimizer_states: bool = True
+    load_dataset: bool = True
     log_interval: int = 1
     seed: int = 0
     exp_tracker: str = "jsonl"  # jsonl | tensorboard
@@ -190,7 +196,10 @@ class Trainer:
             logger.info("resume requested but no checkpoint found; starting fresh")
             return
         params, opt_state, train_state, dl_state = mgr.restore(
-            latest, self.engine.params, self.engine.opt_state
+            latest, self.engine.params, self.engine.opt_state,
+            load_model=self.cfg.load_model,
+            load_optimizer=self.cfg.load_optimizer_states,
+            load_dataset=self.cfg.load_dataset,
         )
         self.engine.params, self.engine.opt_state = params, opt_state
         self.start_step = train_state["step"]
