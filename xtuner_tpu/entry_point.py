@@ -15,6 +15,13 @@ MODES = {
     "mmbench": "xtuner_tpu.train.cli.mmbench",
     "preprocess": "xtuner_tpu.train.cli.preprocess",
 }
+# dataset/config inspection modes (reference legacy entry_point.py surface)
+TOOL_MODES = {
+    "log-dataset": "log_dataset",
+    "check-custom-dataset": "check_custom_dataset",
+    "list-cfg": "list_cfg",
+    "copy-cfg": "copy_cfg",
+}
 
 HELP = """usage: xtuner-tpu <mode> [args]
 modes:
@@ -24,6 +31,10 @@ modes:
   convert         orbax training checkpoint -> HF safetensors export
   mmbench         MMBench VLM evaluation over a TSV benchmark
   preprocess      dataset converters (alpaca/sharegpt/arxiv/refcoco) + count
+  log-dataset     print tokenized samples with their loss masks
+  check-custom-dataset  validate a jsonl dataset's schema
+  list-cfg        list bundled example configs
+  copy-cfg        copy a bundled example config into a directory
 """
 
 
@@ -32,6 +43,11 @@ def main() -> None:
         print(HELP)
         return
     mode = sys.argv[1]
+    if mode in TOOL_MODES:
+        from xtuner_tpu.train.cli import dataset_tools
+
+        getattr(dataset_tools, TOOL_MODES[mode])(sys.argv[2:])
+        return
     if mode not in MODES:
         print(f"unknown mode {mode!r}\n{HELP}", file=sys.stderr)
         sys.exit(2)

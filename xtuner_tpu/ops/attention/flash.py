@@ -426,7 +426,10 @@ def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary",
                                  "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # only raise the scoped-vmem ceiling when the kv group actually
+            # needs it — a blanket high limit degrades Mosaic's pipelining
+            # (measured: 64k step 4.74s -> 5.15s with a 100MB limit)
+            vmem_limit_bytes=(64 * 1024 * 1024 if kj * block_k > 1024 else None),
         ),
         interpret=interpret,
     )(seg3, seg3, q, k, v, g, lse, delta, dq_zero)

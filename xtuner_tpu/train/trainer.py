@@ -41,6 +41,26 @@ class TrainerHook:
     def after_save_hf(self, trainer: "Trainer", step: int, path: str) -> None: ...
 
 
+def _git_state() -> dict:
+    """Commit + dirty diff stat of the running code (reference XTunerMeta
+    git capture, trainer.py:185-245); empty outside a git repo."""
+    import subprocess
+
+    def run(*args):
+        try:
+            return subprocess.run(["git", *args], capture_output=True, text=True,
+                                  timeout=5, cwd=str(Path(__file__).resolve().parent)
+                                  ).stdout.strip()
+        except Exception:
+            return ""
+
+    commit = run("rev-parse", "HEAD")
+    if not commit:
+        return {}
+    return {"commit": commit, "branch": run("rev-parse", "--abbrev-ref", "HEAD"),
+            "diff_stat": run("diff", "--stat")[-2000:]}
+
+
 class TrainerConfig(BaseModel):
     model_config = ConfigDict(extra="forbid", arbitrary_types_allowed=True)
     model_cfg: Any  # TransformerConfig or ComposeConfig (VLM)
@@ -78,6 +98,9 @@ class TrainerConfig(BaseModel):
     hooks: list[Any] = []  # TrainerHook instances
     profile_step: Optional[int] = None  # trace this step (reference profile_step)
     health_check_interval: Optional[int] = None
+    # per-module activation stats every N steps (reference
+    # InternalMetricsRecorder, utils/internal_metrics.py; retraces the step)
+    act_stats_interval: Optional[int] = None
 
     def build(self) -> "Trainer":
         return Trainer(self)
@@ -137,6 +160,8 @@ class Trainer:
         history["exps"].append({
             "time": time.strftime("%Y-%m-%d %H:%M:%S"),
             "config": json.loads(self.cfg.model_dump_json()) if hasattr(self, "cfg") else None,
+            # reference trainer.py:185-245 records the repo state per exp
+            "git": _git_state(),
         })
         meta_path.write_text(json.dumps(history, indent=1))
 
@@ -234,7 +259,18 @@ class Trainer:
                 profiler.maybe_start(step)
             batch = next(data_iter)
             t_data = time.time() - t0
-            metrics = self.engine.train_step(batch, step)
+            if cfg.act_stats_interval and step % cfg.act_stats_interval == 0:
+                from ..profiler.internal_metrics import ActivationStatsRecorder
+
+                rec = ActivationStatsRecorder(interval=cfg.act_stats_interval)
+                box = {}
+                rec.maybe_record(step, lambda: box.setdefault(
+                    "m", self.engine.train_step(batch, step)))
+                metrics = box["m"]
+                if rec.last:
+                    self.writer.add_scalars(rec.last, step)
+            else:
+                metrics = self.engine.train_step(batch, step)
             metrics = {k: float(v) for k, v in metrics.items()}  # blocks on device
             step_time = time.time() - t0
             consumed_tokens += int(metrics["consumed_tokens"])
