@@ -208,3 +208,27 @@ def test_hybrid_mllm_pack_routing(corpus, tmp_path):
     assert sum(s["num_tokens"] for s in hybrid[0]) == 128
     soft0 = hybrid[len(hybrid.parts[0])]
     assert all(s["num_tokens"] in (30, 40, 50) for s in soft0)
+
+
+def test_preset_sampler(tmp_path):
+    from xtuner_tpu.datasets.sampler import PresetSampler
+
+    order = np.array([2, 0, 1, 2, 1, 0, 2], np.int64)
+    path = tmp_path / "order.npy"
+    np.save(path, order)
+    s = PresetSampler(str(path), dataset_len=3, round_to=2)
+    assert len(s) == 6  # rounded down from 7
+    got = list(s)
+    assert got == [2, 0, 1, 2, 1, 0]
+    # resume mid-stream
+    s2 = PresetSampler(str(path), dataset_len=3, round_to=2)
+    it = iter(s2)
+    next(it); next(it)
+    state = s2.get_state_dict()
+    s3 = PresetSampler(str(path), dataset_len=3, round_to=2)
+    s3.load_state_dict(state)
+    assert list(s3) == got[2:]
+    # out-of-range validation
+    np.save(path, np.array([5], np.int64))
+    with pytest.raises(ValueError, match="out of range"):
+        PresetSampler(str(path), dataset_len=3)

@@ -63,3 +63,41 @@ class LengthGroupedSampler(ParallelSampler):
             chunk = order[start:start + self.group_size]
             out.append(chunk[np.argsort(self.lengths[chunk])[::-1]])
         return np.concatenate(out)
+
+
+class PresetSampler:
+    """Consumes packs in a user-supplied global order from a 1-D int .npy
+    file (mmap'd — reference preset_sampler.py). The order may over-sample
+    (longer than the dataset) or subset it; total length is rounded down to a
+    multiple of `round_to` (the global batch size) and iteration is finite
+    with exact-position resume."""
+
+    def __init__(self, order_path: str, dataset_len: int, round_to: int = 1):
+        if not str(order_path).endswith(".npy"):
+            raise ValueError("PresetSampler needs a .npy order file (mmap read)")
+        order = np.load(order_path, mmap_mode="r")
+        if order.ndim != 1 or not np.issubdtype(order.dtype, np.integer):
+            raise ValueError(f"order file must be 1-D integer, got {order.dtype} {order.shape}")
+        bad = np.where((order < 0) | (order >= dataset_len))[0]
+        if bad.size:
+            raise ValueError(
+                f"{bad.size} pack index(es) out of range [0, {dataset_len}); "
+                f"first at position {int(bad[0])} -> {int(order[bad[0]])}")
+        n = (len(order) // max(round_to, 1)) * max(round_to, 1)
+        self.order = order[:n]  # mmap view, no copy
+        self.consumed = 0
+
+    def __len__(self) -> int:
+        return len(self.order)
+
+    def __iter__(self):
+        while self.consumed < len(self.order):
+            idx = int(self.order[self.consumed])
+            self.consumed += 1
+            yield idx
+
+    def get_state_dict(self) -> dict:
+        return {"consumed": self.consumed}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.consumed = state["consumed"]

@@ -1,0 +1,112 @@
+"""Sandboxed code-execution agent loop.
+
+Reference: xtuner/v1/rl/agent_loop/sandbox_agent_loop/sandbox.py (1,170 LoC)
+— RL rollouts where the policy emits code that runs in an isolated
+environment, with the captured output fed back as a tool turn. TPU/host
+redesign: a subprocess sandbox (`python -I`, fresh interpreter, rlimits for
+CPU/memory/filesize, wall-clock kill) behind the existing ToolAgentLoop
+machinery, plus fenced-code parsing (the sandbox variant accepts
+```python ...``` blocks as implicit execution requests, not only
+<tool_call> JSON).
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+from dataclasses import dataclass
+from typing import Optional
+
+from .agent_loop import AgentRollout, Segment, ToolAgentLoop, parse_tool_call
+
+FENCED_CODE_RE = re.compile(r"```(?:python|py)\n(.*?)```", re.DOTALL)
+
+
+@dataclass
+class SandboxConfig:
+    timeout_s: float = 10.0
+    memory_mb: int = 512
+    max_output_chars: int = 2000
+    cpu_time_s: int = 10
+
+
+class PythonSandbox:
+    """One-shot isolated python execution (fresh `python -I` per call)."""
+
+    def __init__(self, cfg: SandboxConfig = SandboxConfig()):
+        self.cfg = cfg
+
+    def _limits(self):
+        import resource
+
+        mem = self.cfg.memory_mb * 1024 * 1024
+        resource.setrlimit(resource.RLIMIT_AS, (mem, mem))
+        resource.setrlimit(resource.RLIMIT_CPU, (self.cfg.cpu_time_s, self.cfg.cpu_time_s))
+        resource.setrlimit(resource.RLIMIT_FSIZE, (1 << 20, 1 << 20))
+        resource.setrlimit(resource.RLIMIT_NPROC, (16, 16))
+
+    def run(self, code: str) -> str:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-I", "-c", code],
+                capture_output=True, text=True, timeout=self.cfg.timeout_s,
+                preexec_fn=self._limits, cwd="/tmp",
+            )
+            out = proc.stdout
+            if proc.returncode != 0:
+                out += ("\n" if out else "") + f"[exit {proc.returncode}] {proc.stderr.strip()}"
+        except subprocess.TimeoutExpired:
+            out = f"[timeout after {self.cfg.timeout_s}s]"
+        except Exception as e:  # resource denial etc.
+            out = f"[sandbox error: {e}]"
+        out = out.strip() or "[no output]"
+        if len(out) > self.cfg.max_output_chars:
+            out = out[: self.cfg.max_output_chars] + "...[truncated]"
+        return out
+
+
+class SandboxAgentLoop(ToolAgentLoop):
+    """ToolAgentLoop with a sandboxed `python` tool; additionally treats a
+    trailing fenced ```python``` block as an execution request (reference
+    sandbox loop behavior), so models that answer with plain code still get
+    their program executed and observed."""
+
+    def __init__(self, generate_fn, tokenizer, max_turns: int = 4,
+                 sandbox: Optional[PythonSandbox] = None,
+                 tool_result_template: str = "\n<tool_result>{}</tool_result>\n",
+                 extra_tools: Optional[dict] = None):
+        self.sandbox = sandbox or PythonSandbox()
+        tools = {"python": self.sandbox.run, **(extra_tools or {})}
+        super().__init__(generate_fn, tokenizer, tools, max_turns, tool_result_template)
+
+    def run(self, prompt_ids: list[int]) -> AgentRollout:
+        rollout = AgentRollout()
+        rollout.segments.append(Segment(list(prompt_ids), generated=False))
+        context = list(prompt_ids)
+        for turn in range(self.max_turns):
+            gen_ids, logprobs = self.generate_fn(context)
+            rollout.segments.append(Segment(list(gen_ids), generated=True,
+                                            logprobs=list(logprobs)))
+            context = context + list(gen_ids)
+            text = self.tokenizer.decode(gen_ids)
+            rollout.final_text += text
+            rollout.num_turns = turn + 1
+
+            call = parse_tool_call(text)
+            if call is not None:
+                name, args = call
+                tool = self.tools.get(name)
+                result = tool(args) if tool is not None else f"error: unknown tool {name}"
+            else:
+                fenced = FENCED_CODE_RE.findall(text)
+                if not fenced:
+                    rollout.stop_reason = "answer"
+                    return rollout
+                result = self.sandbox.run(fenced[-1])
+            framed = self.tool_result_template.format(result)
+            result_ids = self.tokenizer.encode(framed, add_special_tokens=False)
+            rollout.segments.append(Segment(result_ids, generated=False))
+            context = context + result_ids
+        rollout.stop_reason = "max_turns"
+        return rollout
