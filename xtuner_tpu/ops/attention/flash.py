@@ -288,16 +288,15 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
 
 def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                       delta_ref, dq_in_ref, dq_ref, dk_ref, dv_ref,
-                      dk_scr, dv_scr, dq_scr, *, scale, causal, window,
-                      block_q, block_k, ratio, kj):
+                      dk_scr, dv_scr, *, scale, causal, window,
+                      block_q, block_k, ratio):
     """Single-sweep backward: 5 matmuls + 1 exp per tile instead of the
-    two-pass dq/dkv kernels' 7 + 2. Grid (b, hkv, jo, g, i): a GROUP of kj
-    kv-blocks is resident per jo so dk/dv accumulate in VMEM across the whole
-    GQA group; dq accumulates IN HBM through an f32 buffer aliased
-    input->output — each (jo, g) sweep revisits dq[i] ONCE for kj kv-blocks,
-    dividing the dq read+write HBM traffic (the dominant non-FLOP cost of
-    this kernel: ~29% of its runtime at kj=1, 64k) by kj."""
-    b, hkv, jo, g, i = (pl.program_id(x) for x in range(5))
+    two-pass dq/dkv kernels' 7 + 2. Grid (b, hkv, j, g, i): kv-block j outer
+    so dk/dv accumulate in VMEM across the whole GQA group (no per-q-head
+    dk_h/dv_h temps); dq accumulates IN HBM through an f32 buffer aliased
+    input->output — each (j, g) sweep revisits dq[i] once, ~2 MB/tile of
+    extra HBM traffic, far cheaper than the s/dp recompute it replaces."""
+    b, hkv, j, g, i = (pl.program_id(x) for x in range(5))
     nq = pl.num_programs(4)
     h = hkv * ratio + g  # global q-head (lse/delta row)
 
@@ -307,56 +306,53 @@ def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     qseg = qseg_ref[0, 0]
-    lse2_row = (lse_ref[0, h] * LOG2E)[:, None]
-    delta_s_row = (delta_ref[0, h] * scale)[:, None]
-    q = q_ref[0, 0]
-    qs = q * jnp.asarray(scale * LOG2E, q.dtype)
-    do = do_ref[0, 0]
-    dq_scr[:] = dq_in_ref[0, 0]
+    kseg = kseg_ref[0, 0]
+    causal_needed = (i * block_q + block_q - 1 >= j * block_k) if causal else True
+    seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
+        jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
+    needed = causal_needed & seg_needed
+    full = _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k)
 
-    for t in range(kj):
-        j = jo * kj + t
-        sl = slice(t * block_k, (t + 1) * block_k)
-        kseg = kseg_ref[0, 0, sl]
-        causal_needed = (i * block_q + block_q - 1 >= j * block_k) if causal else True
-        seg_needed = (jnp.max(kseg) >= jnp.min(jnp.where(qseg == 0, jnp.int32(2**30), qseg))) & (
-            jnp.max(qseg) > 0) & (jnp.max(kseg) > 0)
-        needed = causal_needed & seg_needed
-        full = _tile_full(i, j, qseg, kseg, causal, window, block_q, block_k)
+    def compute(use_mask: bool):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - (lse_ref[0, h] * LOG2E)[:, None])
+        if use_mask:
+            qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
+            kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
+            mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
+            p = jnp.where(mask, p, 0.0)
+        do = do_ref[0, 0]
+        dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        # dq accumulates in HBM across the j sweep, so ds must carry the grad
+        # scale per-tile; fold it into the small (block_k, dv) v tile instead
+        # of a (block_q, block_k) multiply on dp
+        vs = v_ref[0, 0] * jnp.asarray(scale, v_ref.dtype)
+        dp_s = jax.lax.dot_general(do, vs, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds = (p * (dp_s - (delta_ref[0, h] * scale)[:, None])).astype(q.dtype)
+        dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dq_ref[0, 0] = dq_in_ref[0, 0] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-        def compute(use_mask: bool, j=j, sl=sl, kseg=kseg):
-            k = k_ref[0, 0, sl]
-            s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = jnp.exp2(s - lse2_row)
-            if use_mask:
-                qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
-                kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
-                mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
-                p = jnp.where(mask, p, 0.0)
-            dv_scr[sl] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
-            # ds must carry the grad scale per-tile (dq accumulates in HBM);
-            # fold it into the small (block_k, dv) v tile instead of a
-            # (block_q, block_k) multiply on dp
-            vs = v_ref[0, 0, sl] * jnp.asarray(scale, v_ref.dtype)
-            dp_s = jax.lax.dot_general(do, vs, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            ds = (p * (dp_s - delta_s_row)).astype(q.dtype)
-            dk_scr[sl] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
-            dq_scr[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                             preferred_element_type=jnp.float32)
+    @pl.when(needed & full)
+    def _compute_full():
+        compute(use_mask=False)
 
-        @pl.when(needed & full)
-        def _compute_full(compute=compute):
-            compute(use_mask=False)
+    @pl.when(needed & ~full)
+    def _compute_masked():
+        compute(use_mask=True)
 
-        @pl.when(needed & ~full)
-        def _compute_masked(compute=compute):
-            compute(use_mask=True)
-
-    dq_ref[0, 0] = dq_scr[:]
+    @pl.when(~needed)
+    def _passthrough():
+        # every step must write its dq block (skipped tiles are clamped onto a
+        # real block's index; write-through keeps the accumulation intact)
+        dq_ref[0, 0] = dq_in_ref[0, 0]
 
     @pl.when((g == ratio - 1) & (i == nq - 1))
     def _finalize():
@@ -371,26 +367,17 @@ def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
     hkv = k.shape[1]
     ratio = hq // hkv
     nq, nk = l // block_q, l // block_k
-    # kv-group size: kj kv-blocks resident per grid step (dq HBM traffic /kj)
-    kj = int(os.environ.get("XTUNER_FLASH_BWD_KJ", "2"))
-    while nk % kj:
-        kj //= 2
-    kj = max(kj, 1)
-    nko = nk // kj
-    kb = block_k * kj  # kv rows resident per grid step
 
-    def qi(i_, jo_):
-        # causal clamp in q-block units: a (jo, i) invocation with no visible
-        # tile re-references an already-resident q block (no new fetch)
-        return jnp.maximum(i_, (jo_ * kj * block_k) // block_q) if causal else i_
+    def qi(i_, j_):
+        return jnp.maximum(i_, j_) if causal else i_
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q), lambda b_, h_, j_, g_, i_: (b_, 0, qi(i_, j_))),  # qseg
-        pl.BlockSpec((1, 1, kb), lambda b_, h_, j_, g_, i_: (b_, 0, j_)),  # kseg
+        pl.BlockSpec((1, 1, block_k), lambda b_, h_, j_, g_, i_: (b_, 0, j_)),  # kseg
         pl.BlockSpec((1, 1, block_q, d),
                      lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # q
-        pl.BlockSpec((1, 1, kb, d), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # k
-        pl.BlockSpec((1, 1, kb, dv), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # v
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # k
+        pl.BlockSpec((1, 1, block_k, dv), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # v
         pl.BlockSpec((1, 1, block_q, dv),
                      lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # do
         pl.BlockSpec((1, hq, block_q), lambda b_, h_, j_, g_, i_: (b_, 0, qi(i_, j_))),  # lse
@@ -401,8 +388,8 @@ def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
     out_specs = [
         pl.BlockSpec((1, 1, block_q, d),
                      lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # dq
-        pl.BlockSpec((1, 1, kb, d), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dk
-        pl.BlockSpec((1, 1, kb, dv), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dv
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dk
+        pl.BlockSpec((1, 1, block_k, dv), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dv
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, hq, l, d), jnp.float32),
@@ -412,24 +399,19 @@ def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
     dq_zero = jnp.zeros((b, hq, l, d), jnp.float32)
     return pl.pallas_call(
         functools.partial(_fused_bwd_kernel, scale=scale, causal=causal, window=window,
-                          block_q=block_q, block_k=block_k, ratio=ratio, kj=kj),
-        grid=(b, hkv, nko, ratio, nq),
+                          block_q=block_q, block_k=block_k, ratio=ratio),
+        grid=(b, hkv, nk, ratio, nq),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((kb, d), jnp.float32),
-            pltpu.VMEM((kb, dv), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),  # dq accumulator
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, dv), jnp.float32),
         ],
         input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary",
                                  "arbitrary"),
-            # only raise the scoped-vmem ceiling when the kv group actually
-            # needs it — a blanket high limit degrades Mosaic's pipelining
-            # (measured: 64k step 4.74s -> 5.15s with a 100MB limit)
-            vmem_limit_bytes=(64 * 1024 * 1024 if kj * block_k > 1024 else None),
         ),
         interpret=interpret,
     )(seg3, seg3, q, k, v, g, lse, delta, dq_zero)
