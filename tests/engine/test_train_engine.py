@@ -113,6 +113,7 @@ def test_hsdp_engine_matches_single():
     assert float(m_h2["reduced_llm_loss"]) < float(m_h["reduced_llm_loss"])
 
 
+@pytest.mark.slow
 def test_tp_engine_matches_single():
     """tp>1 (megatron-style head/mlp/vocab sharding): same loss/grads as
     single device (VERDICT Weak #11: the tp axis was untested)."""

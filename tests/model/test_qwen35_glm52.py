@@ -4,6 +4,7 @@ rotary, and FoPE."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xtuner_tpu.data_proto import SequenceContext
 from xtuner_tpu.loss.ce_loss import IGNORE_IDX, CELossConfig
@@ -48,6 +49,7 @@ def tiny_qwen35():
     )
 
 
+@pytest.mark.slow
 def test_qwen35_hybrid_moe_trains():
     cfg = tiny_qwen35()
     model, params, ctx, labels, w = _loss_setup(cfg)
@@ -99,6 +101,7 @@ def tiny_glm52():
     )
 
 
+@pytest.mark.slow
 def test_glm52_dsa_moe_trains_with_indexer_loss():
     cfg = tiny_glm52()
     model, params, ctx, labels, w = _loss_setup(cfg)

@@ -301,6 +301,7 @@ def test_truncation_through_image_raises():
         fn(item)
 
 
+@pytest.mark.slow
 def test_engine_train_step():
     from xtuner_tpu.config.optim import AdamWConfig, LRConfig
     from xtuner_tpu.engine.train_engine import TrainEngine

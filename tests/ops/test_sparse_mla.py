@@ -113,6 +113,7 @@ def test_dsa_with_full_topk_matches_mla():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dsa_block_granularity():
     """select_granularity='block': Pallas block-sparse path — with every
     causal block selectable (index_top_k >= L) it must match plain MLA, and

@@ -82,6 +82,7 @@ def test_resume(data_file, tmp_path):
     assert (t2.work_dir / "checkpoints" / "step-5" / "train_state.json").exists()
 
 
+@pytest.mark.slow
 def test_selective_resume(data_file, tmp_path):
     """load_optimizer_states=False: weights restored, optimizer state fresh
     (reference arguments.py load_model/load_optimizer_states/load_dataset)."""

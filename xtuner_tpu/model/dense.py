@@ -44,6 +44,11 @@ def _remat_policy(name: str):
         # => viable at 64k where the full residual set OOMs.
         return jax.checkpoint_policies.save_only_these_names(
             "attn_res_out", "attn_lse")
+    if name == "save_out_lse_moe":
+        # save_out_lse + the MoE/MLP block outputs: backward also skips the
+        # expert-GEMM recompute at +H bf16 per token per layer
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_res_out", "attn_lse", "moe_out")
     if name == "save_attn_residuals":
         # save the flash kernel's residuals (q/k/v/out/lse): backward reuses
         # them instead of re-running the forward attention kernel; projections

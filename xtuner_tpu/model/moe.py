@@ -156,6 +156,9 @@ class MoE(Dense):
         )
         if "shared_experts" in lp:
             moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
+        from jax.ad_checkpoint import checkpoint_name
+
+        moe_out = checkpoint_name(moe_out, "moe_out")  # saveable by remat policies
         x = x + moe_out
         x = sc(x, "batch", "seq", None)
         bal, _ = balancing_loss(r.probs, r.topk_idx, valid,
