@@ -340,3 +340,63 @@ def test_freeze_vision_labels():
     labels = model.param_labels(model.param_specs())
     assert all(l == "freeze" for l in jax.tree.leaves(labels["vision"]))
     assert all(l == "train" for l in jax.tree.leaves(labels["language"]))
+
+
+def test_qwen35_vl_hybrid_engine_step():
+    """Qwen3.5-VL composition: the Qwen3VL vision tower over the HYBRID
+    GatedDeltaNet/full-attention MoE text model trains end-to-end
+    (reference compose/qwen3_5/qwen3_5_config.py)."""
+    from xtuner_tpu.config.optim import AdamWConfig, LRConfig
+    from xtuner_tpu.engine.train_engine import TrainEngine
+    from xtuner_tpu.loss.ce_loss import CELossConfig
+    from xtuner_tpu.model.hybrid import HybridMoEConfig
+    from xtuner_tpu.module.attention import MHAConfig
+    from xtuner_tpu.module.gated_deltanet import GatedDeltaNetConfig
+    from xtuner_tpu.module.rope import RopeScalingConfig
+    from xtuner_tpu.parallel import MeshConfig
+
+    tok = UTF8ByteTokenizer(VL_SPECIALS)
+    text = HybridMoEConfig(
+        vocab_size=280, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, n_routed_experts=4, num_experts_per_tok=2,
+        n_shared_experts=1,
+        attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+                            with_gate=True),
+        linear_attention=GatedDeltaNetConfig(num_v_heads=4, num_k_heads=2,
+                                             head_k_dim=8, head_v_dim=8,
+                                             conv_kernel_size=3),
+        layer_types_pattern=["linear", "full"],
+        rope_scaling_cfg=RopeScalingConfig(rope_type="qwen3_vl", mrope_section=[2, 1, 1]),
+        balancing_loss_coef=0.01,
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    vision = Qwen3VLVisionConfig(
+        depth=2, hidden_size=16, intermediate_size=32, num_attention_heads=2,
+        patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+        num_position_embeddings=16, deepstack_visual_indexes=[])
+    cfg = Qwen3VLConfig(
+        vision_cfg=vision, text_cfg=text,
+        image_token_id=tok.special_ids["<|image_pad|>"],
+        video_token_id=tok.special_ids["<|image_pad|>"],
+        vision_start_token_id=tok.special_ids["<|vision_start|>"],
+        vision_end_token_id=tok.special_ids["<|vision_end|>"])
+
+    fn = Qwen3VLTokenizeFn(tok, "qwen", patch_size=4, merge_size=2,
+                           min_pixels=32 * 32, max_pixels=64 * 64)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    sample = fn({"messages": [
+        {"role": "user", "content": [{"type": "image", "image": img},
+                                     {"type": "text", "text": "what is this"}]},
+        {"role": "assistant", "content": "a picture"},
+    ]})
+    micro = qwen3vl_collator([[sample], [sample]], pack_max_length=160, max_patches=256,
+                             num_grid_per_side=4, merge_size=2)
+    batch = {k: v[None] for k, v in micro.items()}
+
+    engine = TrainEngine(cfg, AdamWConfig(lr=1e-3), LRConfig(),
+                         MeshConfig(fsdp_size=2, sp_size=4), total_steps=3)
+    engine.init_random(0)
+    l1 = float(engine.train_step(batch, 0)["reduced_llm_loss"])
+    l2 = float(engine.train_step(batch, 1)["reduced_llm_loss"])
+    assert np.isfinite(l1) and l2 < l1

@@ -39,3 +39,41 @@ def test_muon_optimizer_updates():
         assert not np.allclose(np.asarray(a), np.asarray(b))
     u = np.asarray(updates["layers"]["w"])
     assert np.isfinite(u).all()
+
+
+def test_newton_schulz_approximates_polar_factor():
+    """NS(G) must align with the exact polar factor U@Vt of G (the quantity
+    Muon's update is defined by) — directional agreement, not just
+    orthogonality. The quintic NS iteration trades exactness for speed, so
+    the check is cosine similarity of the flattened matrices."""
+    rng = np.random.default_rng(0)
+    for shape in [(64, 64), (128, 32), (32, 128)]:
+        g = rng.standard_normal(shape).astype(np.float32)
+        o = np.asarray(newton_schulz(jnp.asarray(g), steps=5), np.float32)
+        u, _, vt = np.linalg.svd(g, full_matrices=False)
+        polar = u @ vt
+        cos = float((o * polar).sum() / (np.linalg.norm(o) * np.linalg.norm(polar)))
+        assert cos > 0.98, (shape, cos)
+
+
+def test_muon_matches_manual_reference_step():
+    """One Muon step == the hand-computed reference algorithm: nesterov
+    momentum buffer -> NS orthogonalization -> aspect-ratio scaled update
+    (reference optim/muon.py semantics)."""
+    import optax
+
+    from xtuner_tpu.optim.muon import scale_by_muon
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    tx = scale_by_muon(momentum=0.9, nesterov=True, ns_steps=5)
+    state = tx.init({"w": w})
+    upd, _ = tx.update({"w": g}, state, {"w": w})
+
+    # manual: buf = 0.9*0 + g; u = g + 0.9*buf (nesterov); o = NS(u) * scale
+    buf = np.asarray(g)
+    u = np.asarray(g) + 0.9 * buf
+    o = np.asarray(newton_schulz(jnp.asarray(u), steps=5), np.float32)
+    scale = max(1.0, 16 / 8) ** 0.5
+    np.testing.assert_allclose(np.asarray(upd["w"]), o * scale, rtol=1e-5, atol=1e-5)

@@ -323,6 +323,8 @@ class Qwen3VLModel:
         dest = jnp.clip(jnp.cumsum(mask) - 1, 0, main.shape[0] - 1)
         embeds = jnp.where(mask[:, None], jnp.take(main, dest, axis=0),
                            embeds.reshape(b * l, -1)).reshape(b, l, -1)
+        if not ds:  # deepstack disabled (Qwen3.5-VL default)
+            return embeds, None
         ds_scattered = jnp.stack([
             jnp.where(mask[:, None], jnp.take(d, dest, axis=0), 0.0).reshape(b, l, -1)
             for d in ds
@@ -681,3 +683,24 @@ class Qwen3VLMoE30BA3Config(Qwen3VLConfig):
     def model_post_init(self, _ctx):
         if self.text_cfg is None:
             object.__setattr__(self, "text_cfg", _qwen3vl_text_moe_30b())
+
+
+class Qwen35VLMoE35BA3Config(Qwen3VLConfig):
+    """Qwen3.5-VL-35B-A3B (reference compose/qwen3_5/qwen3_5_config.py
+    Qwen3_5_VLMoE35BA3Config): the Qwen3VL vision tower (deepstack disabled
+    by default in 3.5) over the hybrid GatedDeltaNet/full-attention MoE text
+    model. New vision token ids (248053-248057)."""
+
+    vision_cfg: Qwen3VLVisionConfig = Qwen3VLVisionConfig(
+        deepstack_visual_indexes=[])
+    text_cfg: Any = None
+    image_token_id: int = 248056
+    video_token_id: int = 248057
+    vision_start_token_id: int = 248053
+    vision_end_token_id: int = 248054
+
+    def model_post_init(self, _ctx):
+        if self.text_cfg is None:
+            from .hybrid import qwen3_5_moe_35b_a3b
+
+            object.__setattr__(self, "text_cfg", qwen3_5_moe_35b_a3b())

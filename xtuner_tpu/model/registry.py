@@ -39,6 +39,7 @@ def _vlm_presets():
         "qwen3-vl-4b": qwen3_vl.Qwen3VLDense4BConfig,
         "qwen3-vl-8b": qwen3_vl.Qwen3VLDense8BConfig,
         "qwen3-vl-moe-30b-a3": qwen3_vl.Qwen3VLMoE30BA3Config,
+        "qwen3.5-vl-35b-a3b": qwen3_vl.Qwen35VLMoE35BA3Config,
     }
 
 
