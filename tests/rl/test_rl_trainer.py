@@ -136,3 +136,37 @@ def test_encode_prompt_multiturn_roles(prompts_file, tmp_path):
     assert "<|im_start|>user\nhello" not in text
     # final user turn ends with the generation prompt
     assert text.rstrip().endswith("<|im_start|>assistant")
+
+
+@pytest.mark.slow
+def test_debug_rollout_capture_and_replay(prompts_file, tmp_path):
+    """Capture writes the produced rollouts; a second trainer replays them
+    WITHOUT generating (reference rl_trainer.py:978-1010 debug mode)."""
+    base = dict(
+        model_cfg=DenseConfig(
+            vocab_size=300, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+            eos_token_id=258,
+            attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8),
+            lm_loss_cfg=CELossConfig(chunk_size=128),
+        ),
+        prompts_path=str(prompts_file),
+        optim_cfg=AdamWConfig(lr=1e-4),
+        mesh_cfg=MeshConfig(fsdp_size=8, param_dtype="float32"),
+        loss_cfg=GRPOLossConfig(cliprange_low=0.2, cliprange_high=0.2),
+        gen_cfg=GenerateConfig(max_new_tokens=8, temperature=1.0, eos_token_id=258),
+        group_size=4, prompts_per_step=2, total_steps=2, max_prompt_length=56,
+    )
+    cap = RLTrainerConfig(**base, work_dir=str(tmp_path / "w1"), exp_name="cap",
+                          debug_rollout_capture=True)
+    RLColocateTrainer(cap).fit()
+    trace_dir = tmp_path / "w1" / "cap"
+    assert (trace_dir / "rollout_traces" / "step-000001.jsonl").exists()
+
+    rep = RLTrainerConfig(**base, work_dir=str(tmp_path / "w2"), exp_name="rep",
+                          debug_rollout_replay_from=str(trace_dir))
+    t2 = RLColocateTrainer(rep)
+    t2.produce_batch = None  # replay must never generate
+    t2.fit()
+    # the replayed run logged training metrics for both captured steps
+    lines = (tmp_path / "w2" / "rep" / "tracker.jsonl").read_text().splitlines()
+    assert len([l for l in lines if "pg_loss" in l]) == 2

@@ -69,3 +69,28 @@ class RolloutTraceStore:
             if end is not None and step > end:
                 break
             yield from self.load_step(step)
+
+    def load_groups(self, step: int) -> list[SampleGroup]:
+        """Reconstruct SampleGroups from a captured step — the debug-replay
+        feed (reference rl_trainer.py:978-1010: train on a captured rollout
+        batch instead of regenerating)."""
+        by_prompt: dict[int, list[dict]] = {}
+        versions: dict[int, int] = {}
+        for rec in self.load_step(step):
+            pid = int(rec["prompt_id"])
+            versions[pid] = int(rec.get("policy_version", step))
+            sample = {
+                "prompt_ids": rec["prompt_ids"],
+                "response_ids": rec["response_ids"],
+                "logprobs": rec.get("logprobs", []),
+                "reward": rec.get("reward", 0.0),
+                "advantage": rec.get("advantage", 0.0),
+            }
+            by_prompt.setdefault(pid, []).append(sample)
+        groups = []
+        for pid, samples in by_prompt.items():
+            rewards = [s["reward"] for s in samples]
+            groups.append(SampleGroup(
+                prompt_id=pid, samples=samples, policy_version=versions[pid],
+                meta={"mean_reward": float(sum(rewards) / max(len(rewards), 1))}))
+        return groups

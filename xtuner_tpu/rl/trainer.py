@@ -71,6 +71,11 @@ class RLTrainerConfig(BaseModel):
     # R3 rollout-routing replay (MoE): train with the rollout's expert
     # assignment (reference rollout/worker.py:784 -> trainer/worker.py:473)
     rollout_routing_replay: bool = False
+    # debug rollout capture/replay (reference rl_trainer.py:978-1010):
+    # capture writes every produced batch to <work_dir>/rollout_traces/;
+    # replay_from bypasses generation and feeds captured groups back in
+    debug_rollout_capture: bool = False
+    debug_rollout_replay_from: Optional[str] = None
 
     def build(self) -> "RLColocateTrainer":
         return RLColocateTrainer(self)
@@ -307,9 +312,26 @@ class RLColocateTrainer:
     # ------------------------------------------------------------------
     def fit(self) -> None:
         cfg = self.cfg
+        trace = None
+        replay = None
+        if cfg.debug_rollout_capture or cfg.debug_rollout_replay_from:
+            from .trace import RolloutTraceStore
+
+            if cfg.debug_rollout_replay_from:
+                replay = RolloutTraceStore(cfg.debug_rollout_replay_from)
+            if cfg.debug_rollout_capture:
+                trace = RolloutTraceStore(self.work_dir)
         for step in range(1, cfg.total_steps + 1):
             t0 = time.time()
-            groups = self.produce_batch(policy_version=step)
+            if replay is not None:
+                groups = replay.load_groups(step)
+                if not groups:
+                    logger.info(f"debug replay: no captured rollout for step {step}; stopping")
+                    break
+            else:
+                groups = self.produce_batch(policy_version=step)
+            if trace is not None:
+                trace.record(step, groups, tokenizer=self.tokenizer)
             for g in groups:
                 self.replay_buffer.put(g)
             self.replay_buffer.maybe_expire(step)
