@@ -78,3 +78,28 @@ def test_math_boxed_judger():
     j = MathBoxedJudger()
     assert j.judge("so \\boxed{x+1}", "x+1") == 1.0
     assert j.judge("so x+1", "x+1") == 0.0
+
+
+def test_oreal_loss_pos_neg_calibration():
+    """OREAL: positive-advantage tokens carry an SFT term + policy term over
+    the global positive count; negatives only the policy term over the
+    negative count (reference rl/loss/oreal_loss.py)."""
+    import jax.numpy as jnp
+
+    from xtuner_tpu.rl.grpo_loss import OREALLossConfig, oreal_loss
+
+    lp = jnp.asarray([[-1.0, -2.0, -0.5, -1.5]])
+    old = jnp.asarray([[-1.0, -2.0, -0.5, -1.5]])  # ratio 1 everywhere
+    adv = jnp.asarray([[1.0, 1.0, -1.0, 0.0]])
+    mask = jnp.asarray([[1, 1, 1, 0]])
+    cfg = OREALLossConfig(pos_sft_loss_weight=1.0, kl_coef=0.0)
+    loss, mets = oreal_loss(lp, old, adv, mask, cfg)
+    # sft = mean(-lp over positives) = (1.0 + 2.0)/2; pos pg = (-1 + -1)/2;
+    # neg pg = +1/1 (maximum of pg1/pg2 at ratio 1 is -adv = +1)
+    assert abs(float(mets["sft_loss"]) - 1.5) < 1e-5
+    assert abs(float(mets["pg_loss"]) - 0.0) < 1e-5  # -1 + 1 = 0
+    assert abs(float(loss) - 1.5) < 1e-5
+    # zero sft weight -> pure policy calibration
+    cfg2 = OREALLossConfig(pos_sft_loss_weight=0.0)
+    loss2, _ = oreal_loss(lp, old, adv, mask, cfg2)
+    assert abs(float(loss2) - 0.0) < 1e-5

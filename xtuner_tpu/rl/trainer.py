@@ -277,7 +277,10 @@ class RLColocateTrainer:
             w = model.lm_head_weight(params).astype(dtype)
             logps = per_token_logprobs(hidden, w, mb["shifted_labels"], chunk, sc=sc)
             mask = mb["shifted_labels"] != -100
-            loss, mets = grpo_loss(logps, mb["old_logprobs"], mb["advantages"], mask,
+            from .grpo_loss import OREALLossConfig, oreal_loss
+
+            loss_impl = oreal_loss if isinstance(loss_cfg, OREALLossConfig) else grpo_loss
+            loss, mets = loss_impl(logps, mb["old_logprobs"], mb["advantages"], mask,
                                    loss_cfg, ref_logprobs=mb.get("ref_logprobs"),
                                    global_denom=denom)
             return loss, mets
