@@ -271,3 +271,47 @@ def test_disagg_trainer_end_to_end(tmp_path):
     tracker = trainer.work_dir / "tracker.jsonl"
     lines = [json.loads(x) for x in tracker.read_text().splitlines()]
     assert len(lines) >= 2 and "staleness" in lines[-1]
+
+
+def test_session_http_openai_and_anthropic(worker):
+    """The HTTP facade speaks both wire formats with stateful sessions
+    (reference session_server.py:26-153 format adaptation)."""
+    from xtuner_tpu.rl.session_server import SessionHTTPServer
+
+    tok = UTF8ByteTokenizer()
+    sessions = SessionServer(worker.base_url, tok, chat_template="qwen",
+                             eos_token_id=258)
+    srv = SessionHTTPServer(sessions).start()
+    try:
+        # openai format, session continued across calls
+        r1 = _post(srv.url, "/v1/chat/completions", {
+            "model": "m", "max_tokens": 4,
+            "messages": [{"role": "system", "content": "be brief"},
+                         {"role": "user", "content": "hi"}]})
+        assert r1["object"] == "chat.completion"
+        assert r1["choices"][0]["message"]["role"] == "assistant"
+        sid = r1["session_id"]
+        r2 = _post(srv.url, "/v1/chat/completions", {
+            "model": "m", "max_tokens": 4, "session_id": sid,
+            "messages": [{"role": "user", "content": "again"}]})
+        assert r2["session_id"] == sid
+        assert [m["role"] for m in sessions.history(sid)] == [
+            "system", "user", "assistant", "user", "assistant"]
+
+        # anthropic format with block content
+        r3 = _post(srv.url, "/v1/messages", {
+            "model": "m", "max_tokens": 4, "system": "short",
+            "messages": [{"role": "user",
+                          "content": [{"type": "text", "text": "yo"}]}]})
+        assert r3["type"] == "message" and r3["role"] == "assistant"
+        assert r3["content"][0]["type"] == "text"
+        assert r3["stop_reason"] in ("end_turn", "max_tokens")
+
+        # malformed request -> structured 400, server keeps serving
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv.url, "/v1/chat/completions", {"messages": "nope"})
+        _post(srv.url, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "ok"}], "max_tokens": 2})
+    finally:
+        srv.stop()

@@ -129,3 +129,129 @@ class SessionServer:
                 "logprobs": (choice.get("logprobs") or {}).get("token_logprobs"),
                 "policy_version": out.get("policy_version", 0),
                 "finish_reason": choice.get("finish_reason")}
+
+
+class SessionHTTPServer:
+    """HTTP facade over SessionServer speaking BOTH the OpenAI
+    chat-completions and Anthropic messages wire formats (reference
+    rollout/session_server.py:26-153 format adaptation) — agent frameworks
+    targeting either API can drive multi-turn RL sessions unchanged.
+
+    POST /v1/chat/completions  (OpenAI)   {model, messages, max_tokens, ...}
+    POST /v1/messages          (Anthropic) {model, system?, messages, max_tokens}
+    Stateful sessions: pass "session_id" to continue one; omit for one-shot.
+    """
+
+    def __init__(self, sessions: SessionServer, host: str = "127.0.0.1", port: int = 0):
+        self.sessions = sessions
+        self.host = host
+        self.port = port
+        self._server = None
+        self._thread = None
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "SessionHTTPServer":
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/v1/chat/completions":
+                        self._json(200, outer._openai(req))
+                    elif self.path == "/v1/messages":
+                        self._json(200, outer._anthropic(req))
+                    else:
+                        self._json(404, {"error": f"unknown path {self.path}"})
+                except Exception as e:  # surface as API error, keep serving
+                    self._json(400, {"error": {"type": type(e).__name__, "message": str(e)}})
+
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+
+    # ------------------------------------------------------------------
+    def _run_turn(self, sid: Optional[str], system: Optional[str],
+                  messages: list[dict], params: dict) -> tuple[str, dict]:
+        if sid is None:
+            sid = self.sessions.create(system=system)
+            for m in messages:
+                self.sessions.append(sid, m["role"], m["content"])
+        else:
+            # continue an existing session with the NEW messages only
+            for m in messages:
+                self.sessions.append(sid, m["role"], m["content"])
+        out = self.sessions.generate(sid, **params)
+        return sid, out
+
+    def _openai(self, req: dict) -> dict:
+        msgs = list(req.get("messages", []))
+        system = None
+        if msgs and msgs[0].get("role") == "system":
+            system = msgs[0].get("content")
+            msgs = msgs[1:]
+        sid, out = self._run_turn(req.get("session_id"), system, msgs, dict(
+            max_tokens=req.get("max_tokens", 256),
+            temperature=req.get("temperature", 1.0),
+            top_p=req.get("top_p", 1.0)))
+        return {
+            "id": f"chatcmpl-{sid}",
+            "object": "chat.completion",
+            "model": req.get("model", "xtuner-tpu"),
+            "session_id": sid,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": out["text"]},
+                "finish_reason": out.get("finish_reason") or "stop",
+            }],
+        }
+
+    def _anthropic(self, req: dict) -> dict:
+        system = req.get("system")
+        if isinstance(system, list):  # anthropic block form
+            system = "".join(b.get("text", "") for b in system)
+        msgs = []
+        for m in req.get("messages", []):
+            content = m.get("content")
+            if isinstance(content, list):  # content blocks -> text
+                content = "".join(b.get("text", "") for b in content
+                                  if b.get("type") == "text")
+            msgs.append({"role": m["role"], "content": content})
+        sid, out = self._run_turn(req.get("session_id"), system, msgs, dict(
+            max_tokens=req.get("max_tokens", 256),
+            temperature=req.get("temperature", 1.0),
+            top_p=req.get("top_p", 1.0)))
+        return {
+            "id": f"msg-{sid}",
+            "type": "message",
+            "role": "assistant",
+            "model": req.get("model", "xtuner-tpu"),
+            "session_id": sid,
+            "content": [{"type": "text", "text": out["text"]}],
+            "stop_reason": "end_turn" if (out.get("finish_reason") or "stop") == "stop"
+                           else "max_tokens",
+        }
