@@ -71,3 +71,68 @@ JUDGER_MAP = {
     "gsm8k": GSM8KJudger,
     "math_boxed": MathBoxedJudger,
 }
+
+
+VERIFY_PROMPT = (
+    "You are a strict verifier. Question:\n{question}\n\n"
+    "Model answer:\n{response}\n\nGold answer:\n{label}\n\n"
+    "Reply with exactly one token: A if the model answer is equivalent to the "
+    "gold answer, B otherwise."
+)
+
+
+class HTTPJudger:
+    """LLM-judge over an OpenAI-compatible chat endpoint (reference
+    judger/compass_verifier_v2.py — CompassVerifier HTTP verification). The
+    verifier model answers A (correct) / B (incorrect) for one token; retries
+    across hosts; scores -1 (the reference's 'unjudgeable' sentinel) if every
+    attempt fails.
+
+    Works against any in-cluster serving endpoint (this framework's own
+    `rl/worker.py` included); nothing leaves the host network."""
+
+    def __init__(self, hosts: list[str], model: str = "", max_retries: int = 3,
+                 timeout: float = 30.0, question: str = "",
+                 thinking_finish_words: Optional[list[str]] = None):
+        if not hosts:
+            raise ValueError("HTTPJudger requires at least one host url")
+        self.hosts = [h.rstrip("/") for h in hosts]
+        self.model = model
+        self.max_retries = max_retries
+        self.timeout = timeout
+        self.question = question
+        self.thinking_finish_words = thinking_finish_words or [
+            "<conclude>", "**Final Answer**", "</think>"]
+
+    def _clean(self, response: str) -> str:
+        response = response.replace("<|im_end|>", "").strip()
+        for w in self.thinking_finish_words:
+            if w in response:
+                response = response.split(w)[-1]
+        lines = response.split("\n")
+        if len(lines) > 10:
+            response = "\n".join(lines[-10:])
+        return response[-1000:]
+
+    def judge(self, response: str, label: Any) -> float:
+        import json as _json
+        import urllib.request
+
+        prompt = VERIFY_PROMPT.format(question=self.question,
+                                      response=self._clean(response), label=label)
+        payload = {"model": self.model, "max_tokens": 1, "temperature": 0,
+                   "messages": [{"role": "user", "content": prompt}]}
+        for attempt in range(self.max_retries):
+            host = self.hosts[attempt % len(self.hosts)]
+            try:
+                req = urllib.request.Request(
+                    host + "/v1/chat/completions",
+                    data=_json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    out = _json.loads(resp.read())
+                text = out["choices"][0]["message"]["content"].strip()
+                return 1.0 if text.upper().startswith("A") else 0.0
+            except Exception:
+                continue
+        return -1.0  # unjudgeable sentinel (caller may filter)
