@@ -143,11 +143,16 @@ class SessionHTTPServer:
     """
 
     def __init__(self, sessions: SessionServer, host: str = "127.0.0.1", port: int = 0):
+        import threading
+
         self.sessions = sessions
         self.host = host
         self.port = port
         self._server = None
         self._thread = None
+        # SessionServer state is not thread-safe; serialize turns across the
+        # handler threads (generation itself is device-serial anyway)
+        self._lock = threading.Lock()
 
     @property
     def url(self) -> str:
@@ -197,6 +202,11 @@ class SessionHTTPServer:
     # ------------------------------------------------------------------
     def _run_turn(self, sid: Optional[str], system: Optional[str],
                   messages: list[dict], params: dict) -> tuple[str, dict]:
+        with self._lock:
+            return self._run_turn_locked(sid, system, messages, params)
+
+    def _run_turn_locked(self, sid: Optional[str], system: Optional[str],
+                         messages: list[dict], params: dict) -> tuple[str, dict]:
         if sid is None:
             sid = self.sessions.create(system=system)
             for m in messages:
