@@ -55,6 +55,10 @@ def test_http_judger_cleans_thinking():
         srv.shutdown()
 
 
-def test_http_judger_unreachable_sentinel():
+def test_http_judger_unreachable_neutral_default():
+    # outages must NOT punish samples by default; -1 sentinel is opt-in
     j = HTTPJudger(["http://127.0.0.1:9"], max_retries=2, timeout=0.5)
-    assert j.judge("anything", "x") == -1.0
+    assert j.judge("anything", "x") == 0.0
+    j2 = HTTPJudger(["http://127.0.0.1:9"], max_retries=2, timeout=0.5,
+                    unjudgeable_score=-1.0)
+    assert j2.judge("anything", "x") == -1.0

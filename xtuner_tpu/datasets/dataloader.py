@@ -57,7 +57,8 @@ class Dataloader:
             micro = [qwen3vl_collator(rows[i * b:(i + 1) * b], self.pack_max_length,
                                       self.loss_reduction, max_patches=self.max_patches,
                                       num_grid_per_side=self.num_grid_per_side,
-                                      merge_size=self.merge_size)
+                                      merge_size=self.merge_size,
+                                      pad_token_id=self.pad_token_id)
                      for i in range(a)]
             keys = micro[0].keys()
             return {k: np.stack([m[k] for m in micro]) for k in keys}
@@ -65,7 +66,8 @@ class Dataloader:
             from .vlm import vlm_collator
 
             micro = [vlm_collator(rows[i * b:(i + 1) * b], self.pack_max_length,
-                                  self.loss_reduction, max_tiles=self.max_tiles)
+                                  self.loss_reduction, max_tiles=self.max_tiles,
+                                  pad_token_id=self.pad_token_id)
                      for i in range(a)]
             keys = micro[0].keys()
             return {k: np.stack([m[k] for m in micro]) for k in keys}

@@ -135,7 +135,8 @@ def ftdp_tokenize(tokenizer, messages, role_config: dict[str, dict],
         begin_ids = tokenizer.encode(begin, add_special_tokens=False) if begin else []
         both = tokenizer.encode(begin + m["content"] + end, add_special_tokens=False)
         end_ids = tokenizer.encode(end, add_special_tokens=False) if end else []
-        content_ids = both[len(begin_ids): len(both) - len(end_ids) or None]
+        stop = len(both) - len(end_ids) if end_ids else len(both)
+        content_ids = both[len(begin_ids): stop]
 
         loss_cfg = cfg["loss"] if m.get("loss", True) else {}
         loss_type = m.get("type", "current")
@@ -168,7 +169,10 @@ class FtdpTokenizeFn:
         return ftdp_tokenize(self.tokenizer, item, self.role_config, self.max_length)
 
     def hash(self) -> str:
-        key = json.dumps([self.chat_template, self.max_length], sort_keys=True)
+        from .tokenize_fns import _tokenizer_fingerprint
+
+        key = json.dumps([self.chat_template, self.max_length,
+                          _tokenizer_fingerprint(self.tokenizer)], sort_keys=True)
         return f"ftdp-v1-{hashlib.sha256(key.encode()).hexdigest()[:12]}"
 
 

@@ -151,13 +151,15 @@ class Qwen3VLTokenizeFn:
 
 def qwen3vl_collator(packs: list[list[dict]], pack_max_length: int,
                      loss_reduction: str = "token", max_patches: int = 0,
-                     num_grid_per_side: int = 48, merge_size: int = 2) -> dict:
+                     num_grid_per_side: int = 48, merge_size: int = 2,
+                     pad_token_id: int = 0) -> dict:
     """SFT collator + patch rows padded to a static count + host-precomputed
     ViT geometry + per-pack MRoPE positions (reference collator.py VLM path +
     get_rope_index_3). Static shapes: pixel_values (max_patches, patch_dim)."""
     from .collator import sft_llm_collator
 
-    batch = sft_llm_collator(packs, pack_max_length, loss_reduction)
+    batch = sft_llm_collator(packs, pack_max_length, loss_reduction,
+                             pad_token_id=pad_token_id)
     b, l = batch["input_ids"].shape
     mrope = np.zeros((b, 3, l), np.int32)
     img_mask = np.zeros((b, l), bool)

@@ -37,8 +37,11 @@ class RLTextTokenizeFn:
         import hashlib
         import json
 
+        from .tokenize_fns import _tokenizer_fingerprint
+
         key = json.dumps([self.chat_template, self.max_length, self.tools_schema,
-                          self.system_prompt], sort_keys=True)
+                          self.system_prompt, _tokenizer_fingerprint(self.tokenizer)],
+                         sort_keys=True)
         return f"rl-text-v1-{hashlib.sha256(key.encode()).hexdigest()[:12]}"
 
     def _messages(self, item: dict) -> list[dict]:

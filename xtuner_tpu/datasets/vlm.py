@@ -183,12 +183,14 @@ class InternVLTokenizeFn:
 
 
 def vlm_collator(packs: list[list[dict]], pack_max_length: int,
-                 loss_reduction: str = "token", max_tiles: Optional[int] = None) -> dict:
+                 loss_reduction: str = "token", max_tiles: Optional[int] = None,
+                 pad_token_id: int = 0) -> dict:
     """SFT collator + stacked pixel tiles, padded to a static tile count
     (reference collator.py:135 VLM collators)."""
     from .collator import sft_llm_collator
 
-    batch = sft_llm_collator(packs, pack_max_length, loss_reduction)
+    batch = sft_llm_collator(packs, pack_max_length, loss_reduction,
+                             pad_token_id=pad_token_id)
     tiles = [s["pixel_values"] for pack in packs for s in pack if "pixel_values" in s]
     if tiles:
         pixel_values = np.concatenate(tiles)

@@ -84,7 +84,12 @@ def dsa_forward(p: dict, cfg: DSAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
     hi, di = cfg.index_n_heads, cfg.index_head_dim
     scale = mla_softmax_scale(cfg, rope_scaling)
 
-    if cfg.select_granularity == "block" and l % cfg.index_block == 0:
+    if cfg.select_granularity == "block":
+        if l % cfg.index_block != 0:
+            raise ValueError(
+                f"select_granularity='block' needs seq len ({l}) divisible by "
+                f"index_block ({cfg.index_block}); pad the pack length or "
+                f"change index_block")
         return _dsa_block_forward(p, cfg, x, q_full, k_full, v, segment_ids,
                                   scale, select_idx)
 

@@ -81,6 +81,11 @@ class ToolAgentLoop:
         self.max_turns = max_turns
         self.tool_result_template = tool_result_template
 
+    def _handle_no_tool_call(self, text: str):
+        """Hook for subclasses: a tool result to feed back when the turn has
+        no <tool_call> (None = final answer, stop the loop)."""
+        return None
+
     def run(self, prompt_ids: list[int]) -> AgentRollout:
         rollout = AgentRollout()
         rollout.segments.append(Segment(list(prompt_ids), generated=False))
@@ -95,11 +100,14 @@ class ToolAgentLoop:
             rollout.num_turns = turn + 1
             call = parse_tool_call(text)
             if call is None:
-                rollout.stop_reason = "answer"
-                return rollout
-            name, args = call
-            tool = self.tools.get(name)
-            result = tool(args) if tool is not None else f"error: unknown tool {name}"
+                result = self._handle_no_tool_call(text)
+                if result is None:
+                    rollout.stop_reason = "answer"
+                    return rollout
+            else:
+                name, args = call
+                tool = self.tools.get(name)
+                result = tool(args) if tool is not None else f"error: unknown tool {name}"
             if "{tool_extractor}" in self.tool_result_template:
                 # a ChatTemplate.tool_extractor was passed directly
                 framed = self.tool_result_template.format(tool_extractor=result)

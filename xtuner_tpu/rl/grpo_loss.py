@@ -88,17 +88,20 @@ class OREALLossConfig(GRPOLossConfig):
 
 
 def oreal_loss(logprobs, old_logprobs, advantages, mask, cfg: OREALLossConfig,
-               ref_logprobs=None, global_denom=None):
+               ref_logprobs=None, global_denom=None, global_pos=None,
+               global_neg=None):
     """OREAL objective: positives get SFT (-logprob) + policy terms
     normalized by the GLOBAL positive-token count; negatives get the policy
     term normalized by the global negative count (reference
-    oreal_loss.py build_batches — under GSPMD the global counts are plain
-    sums of the globally-sharded mask)."""
+    oreal_loss.py build_batches). Under gradient accumulation the
+    per-microbatch losses are SUMMED by the engine, so callers must pass the
+    whole-batch global_pos/global_neg counts (RLColocateTrainer._pack emits
+    them); the local-count fallback is only exact for a single microbatch."""
     mask = mask.astype(jnp.float32)
     pos = mask * (advantages > 0)
     neg = mask * (advantages <= 0)
-    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
-    n_neg = jnp.maximum(jnp.sum(neg), 1.0)
+    n_pos = jnp.maximum(jnp.sum(pos) if global_pos is None else global_pos, 1.0)
+    n_neg = jnp.maximum(jnp.sum(neg) if global_neg is None else global_neg, 1.0)
 
     log_ratio = logprobs - old_logprobs
     ratio = jnp.exp(log_ratio)

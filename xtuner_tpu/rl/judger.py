@@ -93,7 +93,8 @@ class HTTPJudger:
 
     def __init__(self, hosts: list[str], model: str = "", max_retries: int = 3,
                  timeout: float = 30.0, question: str = "",
-                 thinking_finish_words: Optional[list[str]] = None):
+                 thinking_finish_words: Optional[list[str]] = None,
+                 unjudgeable_score: float = 0.0):
         if not hosts:
             raise ValueError("HTTPJudger requires at least one host url")
         self.hosts = [h.rstrip("/") for h in hosts]
@@ -103,6 +104,10 @@ class HTTPJudger:
         self.question = question
         self.thinking_finish_words = thinking_finish_words or [
             "<conclude>", "**Final Answer**", "</think>"]
+        # score when every attempt fails: defaults to NEUTRAL (0) so verifier
+        # outages do not train the policy away from those samples; set -1 to
+        # get the reference's sentinel and filter upstream
+        self.unjudgeable_score = unjudgeable_score
 
     def _clean(self, response: str) -> str:
         response = response.replace("<|im_end|>", "").strip()
@@ -135,4 +140,8 @@ class HTTPJudger:
                 return 1.0 if text.upper().startswith("A") else 0.0
             except Exception:
                 continue
-        return -1.0  # unjudgeable sentinel (caller may filter)
+        from ..utils.logger import get_logger
+
+        get_logger().warning(f"HTTPJudger: all {self.max_retries} attempts failed; "
+                             f"scoring {self.unjudgeable_score}")
+        return self.unjudgeable_score

@@ -18,7 +18,7 @@ import sys
 from dataclasses import dataclass
 from typing import Optional
 
-from .agent_loop import AgentRollout, Segment, ToolAgentLoop, parse_tool_call
+from .agent_loop import ToolAgentLoop
 
 FENCED_CODE_RE = re.compile(r"```(?:python|py)\n(.*?)```", re.DOTALL)
 
@@ -80,33 +80,8 @@ class SandboxAgentLoop(ToolAgentLoop):
         tools = {"python": self.sandbox.run, **(extra_tools or {})}
         super().__init__(generate_fn, tokenizer, tools, max_turns, tool_result_template)
 
-    def run(self, prompt_ids: list[int]) -> AgentRollout:
-        rollout = AgentRollout()
-        rollout.segments.append(Segment(list(prompt_ids), generated=False))
-        context = list(prompt_ids)
-        for turn in range(self.max_turns):
-            gen_ids, logprobs = self.generate_fn(context)
-            rollout.segments.append(Segment(list(gen_ids), generated=True,
-                                            logprobs=list(logprobs)))
-            context = context + list(gen_ids)
-            text = self.tokenizer.decode(gen_ids)
-            rollout.final_text += text
-            rollout.num_turns = turn + 1
-
-            call = parse_tool_call(text)
-            if call is not None:
-                name, args = call
-                tool = self.tools.get(name)
-                result = tool(args) if tool is not None else f"error: unknown tool {name}"
-            else:
-                fenced = FENCED_CODE_RE.findall(text)
-                if not fenced:
-                    rollout.stop_reason = "answer"
-                    return rollout
-                result = self.sandbox.run(fenced[-1])
-            framed = self.tool_result_template.format(result)
-            result_ids = self.tokenizer.encode(framed, add_special_tokens=False)
-            rollout.segments.append(Segment(result_ids, generated=False))
-            context = context + result_ids
-        rollout.stop_reason = "max_turns"
-        return rollout
+    def _handle_no_tool_call(self, text: str):
+        fenced = FENCED_CODE_RE.findall(text)
+        if not fenced:
+            return None  # final answer
+        return self.sandbox.run(fenced[-1])

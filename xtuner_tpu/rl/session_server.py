@@ -209,12 +209,9 @@ class SessionHTTPServer:
                          messages: list[dict], params: dict) -> tuple[str, dict]:
         if sid is None:
             sid = self.sessions.create(system=system)
-            for m in messages:
-                self.sessions.append(sid, m["role"], m["content"])
-        else:
-            # continue an existing session with the NEW messages only
-            for m in messages:
-                self.sessions.append(sid, m["role"], m["content"])
+        # an existing session receives only the NEW messages
+        for m in messages:
+            self.sessions.append(sid, m["role"], m["content"])
         out = self.sessions.generate(sid, **params)
         return sid, out
 

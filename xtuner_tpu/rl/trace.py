@@ -21,6 +21,7 @@ class RolloutTraceStore:
     def __init__(self, root: str | Path, enabled: bool = True):
         self.root = Path(root) / "rollout_traces"
         self.enabled = enabled
+        self._written: set[int] = set()  # steps written by THIS run
         if enabled:
             self.root.mkdir(parents=True, exist_ok=True)
 
@@ -30,7 +31,12 @@ class RolloutTraceStore:
     def record(self, step: int, groups: list[SampleGroup], tokenizer=None) -> None:
         if not self.enabled:
             return
-        with self._shard(step).open("a") as f:
+        # first write of a step in this run truncates any stale shard from an
+        # interrupted earlier capture (append would duplicate records and
+        # double the replayed batch)
+        mode = "a" if step in self._written else "w"
+        self._written.add(step)
+        with self._shard(step).open(mode) as f:
             for g in groups:
                 for si, s in enumerate(g.samples):
                     rec: dict[str, Any] = {

@@ -258,6 +258,10 @@ class RLColocateTrainer:
             "input_ids": ids[None], "segment_ids": seg[None], "position_ids": pos[None],
             "shifted_labels": labels[None], "loss_weights": mask[None],
             "old_logprobs": old_lp[None], "advantages": adv[None],
+            # whole-batch pos/neg token counts for OREAL's global calibration
+            # (exact under grad accumulation; see grpo_loss.oreal_loss)
+            "global_pos": np.asarray([((labels != -100) & (adv > 0)).sum()], np.float32),
+            "global_neg": np.asarray([((labels != -100) & (adv <= 0)).sum()], np.float32),
         }
         if routed is not None:
             out["rollout_routed_experts"] = routed[None]
@@ -279,10 +283,15 @@ class RLColocateTrainer:
             mask = mb["shifted_labels"] != -100
             from .grpo_loss import OREALLossConfig, oreal_loss
 
-            loss_impl = oreal_loss if isinstance(loss_cfg, OREALLossConfig) else grpo_loss
-            loss, mets = loss_impl(logps, mb["old_logprobs"], mb["advantages"], mask,
-                                   loss_cfg, ref_logprobs=mb.get("ref_logprobs"),
-                                   global_denom=denom)
+            if isinstance(loss_cfg, OREALLossConfig):
+                loss, mets = oreal_loss(
+                    logps, mb["old_logprobs"], mb["advantages"], mask, loss_cfg,
+                    ref_logprobs=mb.get("ref_logprobs"), global_denom=denom,
+                    global_pos=mb.get("global_pos"), global_neg=mb.get("global_neg"))
+            else:
+                loss, mets = grpo_loss(logps, mb["old_logprobs"], mb["advantages"], mask,
+                                       loss_cfg, ref_logprobs=mb.get("ref_logprobs"),
+                                       global_denom=denom)
             return loss, mets
 
         return loss_fn

@@ -262,10 +262,17 @@ class Trainer:
             if cfg.act_stats_interval and step % cfg.act_stats_interval == 0:
                 from ..profiler.internal_metrics import ActivationStatsRecorder
 
+                # probe taps compile in only while a Prober is active: drop
+                # the cached step fn so this step retraces WITH taps, and
+                # again after so later steps go back to the tap-free trace
                 rec = ActivationStatsRecorder(interval=cfg.act_stats_interval)
+                self.engine._step_fn = None
                 box = {}
-                rec.maybe_record(step, lambda: box.setdefault(
-                    "m", self.engine.train_step(batch, step)))
+                try:
+                    rec.maybe_record(step, lambda: box.setdefault(
+                        "m", self.engine.train_step(batch, step)))
+                finally:
+                    self.engine._step_fn = None
                 metrics = box["m"]
                 if rec.last:
                     self.writer.add_scalars(rec.last, step)
