@@ -44,7 +44,7 @@ def main() -> None:
         router=GreedyRouterConfig(),
         attention=MHAConfig(num_attention_heads=16, num_key_value_heads=8, head_dim=128,
                             qk_norm=True),
-        lm_loss_cfg=CELossConfig(chunk_size=2048),
+        lm_loss_cfg=CELossConfig(chunk_size=2048, mode="fused"),
     )
     # 64k: the full (q,k,v,out,lse) residual set OOMs 16GB, but (out,lse)
     # alone fits — backward recomputes projections, never the fwd flash kernel

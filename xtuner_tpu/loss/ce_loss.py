@@ -34,10 +34,13 @@ IGNORE_IDX = -100
 
 
 class CELossConfig(BaseModel):
-    """API analog of reference CELossConfig (ce_loss.py:22)."""
+    """API analog of reference CELossConfig (ce_loss.py:22). mode="fused" is
+    the liger-kernel analog: a Pallas sweep over vocab tiles that keeps the
+    logits in VMEM only (ops/fused_ce.py); falls back to "chunk" when the
+    head has a bias or the shapes don't tile."""
 
     model_config = ConfigDict(extra="forbid")
-    mode: Literal["eager", "chunk"] = "chunk"
+    mode: Literal["eager", "chunk", "fused"] = "chunk"
     chunk_size: int = 1024
     loss_reduction: Literal["token", "sample", "square"] = "token"
     ignore_idx: int = IGNORE_IDX
@@ -60,6 +63,52 @@ def build_loss_weights(shifted_labels: np.ndarray, doc_lens_per_token: np.ndarra
     else:
         raise ValueError(f"Unknown loss reduction {reduction!r}")
     return w
+
+
+def _fused_ce(hidden, lm_head_w, labels, ignore_idx: int, sc=None):
+    """Pallas fused CE stats; shard-mapped over the token axes when a mesh is
+    present (tokens stay sharded; the fsdp-sharded head weight is gathered
+    inside the block, its transpose a reduce-scatter — FSDP semantics)."""
+    from ..ops.fused_ce import ce_lse_and_label
+
+    valid = labels != ignore_idx
+    safe = jnp.where(valid, labels, 0)
+
+    if sc is None or sc.mesh is None:
+        lse, lab = ce_lse_and_label(hidden, lm_head_w, safe)
+        return jnp.where(valid, lse - lab, 0.0)
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh = sc.mesh
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def axes_of(name):
+        phys = sc.rules.get(name)
+        if phys is None:
+            return ()
+        phys = phys if isinstance(phys, tuple) else (phys,)
+        return tuple(a for a in phys if sizes.get(a, 1) > 1)
+
+    tok_axes = axes_of("batch") + axes_of("seq")
+    w_axes = axes_of("embed_shard")
+    if not tok_axes and not w_axes:
+        lse, lab = ce_lse_and_label(hidden, lm_head_w, safe)
+        return jnp.where(valid, lse - lab, 0.0)
+
+    def block(h_, w_, lab_):
+        for a in w_axes:
+            w_ = jax.lax.all_gather(w_, a, axis=0, tiled=True)
+        return ce_lse_and_label(h_, w_, lab_)
+
+    lse, lab = jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(tok_axes or None, None), P(w_axes or None, None),
+                  P(tok_axes or None)),
+        out_specs=(P(tok_axes or None), P(tok_axes or None)),
+        check_vma=False,
+    )(hidden, lm_head_w, safe)
+    return jnp.where(valid, lse - lab, 0.0)
 
 
 def _ce_from_logits(logits, labels, ignore_idx: int):
@@ -89,7 +138,9 @@ def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
     labels = shifted_labels.reshape(n)
     weights = loss_weights.reshape(n).astype(jnp.float32)
 
-    if cfg.mode == "eager" or n <= cfg.chunk_size:
+    if cfg.mode == "fused" and lm_head_b is None and hidden.shape[-1] % 128 == 0:
+        ce = _fused_ce(hidden, lm_head_w, labels, cfg.ignore_idx, sc)
+    elif cfg.mode == "eager" or n <= cfg.chunk_size:
         logits = jnp.dot(hidden, lm_head_w, preferred_element_type=jnp.float32)
         if lm_head_b is not None:
             logits = logits + lm_head_b
