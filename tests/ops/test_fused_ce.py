@@ -107,3 +107,19 @@ def test_ce_loss_fused_matches_chunk():
     for gf, gc, name in zip(results["fused"][3], results["chunk"][3], ["dh", "dw"]):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gc), rtol=3e-4, atol=3e-4,
                                    err_msg=name)
+
+
+def test_per_token_logprobs_fused_matches_chunk():
+    from xtuner_tpu.loss.ce_loss import per_token_logprobs
+
+    rng = np.random.default_rng(5)
+    b, l, h, v = 2, 32, 128, 300
+    hid = jnp.asarray(rng.standard_normal((b, l, h)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((h, v)) * 0.05, jnp.float32)
+    labels = np.asarray(rng.integers(0, v, (b, l)), np.int32)
+    labels[:, :3] = -100
+    labels = jnp.asarray(labels)
+    lp_c = per_token_logprobs(hid, w, labels, chunk_size=16)
+    lp_f = per_token_logprobs(hid, w, labels, mode="fused")
+    np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_c), rtol=2e-5, atol=2e-5)
+    assert (np.asarray(lp_f)[:, :3] == 0).all()

@@ -187,12 +187,17 @@ def ce_loss(hidden, lm_head_w, shifted_labels, loss_weights, global_denom,
 
 
 def per_token_logprobs(hidden, lm_head_w, shifted_labels, chunk_size: int = 1024,
-                       ignore_idx: int = IGNORE_IDX, sc=None):
+                       ignore_idx: int = IGNORE_IDX, sc=None, mode: str = "chunk"):
     """(B, L) log p(label_t | context) — differentiable, logits never
     materialized (the RL actor/ref logprob path; reference rl/loss/base_loss.py
-    recomputes actor logprobs through the same chunked machinery)."""
+    recomputes actor logprobs through the same chunked machinery).
+    mode="fused" uses the Pallas CE-stats kernel (ops/fused_ce.py)."""
     b, l, h = hidden.shape
     n = b * l
+    if mode == "fused" and h % 128 == 0:
+        ce = _fused_ce(hidden.reshape(n, h), lm_head_w,
+                       shifted_labels.reshape(n), ignore_idx, sc)
+        return -ce.reshape(b, l)
     hidden = hidden.reshape(n, h)
     labels = shifted_labels.reshape(n)
     chunk = min(chunk_size, n)
