@@ -1,8 +1,10 @@
 from .config import DataloaderConfig, DatasetConfig
 from .dataloader import Dataloader
+from .ftdp import FtdpTokenizedDataMapping, FtdpTokenizeFn
 from .jsonl import JsonlDataset
 from .packing import HardPackDataset, HybridMLLMPackDataset, PresetPackDataset, SoftPackDataset
-from .sampler import ParallelSampler
+from .rl_tokenize import RLTextTokenizeFn
+from .sampler import ParallelSampler, PresetSampler
 from .tokenize_fns import OpenaiSFTTokenizeFn, PretrainTokenizeFn
 
 __all__ = [
@@ -15,6 +17,10 @@ __all__ = [
     "HybridMLLMPackDataset",
     "PresetPackDataset",
     "ParallelSampler",
+    "PresetSampler",
     "OpenaiSFTTokenizeFn",
     "PretrainTokenizeFn",
+    "FtdpTokenizeFn",
+    "FtdpTokenizedDataMapping",
+    "RLTextTokenizeFn",
 ]
