@@ -11,6 +11,7 @@ top-k routing, grouped expert GEMMs, packed 64k rows, chunked CE.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -29,15 +30,19 @@ def main() -> None:
     from xtuner_tpu.parallel.mesh import MeshConfig
 
     n_dev = len(jax.devices())
-    seq_len = 65536
+    seq_len = int(os.environ.get("BENCH_SEQ", 65536))
+    # Round-3 default shape: 16 layers / 64 experts — the biggest Qwen3-MoE-
+    # structured model whose full fp32 AdamW state (master+m+v+grads = 16 B/
+    # param) fits a single 16 GB v5e. The reference's 30B-A3 shards this state
+    # over >=64 GPUs; one chip holding everything caps params near ~850M.
     cfg = MoEConfig(
         vocab_size=151936,
-        num_hidden_layers=8,
-        hidden_size=1024,
+        num_hidden_layers=int(os.environ.get("BENCH_LAYERS", 16)),
+        hidden_size=int(os.environ.get("BENCH_HIDDEN", 1024)),
         intermediate_size=3072,
-        moe_intermediate_size=512,
-        n_routed_experts=16,
-        num_experts_per_tok=2,
+        moe_intermediate_size=int(os.environ.get("BENCH_MOE_INTER", 192)),
+        n_routed_experts=int(os.environ.get("BENCH_EXPERTS", 64)),
+        num_experts_per_tok=int(os.environ.get("BENCH_TOPK", 6)),
         tie_word_embeddings=True,
         rope_theta=1000000.0,
         balancing_loss_coef=0.001,
@@ -48,7 +53,9 @@ def main() -> None:
     )
     # 64k: the full (q,k,v,out,lse) residual set OOMs 16GB, but (out,lse)
     # alone fits — backward recomputes projections, never the fwd flash kernel
-    remat = "save_attn_residuals" if seq_len <= 16384 else "save_out_lse"
+    remat = os.environ.get(
+        "BENCH_REMAT",
+        "save_attn_residuals" if seq_len <= 16384 else "save_out_lse")
     mesh_cfg = MeshConfig(fsdp_size=n_dev, remat_policy=remat)
     engine = TrainEngine(cfg, AdamWConfig(lr=1e-5), LRConfig(warmup_steps=2), mesh_cfg,
                          total_steps=100)
@@ -63,7 +70,7 @@ def main() -> None:
         m = engine.train_step(batch, step)
         float(m["total_loss"])
 
-    n_steps = 6
+    n_steps = int(os.environ.get("BENCH_STEPS", 6))
     times = []
     for step in range(3, 3 + n_steps):
         t0 = time.time()
@@ -79,8 +86,19 @@ def main() -> None:
               * cfg.hidden_size * cfg.moe_intermediate_size
               + cfg.num_hidden_layers * cfg.num_experts_per_tok * 3
               * cfg.hidden_size * cfg.moe_intermediate_size)
-    attn_flops = 6 * cfg.num_hidden_layers * cfg.hidden_size * 2 * seq_len // 2
+    # Attention train FLOPs/token/layer = 6 * (heads*head_dim) * seq/2 * 2:
+    # qk^T + a.v each do heads*head_dim*seq/2 MACs per token (causal average,
+    # which is what the flash kernel executes — masked tiles are DMA-pruned),
+    # x2 flops/MAC, x3 for fwd+bwd. NOTE: rounds <=2 used hidden_size here,
+    # undercounting attention 2x for this Qwen3-style head-expanded config
+    # (heads*head_dim = 2*hidden); mfu_prev_formula keeps the old accounting
+    # for cross-round continuity (see docs/kernels.md "MFU accounting").
+    attn = cfg.attention
+    q_dim = attn.num_attention_heads * attn.head_dim
+    attn_flops = 6 * cfg.num_hidden_layers * q_dim * seq_len // 2 * 2
+    attn_flops_old = 6 * cfg.num_hidden_layers * cfg.hidden_size * 2 * seq_len // 2
     mfu = (6 * active + attn_flops) * tokens_per_sec_chip / 197e12  # v5e bf16 peak
+    mfu_old = (6 * active + attn_flops_old) * tokens_per_sec_chip / 197e12
     baseline = 2000.0  # reference BF16 tokens/GPU/s at 64k (BASELINE.md)
     print(json.dumps({
         "metric": "moe_sft_64k_tokens_per_sec_per_chip",
@@ -88,9 +106,13 @@ def main() -> None:
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_sec_chip / baseline, 3),
         "mfu": round(mfu, 4),
+        "mfu_prev_formula": round(mfu_old, 4),
         "step_time_s": round(dt, 3),
         "seq_len": seq_len,
         "total_params_m": round(engine.num_params / 1e6, 1),
+        "n_layers": cfg.num_hidden_layers,
+        "n_experts": cfg.n_routed_experts,
+        "top_k": cfg.num_experts_per_tok,
     }))
 
 

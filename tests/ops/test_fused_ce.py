@@ -123,3 +123,35 @@ def test_per_token_logprobs_fused_matches_chunk():
     lp_f = per_token_logprobs(hid, w, labels, mode="fused")
     np.testing.assert_allclose(np.asarray(lp_f), np.asarray(lp_c), rtol=2e-5, atol=2e-5)
     assert (np.asarray(lp_f)[:, :3] == 0).all()
+
+
+def test_split_tail_path_parity():
+    """Vocab > one tile but not tile-aligned: kernel prefix + XLA tail merge
+    (the grid-prefix path, no pad/slice copy of w)."""
+    from xtuner_tpu.ops.fused_ce import PAD_MULT, ce_stats_vh
+
+    c, h, v = 64, 32, PAD_MULT + 384
+    rng = np.random.default_rng(7)
+    hid = jnp.asarray(rng.standard_normal((c, h)), jnp.float32)
+    w_vh = jnp.asarray(rng.standard_normal((v, h)) * 0.1, jnp.float32)
+    # labels straddling the split point, including tail labels
+    labels = jnp.asarray(rng.integers(0, v, c).astype(np.int32))
+    labels = labels.at[:8].set(jnp.arange(PAD_MULT - 4, PAD_MULT + 4))
+    weights = jnp.asarray(rng.random(c), jnp.float32)
+
+    def loss_fused(hid, w_vh):
+        lse, lab = ce_stats_vh(hid, w_vh, labels, True)
+        return jnp.sum((lse - lab) * weights)
+
+    def loss_ref(hid, w_vh):
+        logits = hid @ w_vh.T
+        ce = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+            logits, labels[:, None], 1)[:, 0]
+        return jnp.sum(ce * weights)
+
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1))(hid, w_vh)
+    v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1))(hid, w_vh)
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-5)
+    for a, b, name in zip(g_r, g_f, ["dh", "dw"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4,
+                                   err_msg=name)

@@ -58,10 +58,8 @@ def test_newton_schulz_approximates_polar_factor():
 
 def test_muon_matches_manual_reference_step():
     """One Muon step == the hand-computed reference algorithm: nesterov
-    momentum buffer -> NS orthogonalization -> aspect-ratio scaled update
-    (reference optim/muon.py semantics)."""
-    import optax
-
+    momentum buffer -> NS orthogonalization -> rms_norm lr-ratio scaled
+    update (reference optim/muon.py:339-352, :1364-1405)."""
     from xtuner_tpu.optim.muon import scale_by_muon
 
     rng = np.random.default_rng(1)
@@ -71,9 +69,9 @@ def test_muon_matches_manual_reference_step():
     state = tx.init({"w": w})
     upd, _ = tx.update({"w": g}, state, {"w": w})
 
-    # manual: buf = 0.9*0 + g; u = g + 0.9*buf (nesterov); o = NS(u) * scale
+    # manual: buf = 0.9*0 + g; u = g + 0.9*buf (nesterov); o = NS(u) * ratio
     buf = np.asarray(g)
     u = np.asarray(g) + 0.9 * buf
     o = np.asarray(newton_schulz(jnp.asarray(u), steps=5), np.float32)
-    scale = max(1.0, 16 / 8) ** 0.5
-    np.testing.assert_allclose(np.asarray(upd["w"]), o * scale, rtol=1e-5, atol=1e-5)
+    ratio = 0.2 * np.sqrt(max(16, 8))  # rms_norm mode (reference default)
+    np.testing.assert_allclose(np.asarray(upd["w"]), o * ratio, rtol=1e-5, atol=1e-5)

@@ -35,6 +35,8 @@ class MuonConfig(BaseModel):
     momentum: float = 0.95
     nesterov: bool = True
     ns_steps: int = 5
+    # lr adjustment per matrix shape (reference muon.py:262-264, :339-352)
+    adjust_lr: Literal["rms_norm", "spectral_norm", "none"] = "rms_norm"
     adamw_lr: float = 1e-5  # fallback for 1-D / embedding params
     adamw_betas: tuple[float, float] = (0.9, 0.999)
     adamw_eps: float = 1e-8

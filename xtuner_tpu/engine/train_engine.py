@@ -139,6 +139,22 @@ class TrainEngine:
             return
         save_hf_checkpoint(hf_path, self.params, self.model.hf_key_map(), self.model_cfg)
 
+    def async_save_hf(self, hf_path: str):
+        """Non-blocking HF export: params are snapshotted to host, the
+        safetensors write runs on a background thread (reference async HF
+        export, base.py:754-918). Returns a handle with .join()/.done;
+        LoRA configs are merged on-device first, then exported plain."""
+        from ..checkpoint.hf import async_save_hf_checkpoint
+
+        if getattr(self.model_cfg, "lora_cfg", None) is not None and "lora_cfg" in getattr(
+                self.model_cfg, "model_fields", {}):
+            params = self.model.merge_lora(self.params)
+            plain_cfg = self.model_cfg.model_copy(update={"lora_cfg": None})
+            return async_save_hf_checkpoint(hf_path, params,
+                                            plain_cfg.build().hf_key_map(), self.model_cfg)
+        return async_save_hf_checkpoint(hf_path, self.params, self.model.hf_key_map(),
+                                        self.model_cfg)
+
     # ------------------------------------------------------------------
     def _default_loss_fn(self):
         """SFT loss: model.loss with the calibrated CE (trainer path)."""
@@ -310,11 +326,25 @@ class TrainEngine:
             seq_ctx = SequenceContext(
                 input_ids=mb["input_ids"], segment_ids=mb["segment_ids"],
                 position_ids=mb["position_ids"],
+                **{k: mb[k] for k in VLM_BATCH_KEYS if k in mb},
             )
             out = self.model.loss(params, seq_ctx, mb["shifted_labels"],
                                   mb["loss_weights"], denom, sc=self.sc,
                                   compute_dtype=self.compute_dtype)
             return out
 
-        mb = jax.tree.map(lambda x: x.reshape(-1, x.shape[-1]), device_batch)
+        # (A, B, L) token arrays collapse the accum dim; VLM aux arrays
+        # (pixel patches, mrope tables, ...) keep their own layout and only
+        # drop the leading accum dim when they carry one
+        sample = device_batch["input_ids"]
+        a, b = sample.shape[:2]
+
+        def collapse(x):
+            if x.ndim == 3 and x.shape[:2] == (a, b):
+                return x.reshape(a * b, x.shape[-1])
+            if x.ndim >= 2 and x.shape[0] == a:
+                return x.reshape((a * x.shape[1],) + x.shape[2:])
+            return x
+
+        mb = jax.tree.map(collapse, device_batch)
         return fwd(self.params, mb)

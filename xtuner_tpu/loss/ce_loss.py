@@ -68,14 +68,19 @@ def build_loss_weights(shifted_labels: np.ndarray, doc_lens_per_token: np.ndarra
 def _fused_ce(hidden, lm_head_w, labels, ignore_idx: int, sc=None):
     """Pallas fused CE stats; shard-mapped over the token axes when a mesh is
     present (tokens stay sharded; the fsdp-sharded head weight is gathered
-    inside the block, its transpose a reduce-scatter — FSDP semantics)."""
-    from ..ops.fused_ce import ce_lse_and_label
+    inside the block, its transpose a reduce-scatter — FSDP semantics).
+
+    The kernel is vocab-major: for the tied path `lm_head_w` arrived as
+    `embed.T`, so the `.T` here cancels under XLA and the kernel reads the
+    embedding with NO transpose or pad copy (ops/fused_ce.py docstring)."""
+    from ..ops.fused_ce import ce_stats_vh
 
     valid = labels != ignore_idx
     safe = jnp.where(valid, labels, 0)
+    w_vh = lm_head_w.T  # (V, H)
 
     if sc is None or sc.mesh is None:
-        lse, lab = ce_lse_and_label(hidden, lm_head_w, safe)
+        lse, lab = ce_stats_vh(hidden, w_vh, safe)
         return jnp.where(valid, lse - lab, 0.0)
 
     from jax.sharding import PartitionSpec as P
@@ -91,23 +96,23 @@ def _fused_ce(hidden, lm_head_w, labels, ignore_idx: int, sc=None):
         return tuple(a for a in phys if sizes.get(a, 1) > 1)
 
     tok_axes = axes_of("batch") + axes_of("seq")
-    w_axes = axes_of("embed_shard")
+    w_axes = axes_of("embed_shard")  # shards H = dim 1 of (V, H)
     if not tok_axes and not w_axes:
-        lse, lab = ce_lse_and_label(hidden, lm_head_w, safe)
+        lse, lab = ce_stats_vh(hidden, w_vh, safe)
         return jnp.where(valid, lse - lab, 0.0)
 
     def block(h_, w_, lab_):
         for a in w_axes:
-            w_ = jax.lax.all_gather(w_, a, axis=0, tiled=True)
-        return ce_lse_and_label(h_, w_, lab_)
+            w_ = jax.lax.all_gather(w_, a, axis=1, tiled=True)
+        return ce_stats_vh(h_, w_, lab_)
 
     lse, lab = jax.shard_map(
         block, mesh=mesh,
-        in_specs=(P(tok_axes or None, None), P(w_axes or None, None),
+        in_specs=(P(tok_axes or None, None), P(None, w_axes or None),
                   P(tok_axes or None)),
         out_specs=(P(tok_axes or None), P(tok_axes or None)),
         check_vma=False,
-    )(hidden, lm_head_w, safe)
+    )(hidden, w_vh, safe)
     return jnp.where(valid, lse - lab, 0.0)
 
 

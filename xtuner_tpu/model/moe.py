@@ -122,6 +122,11 @@ class MoE(Dense):
     # ------------------------------------------------------------------
     def _moe_layer_forward(self, x, lp, cfg, cos, sin, segment_ids, valid, sc, compute_dtype,
                            window="cfg", forced_routing=None):
+        # NOTE: XLA converts the scanned layer stack to bf16 ONCE before the
+        # loop (the while body then carries bf16 xs) — ~2 bytes/param of
+        # transient copies that can't be avoided while masters are f32;
+        # an optimization_barrier before the cast does NOT stop the rewrite
+        # (verified against the compiled HLO, round 3)
         lp = cast_tree(lp, compute_dtype)
         zero_centered = cfg.rms_norm_type == "zero_centered"
         if window == "cfg":

@@ -69,15 +69,20 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
     info = permute(x2d.astype(compute_dtype), r.topk_idx, num_experts,
                    topk_weights=r.topk_weights)
     probe("before_dispatch", info.sorted_tokens)
+    # grouped GEMMs emit compute_dtype: the MXU accumulates f32 internally
+    # either way, and f32 (N*K, ...) outputs are GBs of HBM at 64k tokens
+    # (the act fns upcast elementwise to f32 before their transcendentals)
     gate = grouped_gemm(info.sorted_tokens, p["gate_proj"].astype(compute_dtype),
-                        info.group_sizes)
+                        info.group_sizes, preferred_dtype=compute_dtype)
     up = grouped_gemm(info.sorted_tokens, p["up_proj"].astype(compute_dtype),
-                      info.group_sizes)
+                      info.group_sizes, preferred_dtype=compute_dtype)
+    gate, up = gate.astype(jnp.float32), up.astype(jnp.float32)
     if act == "swiglu_clipped":  # GPT-OSS experts (reference gpt_oss.py)
         hidden = swiglu_clipped(gate, up).astype(compute_dtype)
     else:
         hidden = (get_act_fn(act)(gate) * up).astype(compute_dtype)
-    out = grouped_gemm(hidden, p["down_proj"].astype(compute_dtype), info.group_sizes)
+    out = grouped_gemm(hidden, p["down_proj"].astype(compute_dtype), info.group_sizes,
+                       preferred_dtype=compute_dtype)
     combined = unpermute(out, info, b * l)
     combined = probe("after_combine", combined)
     return combined.reshape(b, l, h).astype(compute_dtype), r, info.group_sizes

@@ -43,10 +43,15 @@ def permute(x, topk_idx, num_experts: int, topk_weights=None) -> DispatchInfo:
 
 
 def unpermute(expert_out, info: DispatchInfo, num_tokens: int):
-    """Weighted scatter-add back to token order: (N*K, H) -> (N, H)."""
-    weighted = expert_out.astype(jnp.float32) * info.sorted_weights[:, None]
+    """Weighted scatter-add back to token order: (N*K, H) -> (N, H).
+
+    The (N*K, H) weighted rows are stored in the expert-output dtype (bf16) —
+    at 64k x topk rows an f32 copy is GBs of HBM — while the top-k combine
+    itself still accumulates in f32 (the converts fuse into the scatter)."""
+    weighted = (expert_out.astype(jnp.float32)
+                * info.sorted_weights[:, None]).astype(expert_out.dtype)
     out = jnp.zeros((num_tokens, expert_out.shape[-1]), jnp.float32)
-    return out.at[info.token_idx].add(weighted)
+    return out.at[info.token_idx].add(weighted.astype(jnp.float32))
 
 
 def grouped_gemm(x, w, group_sizes, preferred_dtype=jnp.float32):

@@ -18,6 +18,7 @@ pause -> update_weights -> continue_produce cycle). TPU redesign:
 
 from __future__ import annotations
 
+import threading
 import time
 from pathlib import Path
 from typing import Literal, Optional
@@ -46,6 +47,11 @@ class RLDisaggregatedTrainerConfig(RLTrainerConfig):
     health_interval: float = 2.0
     rollout_timeout: float = 600.0
     trace_rollouts: bool = True
+    # rollout-plane scale + resilience (reference health_manager.py:105-214
+    # restart_inactive_workers + worker reinit :597)
+    num_rollout_workers: int = 1
+    restart_dead_workers: bool = True
+    max_worker_restarts: int = 3
 
     def build(self) -> "RLDisaggregatedTrainer":
         return RLDisaggregatedTrainer(self)
@@ -57,32 +63,77 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
     def __init__(self, cfg: RLDisaggregatedTrainerConfig):
         super().__init__(cfg)
         # --- rollout plane ---
-        store = ParamStore()
+        self._store = ParamStore()
         if cfg.transport == "colocate":
-            self.transport = ColocateTransport(store)
+            self.transport = ColocateTransport(self._store)
         else:
             self.transport = FilesystemTransport(self.work_dir / "weight_sync")
         self.transport.publish(self.engine.params, 0)
+        self._treedef = jax.tree.structure(self.engine.params)
+        self.workers: dict[str, RolloutWorker] = {}
+        self._workers_lock = threading.Lock()
+        self._restarts = 0
+        self.registry = WorkerRegistry()
+        for _ in range(max(1, cfg.num_rollout_workers)):
+            self._spawn_worker()
+        self.health = HealthManager(self.registry, interval=cfg.health_interval,
+                                    on_dead=self._on_worker_dead)
+        self.health.start()
+        self.client = RolloutClient(RolloutClientConfig(
+            base_url=next(iter(self.workers))))
+        self.trace_store = RolloutTraceStore(self.work_dir, enabled=cfg.trace_rollouts)
+        from .spans import configure_spans
+
+        self.spans = configure_spans(self.work_dir)  # rl_spans.jsonl
+        self.producer = AsyncProducer(self._produce_remote, self.replay_buffer)
+
+    # ------------------------------------------------------------------
+    @property
+    def worker(self) -> RolloutWorker:
+        """First live worker (single-worker-era accessor)."""
+        with self._workers_lock:
+            return next(iter(self.workers.values()))
+
+    def _spawn_worker(self) -> str:
+        """Create + start one RolloutWorker seeded at the latest published
+        weights (used at init AND by dead-worker restart)."""
+        cfg = self.cfg
         if cfg.transport == "colocate":
-            worker_store = store
+            worker_store = self._store  # shared reference swap
         else:
             worker_store = ParamStore()
-        self.worker = RolloutWorker(
+            params, ver = self.transport.fetch(self._treedef)
+            worker_store.set(params, ver)
+        worker = RolloutWorker(
             cfg.model_cfg, tokenizer=self.tokenizer, gen_cfg=cfg.gen_cfg,
             compute_dtype=self.engine.compute_dtype, pad_token_id=self.pad_id,
             param_store=worker_store)
-        if cfg.transport == "filesystem":
-            # seed the worker with version-0 weights through the REAL path
-            params0, v0 = self.transport.fetch(jax.tree.structure(self.engine.params))
-            worker_store.set(params0, v0)
-        url = self.worker.start()
-        self.registry = WorkerRegistry()
+        url = worker.start()
+        with self._workers_lock:
+            self.workers[url] = worker
         self.registry.register(url)
-        self.health = HealthManager(self.registry, interval=cfg.health_interval)
-        self.health.start()
-        self.client = RolloutClient(RolloutClientConfig(base_url=url))
-        self.trace_store = RolloutTraceStore(self.work_dir, enabled=cfg.trace_rollouts)
-        self.producer = AsyncProducer(self._produce_remote, self.replay_buffer)
+        return url
+
+    def _on_worker_dead(self, state) -> None:
+        """Health-manager callback: replace a dead worker with a fresh one
+        reseeded through the transport (the restart_inactive_workers analog).
+        Runs on the health thread."""
+        with self._workers_lock:
+            old = self.workers.pop(state.url, None)
+        self.registry.unregister(state.url)
+        if old is not None:
+            try:
+                old.stop()
+            except Exception:
+                pass
+        if not self.cfg.restart_dead_workers or self._restarts >= self.cfg.max_worker_restarts:
+            logger.warning(f"rollout worker {state.url} NOT restarted "
+                           f"(restarts={self._restarts})")
+            return
+        self._restarts += 1
+        url = self._spawn_worker()
+        logger.info(f"rollout worker {state.url} restarted as {url} "
+                    f"({self._restarts}/{self.cfg.max_worker_restarts})")
 
     # ------------------------------------------------------------------
     def _produce_remote(self, policy_version: int) -> list[SampleGroup]:
@@ -93,13 +144,28 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
         items = [self.prompts[int(pi)] for pi in idxs]
         prompts = [self._encode_prompt(item) for item in items]
         g = cfg.group_size
-        worker = self.registry.route()
-        resp = self.client._post_url(worker.url, "/v1/completions", {
+        payload = {
             "prompt_ids": prompts, "n": g,
             "max_tokens": cfg.gen_cfg.max_new_tokens,
             "temperature": cfg.gen_cfg.temperature,
             "top_p": cfg.gen_cfg.top_p, "logprobs": True,
-        })
+        }
+        # route with failover: a worker that errors mid-request is marked
+        # not-alive immediately (the health thread later confirms + restarts)
+        resp = None
+        last_err: Exception | None = None
+        for _ in range(max(1, len(self.registry.live()))):
+            worker = self.registry.route()
+            try:
+                resp = self.client._post_url(worker.url, "/v1/completions", payload)
+                break
+            except Exception as e:  # connection refused / 5xx / timeout
+                last_err = e
+                worker.alive = False
+                logger.warning(f"rollout request to {worker.url} failed ({e!r}); "
+                               f"rerouting")
+        if resp is None:
+            raise RuntimeError(f"all rollout workers failed: {last_err!r}")
         version = int(resp.get("policy_version", policy_version))
         groups = []
         for i, (pi, item, prompt) in enumerate(zip(idxs, items, prompts)):
@@ -127,21 +193,31 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
 
     # ------------------------------------------------------------------
     def sync_weights(self, step: int) -> None:
-        """pause producer -> publish -> worker reload -> resume (reference
-        bind_train_rollout + update_weights cycle)."""
+        """pause producer -> publish -> every worker reloads -> resume
+        (reference bind_train_rollout + update_weights cycle)."""
         self.producer.pause()
         info = self.transport.publish(self.engine.params, step)
-        if self.cfg.transport == "filesystem":
-            self.worker.update_weights(path=str(self.transport.root))
-        else:
-            self.worker.update_weights(version=step)
+        with self._workers_lock:
+            workers = list(self.workers.values())
+        for worker in workers:
+            try:
+                if self.cfg.transport == "filesystem":
+                    worker.update_weights(path=str(self.transport.root))
+                else:
+                    worker.update_weights(version=step)
+            except Exception as e:  # a dying worker must not stall training
+                logger.warning(f"weight sync to {worker.base_url} failed: {e!r}")
         self.producer.resume(step)
-        logger.info(f"weight sync -> rollout plane at version {step} ({info})")
+        logger.info(f"weight sync -> rollout plane ({len(workers)} workers) "
+                    f"at version {step} ({info})")
 
     def shutdown(self) -> None:
         self.producer.stop()
         self.health.stop()
-        self.worker.stop()
+        with self._workers_lock:
+            workers = list(self.workers.values())
+        for worker in workers:
+            worker.stop()
 
     # ------------------------------------------------------------------
     def fit(self) -> None:
@@ -150,24 +226,29 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
         try:
             for step in range(1, cfg.total_steps + 1):
                 t0 = time.time()
-                train_groups = self.producer.get_batch(
-                    cfg.prompts_per_step, current_step=step,
-                    timeout=cfg.rollout_timeout)
+                with self.spans.span("rollout.wait", step=step):
+                    train_groups = self.producer.get_batch(
+                        cfg.prompts_per_step, current_step=step,
+                        timeout=cfg.rollout_timeout)
                 t_roll = time.time() - t0
                 self.trace_store.record(step, train_groups, tokenizer=self.tokenizer)
-                batch = self._pack(train_groups)
+                with self.spans.span("train.pack", step=step):
+                    batch = self._pack(train_groups)
                 if self.ref_params is not None:
-                    batch["ref_logprobs"] = self._compute_ref_logprobs(batch)
+                    with self.spans.span("train.ref_logprobs", step=step):
+                        batch["ref_logprobs"] = self._compute_ref_logprobs(batch)
                 if self._step_fn is None:
                     self._step_fn = self.engine._build_step_fn(self._rl_loss_fn())
-                device_batch = self.engine.put_batch(batch)
-                self.engine.params, self.engine.opt_state, metrics = self._step_fn(
-                    self.engine.params, self.engine.opt_state,
-                    jnp.asarray(step, jnp.int32), device_batch)
-                metrics = {k: float(v) for k, v in metrics.items()}
+                with self.spans.span("train.step", step=step):
+                    device_batch = self.engine.put_batch(batch)
+                    self.engine.params, self.engine.opt_state, metrics = self._step_fn(
+                        self.engine.params, self.engine.opt_state,
+                        jnp.asarray(step, jnp.int32), device_batch)
+                    metrics = {k: float(v) for k, v in metrics.items()}
                 mean_reward = float(np.mean([g.meta["mean_reward"] for g in train_groups]))
                 staleness = float(np.mean([step - g.policy_version for g in train_groups]))
-                self.sync_weights(step)
+                with self.spans.span("train.weight_sync", step=step):
+                    self.sync_weights(step)
                 logger.info(
                     f"RL-disagg Step {step}/{cfg.total_steps} reward {mean_reward:.3f} "
                     f"pg_loss {metrics['pg_loss']:.4f} staleness {staleness:.1f} "
@@ -176,5 +257,12 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
                                          "staleness": staleness,
                                          "rollout_wait": t_roll}, step)
         finally:
+            summary = self.spans.summary()
+            if summary:
+                imb = self.spans.imbalance()
+                logger.info(f"RL span summary (rollout/train imbalance "
+                            f"{imb if imb is None else round(imb, 2)}): "
+                            + ", ".join(f"{k} {v['total_s']:.1f}s/{v['count']}"
+                                        for k, v in sorted(summary.items())))
             self.shutdown()
             self.writer.close()

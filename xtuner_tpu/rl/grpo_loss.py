@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from pydantic import BaseModel, ConfigDict
 
+from .rollout_is import RolloutISConfig
+
 
 class GRPOLossConfig(BaseModel):
     model_config = ConfigDict(extra="forbid")
@@ -22,19 +24,41 @@ class GRPOLossConfig(BaseModel):
     kl_coef: float = 0.0  # 0 disables the ref-KL term
     # estimator (reference kl_loss_type: k1 | abs | mse/k2 | low_var_kl/k3)
     kl_type: str = "k3"
-    # truncated importance-sampling cap for off-policy drift
-    # (reference rl/rollout_is.py); None disables
+    # legacy scalar truncated-IS cap on the policy ratio; None disables.
+    # For the full rollout<->training mismatch correction (token/sequence/
+    # geometric levels, mask mode, veto) use rollout_is instead.
     is_clip: Optional[float] = None
+    # rollout importance-sampling correction (reference rl/rollout_is.py);
+    # requires the caller to pass rollout_logprobs
+    rollout_is: Optional["RolloutISConfig"] = None
     loss_reduction: str = "token"
 
 
 def grpo_loss(logprobs, old_logprobs, advantages, mask, cfg: GRPOLossConfig,
-              ref_logprobs=None, global_denom=None):
+              ref_logprobs=None, global_denom=None, rollout_logprobs=None):
     """All inputs (B, L); mask selects supervised (response) tokens.
+
+    rollout_logprobs: inference-engine logprobs of the sampled tokens; when
+    cfg.rollout_is is set, IS weights w = f(old/rollout mismatch) multiply the
+    policy-gradient term and mask/veto rejection shrinks the mask (reference
+    rl/rollout_is.py usage in loss; drift metrics always logged when given).
 
     Returns (loss scalar, metrics dict).
     """
     mask = mask.astype(jnp.float32)
+    metrics = {}
+    if rollout_logprobs is not None:
+        from .rollout_is import compute_rollout_is, mismatch_metrics
+
+        metrics.update(mismatch_metrics(old_logprobs, rollout_logprobs, mask))
+        if cfg.rollout_is is not None:
+            is_w, mask, is_mets = compute_rollout_is(
+                old_logprobs, rollout_logprobs, mask, cfg.rollout_is)
+            metrics.update(is_mets)
+        else:
+            is_w = None
+    else:
+        is_w = None
     denom = global_denom if global_denom is not None else jnp.maximum(jnp.sum(mask), 1.0)
 
     log_ratio = logprobs - old_logprobs
@@ -44,13 +68,15 @@ def grpo_loss(logprobs, old_logprobs, advantages, mask, cfg: GRPOLossConfig,
     pg1 = -advantages * ratio
     pg2 = -advantages * jnp.clip(ratio, 1.0 - cfg.cliprange_low, 1.0 + cfg.cliprange_high)
     pg = jnp.maximum(pg1, pg2)
+    if is_w is not None:
+        pg = pg * jax.lax.stop_gradient(is_w)
     loss = jnp.sum(pg * mask) / denom
 
-    metrics = {
+    metrics.update({
         "pg_loss": loss,
         "ratio_mean": jnp.sum(ratio * mask) / denom,
         "clip_frac": jnp.sum((pg2 > pg1).astype(jnp.float32) * mask) / denom,
-    }
+    })
     if cfg.kl_coef > 0.0 and ref_logprobs is not None:
         kl = kl_penalty(logprobs, ref_logprobs, cfg.kl_type)
         kl_loss = jnp.sum(kl * mask) / denom

@@ -73,7 +73,10 @@ class AsyncProducer:
                 break
             self._idle.clear()
             try:
-                groups = self.produce_fn(self.version)
+                from .spans import span
+
+                with span("rollout.produce", version=self.version):
+                    groups = self.produce_fn(self.version)
                 with self._cond:
                     for g in groups:
                         self.buffer.put(g)

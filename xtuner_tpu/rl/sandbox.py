@@ -31,27 +31,38 @@ class SandboxConfig:
     cpu_time_s: int = 10
 
 
+"""Child-side bootstrap: rlimits are applied INSIDE the spawned interpreter
+(not via preexec_fn, which forces a plain fork — unsafe and slow under the
+multithreaded JAX runtime; without it CPython uses posix_spawn). User code
+arrives on stdin and runs under the limits."""
+_CHILD_BOOTSTRAP = """
+import resource, sys
+_mem = {mem}
+resource.setrlimit(resource.RLIMIT_AS, (_mem, _mem))
+resource.setrlimit(resource.RLIMIT_CPU, ({cpu}, {cpu}))
+resource.setrlimit(resource.RLIMIT_FSIZE, (1 << 20, 1 << 20))
+resource.setrlimit(resource.RLIMIT_NPROC, (16, 16))
+_src = sys.stdin.read()
+del resource, sys
+exec(compile(_src, "<sandbox>", "exec"), {{"__name__": "__main__"}})
+"""
+
+
 class PythonSandbox:
     """One-shot isolated python execution (fresh `python -I` per call)."""
 
     def __init__(self, cfg: SandboxConfig = SandboxConfig()):
         self.cfg = cfg
 
-    def _limits(self):
-        import resource
-
-        mem = self.cfg.memory_mb * 1024 * 1024
-        resource.setrlimit(resource.RLIMIT_AS, (mem, mem))
-        resource.setrlimit(resource.RLIMIT_CPU, (self.cfg.cpu_time_s, self.cfg.cpu_time_s))
-        resource.setrlimit(resource.RLIMIT_FSIZE, (1 << 20, 1 << 20))
-        resource.setrlimit(resource.RLIMIT_NPROC, (16, 16))
-
     def run(self, code: str) -> str:
+        bootstrap = _CHILD_BOOTSTRAP.format(
+            mem=self.cfg.memory_mb * 1024 * 1024, cpu=self.cfg.cpu_time_s)
         try:
             proc = subprocess.run(
-                [sys.executable, "-I", "-c", code],
+                [sys.executable, "-I", "-c", bootstrap],
+                input=code,
                 capture_output=True, text=True, timeout=self.cfg.timeout_s,
-                preexec_fn=self._limits, cwd="/tmp",
+                cwd="/tmp",
             )
             out = proc.stdout
             if proc.returncode != 0:

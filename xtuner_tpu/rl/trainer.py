@@ -291,14 +291,17 @@ class RLColocateTrainer:
             else:
                 loss, mets = grpo_loss(logps, mb["old_logprobs"], mb["advantages"], mask,
                                        loss_cfg, ref_logprobs=mb.get("ref_logprobs"),
-                                       global_denom=denom)
+                                       global_denom=denom,
+                                       rollout_logprobs=mb.get("rollout_logprobs"))
             return loss, mets
 
         return loss_fn
 
-    def _compute_ref_logprobs(self, batch: dict[str, np.ndarray]) -> np.ndarray:
-        """Teacher-forced recompute of ref-policy logprobs over the packed
-        batch (reference trainer/worker.py:458-472)."""
+    def _compute_teacher_forced_logprobs(self, params, batch: dict[str, np.ndarray]) -> np.ndarray:
+        """Teacher-forced recompute of per-token logprobs over the packed
+        batch (reference trainer/worker.py:458-472). Used both for the frozen
+        ref policy (KL) and for the actor's own training-numerics logprobs
+        when rollout-IS correction is enabled."""
         model, sc, dtype = self.engine.model, self.engine.sc, self.engine.compute_dtype
         chunk = self.cfg.model_cfg.lm_loss_cfg.chunk_size
 
@@ -313,13 +316,16 @@ class RLColocateTrainer:
 
         a, b, l = batch["input_ids"].shape
         lps = self._ref_logprob_fn(
-            self.ref_params,
+            params,
             batch["input_ids"].reshape(a * b, l),
             batch["segment_ids"].reshape(a * b, l),
             batch["position_ids"].reshape(a * b, l),
             batch["shifted_labels"].reshape(a * b, l),
         )
         return np.asarray(lps, np.float32).reshape(a, b, l)
+
+    def _compute_ref_logprobs(self, batch: dict[str, np.ndarray]) -> np.ndarray:
+        return self._compute_teacher_forced_logprobs(self.ref_params, batch)
 
     # ------------------------------------------------------------------
     def fit(self) -> None:

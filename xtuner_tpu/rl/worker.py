@@ -136,7 +136,9 @@ class RolloutWorker:
                 upd[k] = req[k]
         g = self.gen_defaults.model_copy(update=upd)
 
-        with self._gen_lock:
+        from .spans import span
+
+        with self._gen_lock, span("rollout.generate", rows=len(rows)):
             self._rng, rng = jax.random.split(self._rng)
             out = generate(self.model, params, arr, g, rng=rng,
                            compute_dtype=self.compute_dtype,

@@ -142,6 +142,7 @@ class Trainer:
         from ..checkpoint.orbax_io import TrainCheckpointManager
 
         self.ckpt_mgr = TrainCheckpointManager(self.work_dir, cfg.checkpoint_max_keep)
+        self._hf_export = None  # in-flight async HF export handle
         self.snapshot_mgr = None
         if cfg.snapshot_interval:
             self.snapshot_mgr = TrainCheckpointManager(
@@ -316,11 +317,17 @@ class Trainer:
                     hook.after_save_checkpoint(self, step)
             if cfg.hf_interval and step % cfg.hf_interval == 0:
                 hf_path = str(self.work_dir / f"hf-step-{step}")
-                self.engine.save_hf(hf_path)
+                # async export: snapshot to host, write in the background so
+                # step N+1 isn't stalled by file IO (at most one in flight)
+                if self._hf_export is not None:
+                    self._hf_export.join()
+                self._hf_export = self.engine.async_save_hf(hf_path)
                 for hook in cfg.hooks:
                     hook.after_save_hf(self, step, hf_path)
 
         self._save(self.total_steps)
+        if self._hf_export is not None:
+            self._hf_export.join()
         self.ckpt_mgr.wait()
         if self.snapshot_mgr is not None:
             self.snapshot_mgr.wait()
