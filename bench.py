@@ -31,18 +31,22 @@ def main() -> None:
 
     n_dev = len(jax.devices())
     seq_len = int(os.environ.get("BENCH_SEQ", 65536))
-    # Round-3 default shape: 16 layers / 64 experts — the biggest Qwen3-MoE-
-    # structured model whose full fp32 AdamW state (master+m+v+grads = 16 B/
-    # param) fits a single 16 GB v5e. The reference's 30B-A3 shards this state
-    # over >=64 GPUs; one chip holding everything caps params near ~850M.
+    # Round-3 default shape: 10 layers / 64 experts / top-4 (the same 1/16
+    # expert-sparsity ratio as Qwen3-30B-A3B's 8-of-128), 470.8M params —
+    # the biggest Qwen3-MoE-structured model whose full fp32 AdamW state
+    # (master+m+v+grads = 16 B/param) PLUS 64k-seq saved residuals
+    # (~384 MB/layer under save_out_lse) fits a single 16 GB v5e. The
+    # reference's 30B-A3 shards this state over >=64 GPUs; one chip holding
+    # everything caps out here (measured: 533M/10L OOMs by 0.2 GB,
+    # 596M/10L by 0.9 GB, 685M/12L by 1.5 GB — see docs/kernels.md).
     cfg = MoEConfig(
         vocab_size=151936,
-        num_hidden_layers=int(os.environ.get("BENCH_LAYERS", 16)),
+        num_hidden_layers=int(os.environ.get("BENCH_LAYERS", 10)),
         hidden_size=int(os.environ.get("BENCH_HIDDEN", 1024)),
         intermediate_size=3072,
-        moe_intermediate_size=int(os.environ.get("BENCH_MOE_INTER", 192)),
+        moe_intermediate_size=int(os.environ.get("BENCH_MOE_INTER", 128)),
         n_routed_experts=int(os.environ.get("BENCH_EXPERTS", 64)),
-        num_experts_per_tok=int(os.environ.get("BENCH_TOPK", 6)),
+        num_experts_per_tok=int(os.environ.get("BENCH_TOPK", 4)),
         tie_word_embeddings=True,
         rope_theta=1000000.0,
         balancing_loss_coef=0.001,

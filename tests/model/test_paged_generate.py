@@ -1,0 +1,143 @@
+"""Paged continuous-batching rollout engine vs the dense engine.
+
+Greedy decode must produce identical tokens through either engine; the
+continuous-batching driver must handle more requests than decode slots; GRPO
+groups must share prompt blocks (allocator refcounts prove it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtuner_tpu.loss.ce_loss import CELossConfig
+from xtuner_tpu.model.dense import DenseConfig
+from xtuner_tpu.model.generate import GenerateConfig, generate
+from xtuner_tpu.model.moe import MoEConfig
+from xtuner_tpu.model.paged_generate import PagedGenerator, paged_eligible
+from xtuner_tpu.module.attention import MHAConfig
+from xtuner_tpu.module.params import init_params
+from xtuner_tpu.module.router import GreedyRouterConfig
+
+
+def _dense_model(qk_norm=False, qkv_bias=False):
+    cfg = DenseConfig(
+        vocab_size=199, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+        eos_token_id=198,
+        attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+                            qk_norm=qk_norm, qkv_bias=qkv_bias),
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(0))
+    return cfg, model, params
+
+
+def _greedy(n=12, max_len=512):
+    return GenerateConfig(max_new_tokens=n, do_sample=False, temperature=0.0,
+                          eos_token_id=198, max_length=max_len,
+                          paged_max_batch=4, paged_block_size=16)
+
+
+@pytest.mark.parametrize("qk_norm,qkv_bias", [(False, False), (True, True)])
+def test_paged_matches_dense_greedy(qk_norm, qkv_bias):
+    cfg, model, params = _dense_model(qk_norm, qkv_bias)
+    assert paged_eligible(cfg)
+    g = _greedy()
+    prompts = [[5, 6, 7, 8, 9], [11, 12, 13]]
+    # dense engine (left-padded batch)
+    arr = np.zeros((2, 5), np.int32)
+    arr[0] = prompts[0]
+    arr[1, 2:] = prompts[1]
+    dense = generate(model, params, arr, g, compute_dtype=jnp.float32,
+                     pad_token_id=0)
+    pg = PagedGenerator(model, params, g, max_batch=4, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    outs = pg.generate([{"prompt_ids": p} for p in prompts])
+    for i in range(2):
+        d = list(dense["generated"][i])
+        p = outs[i]["token_ids"]
+        if 198 in d:
+            d = d[: d.index(198) + 1]
+        assert p[: len(d)] == d, (i, p, d)
+
+
+def test_continuous_batching_more_requests_than_slots():
+    cfg, model, params = _dense_model()
+    g = _greedy(n=6)
+    pg = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    reqs = [{"prompt_ids": [3 + i, 4 + i, 5 + i]} for i in range(5)]
+    outs = pg.generate(reqs)
+    assert len(outs) == 5
+    for o in outs:
+        assert 1 <= len(o["token_ids"]) <= 6
+        assert len(o["logprobs"]) == len(o["token_ids"])
+        assert o["finish_reason"] in ("stop", "length")
+    # all blocks released afterwards (only the trash block stays pinned)
+    assert pg.cache.allocator.refcount.sum() == 1
+    # results keyed to request order: same prompt -> same greedy tokens
+    outs2 = pg.generate([reqs[0]])
+    assert outs2[0]["token_ids"] == outs[0]["token_ids"]
+
+
+def test_group_prefix_sharing_allocates_once():
+    cfg, model, params = _dense_model()
+    g = _greedy(n=4)
+    pg = PagedGenerator(model, params, g, max_batch=4, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    prompt = list(range(3, 3 + 33))  # 33 tokens: 2 aligned blocks + tail
+    reqs = [{"prompt_ids": prompt, "group": "g0"} for _ in range(4)]
+    before = pg.cache.allocator.free_blocks
+    outs = pg.generate(reqs)
+    assert pg.cache.allocator.refcount.sum() == 1  # all released
+    # same prompt + greedy -> identical continuations across the group
+    toks = {tuple(o["token_ids"]) for o in outs}
+    assert len(toks) == 1
+    assert before == pg.cache.allocator.free_blocks
+
+
+def test_paged_moe_with_routing_record():
+    cfg = MoEConfig(
+        vocab_size=127, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=16, n_routed_experts=4, num_experts_per_tok=2,
+        eos_token_id=126, router=GreedyRouterConfig(),
+        attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8),
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(1))
+    g = GenerateConfig(max_new_tokens=5, do_sample=False, temperature=0.0,
+                       eos_token_id=126, max_length=256,
+                       paged_max_batch=2, paged_block_size=16)
+    pg = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0,
+                        record_routing=True)
+    outs = pg.generate([{"prompt_ids": [7, 8, 9, 10]}])
+    o = outs[0]
+    r = o["routed_experts"]
+    assert r.shape == (len(o["token_ids"]), cfg.num_hidden_layers,
+                       cfg.num_experts_per_tok)
+    assert (r >= 0).all() and (r < 4).all()
+    # parity with the dense engine's routing record
+    arr = np.asarray([[7, 8, 9, 10]], np.int32)
+    dense = generate(model, params, arr, g, compute_dtype=jnp.float32,
+                     pad_token_id=0, record_routing=True, return_logprobs=True)
+    n = len(o["token_ids"])
+    np.testing.assert_array_equal(dense["generated"][0][:n], o["token_ids"])
+    np.testing.assert_array_equal(dense["routed_experts"][0][:n], r)
+
+
+def test_worker_uses_paged_engine():
+    from xtuner_tpu.rl.worker import RolloutWorker
+    from xtuner_tpu.rl.transport import ParamStore
+
+    cfg, model, params = _dense_model()
+    store = ParamStore(params)
+    w = RolloutWorker(cfg, gen_cfg=_greedy(n=6), compute_dtype=jnp.float32,
+                      pad_token_id=0, param_store=store)
+    resp = w.complete({"prompt_ids": [[5, 6, 7], [9, 10, 11]], "n": 2,
+                       "logprobs": True})
+    assert len(resp["choices"]) == 4
+    assert w._paged_engines  # the paged engine actually served it
+    for c in resp["choices"]:
+        assert c["token_ids"] and "token_logprobs" in c["logprobs"]

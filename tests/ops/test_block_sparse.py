@@ -112,3 +112,48 @@ def test_select_key_blocks():
         assert (np.diff(sel) > 0).all()  # ascending unique
     # first q-block can only see itself
     assert list(idx_np[0, 0]) == [-1, 0]
+
+
+def test_indexer_block_stats_matches_dense_pooling():
+    """Chunked indexer stats (no (B,L,L) materialization — the 64k DSA
+    enabler) == dense indexer_scores + pooling, values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xtuner_tpu.ops.attention.block_sparse import (select_from_blockmax,
+                                                       select_key_blocks)
+    from xtuner_tpu.ops.sparse_mla import indexer_block_stats, indexer_scores
+
+    b, l, hi, di, block = 2, 64, 2, 8, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, l, hi, di)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, hi, di)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, l, hi)), jnp.float32)
+    seg = jnp.asarray(np.repeat([[1, 2]], l // 2, axis=-1).reshape(1, l).repeat(b, 0))
+
+    pooled, blockmax = indexer_block_stats(q, k, w, seg, block)
+    dense = indexer_scores(q, k, w, seg)  # (B, L, L)
+    nk = l // block
+    pooled_ref = jax.nn.logsumexp(dense.reshape(b, l, nk, block), axis=-1)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(pooled_ref),
+                               rtol=1e-5, atol=1e-5)
+    # selection parity with the dense select_key_blocks path
+    idx_chunked = select_from_blockmax(blockmax, 3)
+    idx_dense = select_key_blocks(dense, block, 3)
+    np.testing.assert_array_equal(np.asarray(idx_chunked), np.asarray(idx_dense))
+
+    # gradient parity through the pooled lse (the distillation input)
+    def loss_chunked(q, k, w):
+        p, _ = indexer_block_stats(q, k, w, seg, block)
+        return jnp.sum(jnp.where(jnp.isfinite(p), p, 0.0))
+
+    def loss_dense(q, k, w):
+        d = indexer_scores(q, k, w, seg)
+        p = jax.nn.logsumexp(d.reshape(b, l, nk, block), axis=-1)
+        return jnp.sum(jnp.where(jnp.isfinite(p), p, 0.0))
+
+    g_c = jax.grad(loss_chunked, argnums=(0, 1, 2))(q, k, w)
+    g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, w)
+    for a, bb in zip(g_c, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-5)

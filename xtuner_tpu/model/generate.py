@@ -34,6 +34,11 @@ class GenerateConfig(BaseModel):
     do_sample: bool = True
     eos_token_id: Optional[int] = None
     max_length: int = 2048  # cache size (prompt + generation)
+    # rollout engine: "auto" = paged continuous batching when the attention
+    # variant supports it (model/paged_generate.py), else the dense cache
+    engine: str = "auto"  # auto | dense | paged
+    paged_max_batch: int = 8  # decode slots (compiled once)
+    paged_block_size: int = 128
 
 
 def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,

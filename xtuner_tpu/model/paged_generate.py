@@ -1,0 +1,445 @@
+"""Paged-KV rollout engine with continuous batching.
+
+Reference: xtuner/v1 rollouts ride vLLM/LMDeploy-class engines
+(rl/rollout/worker.py:510 + lmdeploy.py/vllm.py/sglang.py): block-paged KV,
+prefix sharing, and continuous batching (admit new sequences as others
+finish). TPU redesign on top of module/kv_cache.py:
+
+- ONE decode program compiled for a fixed slot count `max_batch`: per-slot
+  sequence lengths (not a single scalar cache_len), per-slot active mask,
+  block tables as gather indices. Sequences of different lengths decode in
+  the same batched step.
+- Continuous batching is a HOST loop: finished slots release their blocks
+  and the next queued request is prefilled into the freed slot while the
+  other slots keep decoding — no recompilation (shapes are static).
+- Prefill reuses the dense `mha_cached_forward` path on a (1, P) chunk (so
+  every attention variant works at prefill), then scatters the dense prompt
+  KV into pool blocks.
+- GRPO groups share the prompt: the leader prefills once; siblings re-use
+  its block-aligned prefix via refcounts (kv_cache.share_prefix) and copy
+  only the unaligned tail block.
+
+Decode attention supports MHA with GQA, qk-norm, partial rotary and sliding
+window; models needing sinks/gates/MLA decode fall back to model/generate.py
+(the dense engine) — `generate_auto` picks per config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..module.attention import MHAConfig, apply_partial_rotary
+from ..module.kv_cache import PagedKVCache, paged_write
+from ..module.mlp import mlp_forward
+from ..module.params import cast_tree
+from ..module.rope import _rope_dim, rope_cos_sin
+from ..ops.rms_norm import rms_norm
+from .generate import GenerateConfig, _forward_cached, _sample, _stacks, init_cache
+
+
+def paged_eligible(model_cfg) -> bool:
+    """MHA without sinks/gate (MLA + sink/gate models use the dense engine)."""
+    attn = model_cfg.attention
+    return (isinstance(attn, MHAConfig) and not attn.with_sinks
+            and not attn.with_gate)
+
+
+# ------------------------------------------------------------------ layers
+def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
+                        block_table, seq_lens, compute_dtype, window=None):
+    """One decoder layer, single-token decode against the paged pool.
+
+    x: (B, H) one token per slot; seq_lens: (B,) tokens already cached
+    (the new token is written at position seq_lens)."""
+    lp = cast_tree(lp, compute_dtype)
+    attn = cfg.attention
+    zc = cfg.rms_norm_type == "zero_centered"
+    h = rms_norm(x[:, None, :], lp["input_norm"], cfg.rms_norm_eps, zc)
+
+    from ..module.lora import lora_linear
+
+    p = lp["attn"]
+    b = x.shape[0]
+    h2d = h.reshape(b, -1)
+    q = lora_linear(h2d, p["q_proj"], 1.0).reshape(b, attn.num_attention_heads,
+                                                   attn.head_dim)
+    k = lora_linear(h2d, p["k_proj"], 1.0).reshape(b, attn.num_key_value_heads,
+                                                   attn.head_dim)
+    v = lora_linear(h2d, p["v_proj"], 1.0).reshape(b, attn.num_key_value_heads,
+                                                   attn.head_dim)
+    if attn.qk_norm:
+        q = rms_norm(q, p["q_norm"], attn.rms_norm_eps, zc)
+        k = rms_norm(k, p["k_norm"], attn.rms_norm_eps, zc)
+    q, k = apply_partial_rotary(q[:, None], k[:, None], cos, sin, attn.rope_dim)
+    q, k = q[:, 0], k[:, 0]
+
+    pool_k = paged_write(pool_k, layer, block_table, seq_lens, k)
+    pool_v = paged_write(pool_v, layer, block_table, seq_lens, v)
+
+    # gather-based paged attention over seq_lens+1 valid slots (incl. new tok)
+    kk = pool_k[layer][block_table]  # (B, MB, BS, Hkv, D)
+    vv = pool_v[layer][block_table]
+    b_, mb, bs, hkv, d = kk.shape
+    kk = kk.reshape(b_, mb * bs, hkv, d)
+    vv = vv.reshape(b_, mb * bs, hkv, d)
+    rep = attn.num_attention_heads // attn.num_key_value_heads
+    if rep > 1:
+        kk = jnp.repeat(kk, rep, axis=2)
+        vv = jnp.repeat(vv, rep, axis=2)
+    scale = attn.head_dim ** -0.5
+    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
+                        kk.astype(jnp.float32)) * scale
+    slot = jnp.arange(mb * bs)[None, :]
+    valid = slot <= seq_lens[:, None]
+    if window is not None:
+        valid = valid & (seq_lens[:, None] - slot < window)
+    logits = jnp.where(valid[:, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhs,bshd->bhd", probs, vv.astype(jnp.float32))
+    o = o.reshape(b, attn.num_attention_heads * attn.head_dim).astype(compute_dtype)
+    o = lora_linear(o, p["o_proj"], 1.0)
+
+    x = x + o
+    h = rms_norm(x[:, None, :], lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+    routing = None
+    if "experts" in lp:
+        from ..module.moe_layer import moe_mlp_forward
+
+        moe_out, r, _ = moe_mlp_forward(
+            lp["experts"], lp["router"], cfg.router, h,
+            num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
+            act=cfg.hidden_act, compute_dtype=compute_dtype)
+        routing = r.topk_idx.reshape(b, -1)  # (B, K)
+        if "shared_experts" in lp:
+            moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
+        h2 = moe_out[:, 0]
+    else:
+        h2 = mlp_forward(lp["mlp"], h, cfg.hidden_act)[:, 0]
+    return x + h2, pool_k, pool_v, routing
+
+
+# ------------------------------------------------------------------ engine
+@dataclass
+class _Slot:
+    req: Optional[dict] = None
+    seq_id: int = -1
+    remaining: int = 0
+    tokens: list = field(default_factory=list)
+    logprobs: list = field(default_factory=list)
+    routings: list = field(default_factory=list)
+    done: bool = True  # free
+
+
+class PagedGenerator:
+    """Continuous-batching rollout engine over a paged KV pool.
+
+    requests: dicts {"prompt_ids": list[int], "max_new_tokens"?: int,
+    "group"?: hashable} — same-`group` requests share prompt blocks.
+    `generate(requests)` returns per-request dicts with generated token ids,
+    logprobs, finish_reason (and routed_experts for MoE when asked).
+    """
+
+    def __init__(self, model, params, gen_cfg: GenerateConfig, *,
+                 max_batch: int = 8, block_size: int = 128,
+                 num_blocks: Optional[int] = None,
+                 compute_dtype=jnp.bfloat16, pad_token_id: int = 0,
+                 record_routing: bool = False, rng=None):
+        cfg = model.cfg
+        if not paged_eligible(cfg):
+            raise ValueError("model config not eligible for the paged engine "
+                             "(sinks/gate/MLA) — use model.generate")
+        self.model, self.params, self.gen_cfg = model, params, gen_cfg
+        self.compute_dtype = compute_dtype
+        self.pad_token_id = pad_token_id
+        self.record_routing = record_routing
+        self.max_batch = max_batch
+        self.block_size = block_size
+        max_len = gen_cfg.max_length
+        self.max_blocks = -(-max_len // block_size)
+        if num_blocks is None:
+            num_blocks = self.max_blocks * max_batch + 1  # worst case, all unshared
+        attn = cfg.attention
+        stacks = _stacks(model, model.param_specs())
+        n_layers_total = sum(
+            jax.tree.leaves(s, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
+            for s in stacks)
+        self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,
+                                  attn.num_key_value_heads, attn.head_dim,
+                                  dtype=compute_dtype)
+        # block 0 is the TRASH block: inactive decode slots have all-zero
+        # block tables, so their (masked-out) writes land here instead of a
+        # live sequence's block; never handed out by the allocator
+        self.cache.allocator.refcount[0] = 1
+        self.slots = [_Slot() for _ in range(max_batch)]
+        self._next_seq = 0
+        self._rng = rng if rng is not None else jax.random.key(0)
+        self._prefill_fns: dict[int, Any] = {}
+        self._decode_fn = None
+        self._group_leader: dict[Any, int] = {}  # group -> seq_id of leader
+
+    # ---------------- jitted programs ----------------
+    def _decode(self):
+        if self._decode_fn is not None:
+            return self._decode_fn
+        model, cfg, dtype = self.model, self.model.cfg, self.compute_dtype
+        gen_cfg = self.gen_cfg
+        window = cfg.sliding_window if cfg.use_sliding_window else None
+        record = self.record_routing
+
+        def step(params, pool_k, pool_v, tok, seq_lens, block_table, active, rng):
+            x = jnp.take(params["embed"]["w"], tok, axis=0).astype(dtype)
+            cos, sin = rope_cos_sin(seq_lens[:, None], _rope_dim(cfg.attention),
+                                    cfg.rope_theta, cfg.rope_scaling_cfg,
+                                    cfg.max_position_embeddings)
+            layer0 = 0
+            routings = []
+            for stack in _stacks(model, params):
+                has_moe = isinstance(stack, dict) and "experts" in stack
+
+                def body(carry, lp, _moe=has_moe):
+                    x, pk, pv, li = carry
+                    x, pk, pv, routing = _paged_layer_decode(
+                        lp, cfg, x, cos, sin, pk, pv, li, block_table, seq_lens,
+                        dtype, window)
+                    ys = routing if (record and _moe) else jnp.int32(0)
+                    return (x, pk, pv, li + 1), ys
+
+                (x, pool_k, pool_v, layer0), ys = jax.lax.scan(
+                    body, (x, pool_k, pool_v, layer0), stack)
+                if record and has_moe:
+                    routings.append(ys)  # (nL, B, K)
+            x = rms_norm(x[:, None], params["final_norm"].astype(jnp.float32),
+                         cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")[:, 0]
+            logits = jnp.dot(x.astype(dtype), model.lm_head_weight(params).astype(dtype),
+                             preferred_element_type=jnp.float32)
+            new_tok = _sample(logits, rng, gen_cfg)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
+            new_tok = jnp.where(active, new_tok, self.pad_token_id)
+            new_lens = jnp.where(active, seq_lens + 1, seq_lens)
+            rout = (jnp.transpose(jnp.concatenate(routings, axis=0), (1, 0, 2))
+                    if routings else jnp.zeros((tok.shape[0], 0, 0), jnp.int32))
+            return new_tok, lp, new_lens, pool_k, pool_v, rout
+
+        self._decode_fn = jax.jit(step, donate_argnums=(1, 2))
+        return self._decode_fn
+
+    PREFILL_BUCKET = 64
+
+    def _prefill(self, p_bucket: int):
+        """Dense prefill over a (1, P_bucket) right-padded chunk reusing the
+        training-grade cached path, then scatter the prompt KV into pool
+        blocks. Compiled once per P bucket (64-token granularity); the real
+        prompt length arrives as a traced `last_idx`/`n_blocks_live` pair, so
+        variable prompts share one program. Right-pad garbage KV lands past
+        seq_len — decode's valid mask never attends it and the first decoded
+        tokens overwrite it in place."""
+        if p_bucket in self._prefill_fns:
+            return self._prefill_fns[p_bucket]
+        model, cfg, dtype = self.model, self.model.cfg, self.compute_dtype
+        gen_cfg = self.gen_cfg
+        bs = self.block_size
+        n_blocks = -(-p_bucket // bs)
+
+        def run(params, pool_k, pool_v, prompt, positions, kv_mask, block_table,
+                last_idx, rng):
+            caches = init_cache(model, 1, p_bucket, dtype)
+            logits, caches, routing = _forward_cached(
+                model, params, prompt, positions, caches, jnp.int32(0), dtype,
+                kv_mask, self.record_routing)
+            # scatter dense (L, 1, P, H, D) prompt KV into the pool's blocks
+            li = 0
+            for ck, cv in caches:
+                n, _, _, hh, dd = ck.shape
+                pad = n_blocks * bs - p_bucket
+                ckp = jnp.pad(ck[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
+                cvp = jnp.pad(cv[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
+                ckp = ckp.reshape(n, n_blocks, bs, hh, dd)
+                cvp = cvp.reshape(n, n_blocks, bs, hh, dd)
+                pool_k = _scatter_blocks(pool_k, li, block_table[:n_blocks], ckp)
+                pool_v = _scatter_blocks(pool_v, li, block_table[:n_blocks], cvp)
+                li += n
+            last = jnp.take(logits, last_idx[None], axis=1)[:, 0]
+            tok = _sample(last, rng, gen_cfg)
+            lp = jax.nn.log_softmax(last, axis=-1)
+            lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+            rout = (jnp.take(routing, last_idx[None], axis=1)[:, 0]
+                    if routing is not None else jnp.zeros((1, 0, 0), jnp.int32))
+            return tok, lp, pool_k, pool_v, rout, last
+
+        fn = jax.jit(run, donate_argnums=(1, 2))
+        self._prefill_fns[p_bucket] = fn
+        return fn
+
+    # ---------------- host driver ----------------
+    def _admit(self, slot_idx: int, req: dict) -> None:
+        """Prefill one request into a free slot (prefix-shared if its group
+        leader already cached the prompt)."""
+        prompt = [t for t in req["prompt_ids"]]
+        p_len = len(prompt)
+        budget = int(req.get("max_new_tokens", self.gen_cfg.max_new_tokens))
+        if p_len + budget > self.max_blocks * self.block_size:
+            raise ValueError(
+                f"request needs {p_len + budget} tokens > max_length "
+                f"{self.max_blocks * self.block_size}; raise gen_cfg.max_length")
+        seq_id = self._next_seq
+        self._next_seq += 1
+        group = req.get("group")
+        slot = self.slots[slot_idx]
+
+        leader = self._group_leader.get(group) if group is not None else None
+        shared = (leader is not None and leader[0] in self.cache.tables
+                  and self.cache.seq_lens[leader[0]] == p_len)
+        if shared:
+            leader_seq, leader_logits, leader_rout = leader
+            # share the block-aligned prefix, copy the ragged tail block
+            self.cache.share_prefix(leader_seq, seq_id)
+            aligned = self.cache.seq_lens[seq_id]
+            if aligned < p_len:
+                self.cache.extend(seq_id, p_len - aligned)
+                src_blk = self.cache.tables[leader_seq][aligned // self.block_size]
+                dst_blk = self.cache.tables[seq_id][aligned // self.block_size]
+                self.cache.pool_k = self.cache.pool_k.at[:, dst_blk].set(
+                    self.cache.pool_k[:, src_blk])
+                self.cache.pool_v = self.cache.pool_v.at[:, dst_blk].set(
+                    self.cache.pool_v[:, src_blk])
+                self.cache.seq_lens[seq_id] = p_len
+            # sibling samples its OWN first token from the leader's cached
+            # last-position logits (no re-prefill)
+            self._rng, r = jax.random.split(self._rng)
+            tok_a = _sample(leader_logits, r, self.gen_cfg)
+            lp_a = jax.nn.log_softmax(leader_logits, axis=-1)
+            lp_a = jnp.take_along_axis(lp_a, tok_a[:, None], axis=-1)[:, 0]
+            tok, lp = int(tok_a[0]), float(lp_a[0])
+            rout = leader_rout
+        else:
+            pb = -(-p_len // self.PREFILL_BUCKET) * self.PREFILL_BUCKET
+            # reserve blocks for the BUCKET (right-pad garbage is overwritten
+            # by the first decoded tokens and never attended), then trim the
+            # book-kept length back to the true prompt length
+            self.cache.add_sequence(seq_id, pb)
+            self.cache.seq_lens[seq_id] = p_len
+            table = np.zeros((self.max_blocks,), np.int32)
+            ids = self.cache.tables[seq_id]
+            table[:len(ids)] = ids
+            padded = np.full((pb,), self.pad_token_id, np.int32)
+            padded[:p_len] = prompt
+            prompt_arr = jnp.asarray(padded[None])
+            positions = jnp.minimum(jnp.arange(pb, dtype=jnp.int32), p_len - 1)[None]
+            kv_mask = (jnp.arange(pb) < p_len)[None]
+            self._rng, r = jax.random.split(self._rng)
+            tok_a, lp_a, self.cache.pool_k, self.cache.pool_v, rout, last = \
+                self._prefill(pb)(
+                    self.params, self.cache.pool_k, self.cache.pool_v, prompt_arr,
+                    positions, kv_mask, jnp.asarray(table),
+                    jnp.int32(p_len - 1), r)
+            tok, lp = int(tok_a[0]), float(lp_a[0])
+            rout = np.asarray(rout[0]) if rout.size else None
+            if group is not None:
+                self._group_leader[group] = (seq_id, last, rout)
+        slot.req = req
+        slot.seq_id = seq_id
+        slot.remaining = int(req.get("max_new_tokens", self.gen_cfg.max_new_tokens))
+        slot.tokens = [tok]
+        slot.logprobs = [lp]
+        slot.routings = [rout] if (rout is not None and self.record_routing) else []
+        slot.done = False
+        slot.remaining -= 1
+
+    def _finish(self, slot: _Slot, reason: str) -> dict:
+        req = slot.req
+        out = {
+            "request": req,
+            "token_ids": slot.tokens,
+            "logprobs": slot.logprobs,
+            "finish_reason": reason,
+        }
+        if self.record_routing and slot.routings:
+            out["routed_experts"] = np.stack(slot.routings)  # (N, nL, K)
+        self.cache.release(slot.seq_id)
+        group = (req or {}).get("group")
+        leader = self._group_leader.get(group) if group is not None else None
+        if leader is not None and leader[0] == slot.seq_id:
+            del self._group_leader[group]
+        slot.req, slot.done, slot.seq_id = None, True, -1
+        return out
+
+    def generate(self, requests: list[dict]) -> list[dict]:
+        """Run all requests to completion with continuous batching; returns
+        outputs in request order."""
+        eos = (self.gen_cfg.eos_token_id if self.gen_cfg.eos_token_id is not None
+               else self.model.cfg.eos_token_id)
+        queue = [dict(r, _idx=i) for i, r in enumerate(requests)]
+        results: dict[int, dict] = {}
+        step_fn = self._decode()
+
+        def live_slots():
+            return [s for s in self.slots if not s.done]
+
+        while queue or live_slots():
+            # admission: fill every free slot (leader-first within a group so
+            # siblings can share its prompt blocks)
+            for i, s in enumerate(self.slots):
+                if s.done and queue:
+                    self._admit(i, queue.pop(0))
+            active_idx = [i for i, s in enumerate(self.slots) if not s.done]
+            # finish slots that hit eos at admission or ran out of budget
+            for i in list(active_idx):
+                s = self.slots[i]
+                if s.tokens and s.tokens[-1] == eos:
+                    ridx = s.req["_idx"]
+                    results[ridx] = self._finish(s, "stop")
+                elif s.remaining <= 0:
+                    ridx = s.req["_idx"]
+                    results[ridx] = self._finish(s, "length")
+            active_idx = [i for i, s in enumerate(self.slots) if not s.done]
+            if not active_idx:
+                continue
+
+            b = self.max_batch
+            tok = np.full((b,), self.pad_token_id, np.int32)
+            lens = np.zeros((b,), np.int32)
+            table = np.zeros((b, self.max_blocks), np.int32)
+            active = np.zeros((b,), bool)
+            for i in active_idx:
+                s = self.slots[i]
+                tok[i] = s.tokens[-1]
+                lens[i] = self.cache.seq_lens[s.seq_id]
+                ids = self.cache.tables[s.seq_id]
+                table[i, :len(ids)] = ids
+                active[i] = True
+                # allocate room for the token this step will write
+                self.cache.extend(s.seq_id, 1)
+                ids = self.cache.tables[s.seq_id]
+                table[i, :len(ids)] = ids
+
+            self._rng, r = jax.random.split(self._rng)
+            new_tok, lp, new_lens, self.cache.pool_k, self.cache.pool_v, rout = step_fn(
+                self.params, self.cache.pool_k, self.cache.pool_v,
+                jnp.asarray(tok), jnp.asarray(lens), jnp.asarray(table),
+                jnp.asarray(active), r)
+            new_tok = np.asarray(new_tok)
+            lp = np.asarray(lp)
+            rout = np.asarray(rout)
+            for i in active_idx:
+                s = self.slots[i]
+                s.tokens.append(int(new_tok[i]))
+                s.logprobs.append(float(lp[i]))
+                if self.record_routing and rout.size:
+                    s.routings.append(rout[i])
+                s.remaining -= 1
+
+        return [results[i] for i in range(len(requests))]
+
+
+def _scatter_blocks(pool, layer0: int, block_table, values):
+    """values: (n_layers, MB, BS, H, D) -> pool[layer0+l, block_table[m]]."""
+    n = values.shape[0]
+    layers = layer0 + jnp.arange(n)[:, None]
+    blocks = jnp.broadcast_to(block_table[None, :], (n, block_table.shape[0]))
+    return pool.at[layers, blocks].set(values)

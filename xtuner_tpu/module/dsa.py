@@ -127,10 +127,14 @@ def _dsa_block_forward(p, cfg: DSAConfig, x, q_full, k_full, v, segment_ids,
                        scale, select_idx):
     """Block-granular DSA: Pallas block-sparse kernel with the indexer
     distilled at BLOCK level — KL(block attention mass || softmax of pooled
-    indexer scores over the selected blocks)."""
+    indexer scores over the selected blocks). Indexer scoring is CHUNKED
+    over key blocks (ops/sparse_mla.indexer_block_stats): no (B, L, L)
+    materialization, so 64k DSA training fits (round-2 TODO.md:42)."""
     import jax
 
-    from ..ops.attention.block_sparse import block_sparse_attention, select_key_blocks
+    from ..ops.attention.block_sparse import (block_sparse_attention,
+                                              select_from_blockmax)
+    from ..ops.sparse_mla import indexer_block_stats
 
     b, l, nh, _ = q_full.shape
     hi, di = cfg.index_n_heads, cfg.index_head_dim
@@ -141,20 +145,17 @@ def _dsa_block_forward(p, cfg: DSAConfig, x, q_full, k_full, v, segment_ids,
     k_idx = (x @ p["idx_k_proj"]["w"]).reshape(b, l, 1, di)
     k_idx = jnp.broadcast_to(k_idx, (b, l, hi, di))
     w_idx = x @ p["idx_w_proj"]["w"]
-    scores = indexer_scores(q_idx, k_idx, w_idx, segment_ids)  # (B, L, L)
+    # pooled (B, L, nk) logsumexp per key block + (B, nq, nk) block maxes
+    pooled, blockmax = indexer_block_stats(q_idx, k_idx, w_idx, segment_ids, block)
 
     if select_idx is None:
-        select_idx = select_key_blocks(jax.lax.stop_gradient(scores), block, num_sel)
+        select_idx = select_from_blockmax(jax.lax.stop_gradient(blockmax), num_sel)
 
     o, mass = block_sparse_attention(q_full, k_full, v, select_idx, segment_ids,
                                      scale=scale, block=block, return_block_mass=True)
 
     # block-level distillation: pooled (logsumexp over the block's keys)
     # indexer scores at the selected slots vs the attention block mass
-    nq = l // block
-    pooled = jax.nn.logsumexp(
-        jnp.where(jnp.isfinite(scores), scores, -jnp.inf).reshape(b, l, nq, block),
-        axis=-1)  # (B, L, nk_blocks)
     sel_per_row = jnp.repeat(select_idx, block, axis=1)  # (B, L, S)
     sel_scores = jnp.take_along_axis(pooled, jnp.maximum(sel_per_row, 0), axis=-1)
     sel_scores = jnp.where(sel_per_row >= 0, sel_scores, -jnp.inf)

@@ -46,6 +46,14 @@ def select_key_blocks(scores, block: int, num_sel: int, causal: bool = True):
     nk = l // block
     pooled = scores.reshape(b, nq, block, nk, block)
     pooled = jnp.max(jnp.where(jnp.isfinite(pooled), pooled, -jnp.inf), axis=(2, 4))
+    return select_from_blockmax(pooled, num_sel, causal=causal)
+
+
+def select_from_blockmax(pooled, num_sel: int, causal: bool = True):
+    """Top-S key blocks per q-block from (B, nq, nk) block-max scores (the
+    chunked ops/sparse_mla.indexer_block_stats output — no (B, L, L) ever
+    materialized)."""
+    b, nq, nk = pooled.shape
     if causal:  # a q-block may only see k-blocks at or before it
         qb = jnp.arange(nq)[:, None]
         kb = jnp.arange(nk)[None, :]

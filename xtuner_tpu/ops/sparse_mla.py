@@ -43,6 +43,47 @@ def indexer_scores(q_idx, k_idx, head_weights, segment_ids=None):
     return jnp.where(mask, scores, -jnp.inf)
 
 
+def indexer_block_stats(q_idx, k_idx, head_weights, segment_ids, block: int):
+    """Chunked, block-pooled indexer statistics — the O(L^2)-memory-free path
+    for 64k+ DSA training (the module-level (B, L, L) score materialization
+    was the round-2 OOM blocker; kernels were always fine).
+
+    Scans KEY BLOCKS of `block` tokens; each iteration holds one (B, L,
+    block) score slab (jax.checkpoint'ed, so backward recomputes it too).
+    Returns:
+      pooled_lse (B, L, nk) f32 — logsumexp of scores over each key block
+        per query token (the block-level distillation input);
+      blockmax (B, nq, nk) f32 — per-(q-block, k-block) max score (the
+        selection input; -inf where causally/doc invalid).
+    """
+    b, l, hi, di = q_idx.shape
+    nk = l // block
+    nq = l // block
+    q32 = q_idx.astype(jnp.float32)
+    w32 = head_weights.astype(jnp.float32)
+    pos = jnp.arange(l)
+
+    @jax.checkpoint
+    def body(carry, jb):
+        ks = jax.lax.dynamic_slice_in_dim(k_idx, jb * block, block, axis=1)
+        seg_k = jax.lax.dynamic_slice_in_dim(segment_ids, jb * block, block, axis=1)
+        s = jnp.einsum("bthd,bshd->bths", q32, ks.astype(jnp.float32))
+        s = jnp.einsum("bths,bth->bts", jax.nn.relu(s), w32)  # (B, L, block)
+        kpos = jb * block + jnp.arange(block)
+        mask = ((pos[:, None] >= kpos[None, :])[None]
+                & (segment_ids[:, :, None] == seg_k[:, None, :])
+                & (seg_k[:, None, :] != 0))
+        s = jnp.where(mask, s, -jnp.inf)
+        col_lse = jax.nn.logsumexp(s, axis=-1)  # (B, L)
+        bm = jnp.max(s.reshape(b, nq, block, block), axis=(2, 3))  # (B, nq)
+        return carry, (col_lse, bm)
+
+    _, (lses, bms) = jax.lax.scan(body, 0, jnp.arange(nk))
+    pooled_lse = jnp.moveaxis(lses, 0, -1)  # (B, L, nk)
+    blockmax = jnp.moveaxis(bms, 0, -1)  # (B, nq, nk)
+    return pooled_lse, blockmax
+
+
 def topk_select(scores, top_k: int):
     """(B, L, L) -> indices (B, L, K) of the best keys per query (causal slots
     beyond the valid prefix select index 0 with -inf score; they are re-masked

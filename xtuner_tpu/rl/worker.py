@@ -57,6 +57,7 @@ class RolloutWorker:
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self._treedef = None
+        self._paged_engines: dict = {}  # (gen-cfg, routing, max_len) -> PagedGenerator
 
     # ------------------------------------------------------------------
     @property
@@ -136,15 +137,22 @@ class RolloutWorker:
                 upd[k] = req[k]
         g = self.gen_defaults.model_copy(update=upd)
 
+        from ..model.paged_generate import paged_eligible
         from .spans import span
 
-        with self._gen_lock, span("rollout.generate", rows=len(rows)):
+        use_paged = (g.engine == "paged"
+                     or (g.engine == "auto" and paged_eligible(self.model_cfg)))
+        with self._gen_lock, span("rollout.generate", rows=len(rows),
+                                  engine="paged" if use_paged else "dense"):
             self._rng, rng = jax.random.split(self._rng)
-            out = generate(self.model, params, arr, g, rng=rng,
-                           compute_dtype=self.compute_dtype,
-                           pad_token_id=self.pad_token_id,
-                           return_logprobs=bool(req.get("logprobs", True)),
-                           record_routing=bool(req.get("return_routing")))
+            if use_paged:
+                out = self._complete_paged(params, prompt_lists, n, g, rng, req)
+            else:
+                out = generate(self.model, params, arr, g, rng=rng,
+                               compute_dtype=self.compute_dtype,
+                               pad_token_id=self.pad_token_id,
+                               return_logprobs=bool(req.get("logprobs", True)),
+                               record_routing=bool(req.get("return_routing")))
         eos = g.eos_token_id if g.eos_token_id is not None else self.model_cfg.eos_token_id
         choices = []
         for i in range(len(rows)):
@@ -174,6 +182,58 @@ class RolloutWorker:
             choices.append(choice)
         return {"object": "text_completion", "model": req.get("model", "default"),
                 "policy_version": version, "choices": choices}
+
+
+    # ------------------------------------------------------------------
+    def _complete_paged(self, params, prompt_lists, n: int, g, rng, req) -> dict:
+        """Paged continuous-batching rollout (model/paged_generate.py):
+        requests queue into fixed decode slots, same-prompt groups share
+        prompt blocks. Returns the dense-engine output dict shape."""
+        from ..model.paged_generate import PagedGenerator
+
+        record = bool(req.get("return_routing"))
+        n_new = g.max_new_tokens
+        p_max = max((len(p) for p in prompt_lists), default=1)
+        bs = g.paged_block_size
+        bucket = -(-p_max // PagedGenerator.PREFILL_BUCKET) * PagedGenerator.PREFILL_BUCKET
+        max_len = -(-(bucket + n_new) // bs) * bs
+        key = (g.model_dump_json(), record, max_len)
+        pg = self._paged_engines.get(key)
+        if pg is None:
+            pg = PagedGenerator(
+                self.model, params, g.model_copy(update={"max_length": max_len}),
+                max_batch=g.paged_max_batch, block_size=bs,
+                compute_dtype=self.compute_dtype, pad_token_id=self.pad_token_id,
+                record_routing=record, rng=rng)
+            self._paged_engines[key] = pg
+        pg.params = params
+        pg._rng = rng
+        requests = [{"prompt_ids": p, "group": gi}
+                    for gi, p in enumerate(prompt_lists) for _ in range(n)]
+        outs = pg.generate(requests)
+
+        eos = (g.eos_token_id if g.eos_token_id is not None
+               else self.model_cfg.eos_token_id)
+        b = len(outs)
+        generated = np.full((b, n_new), eos, np.int32)
+        lps = np.zeros((b, n_new), np.float32)
+        out: dict[str, Any] = {}
+        routed = None
+        for i, o in enumerate(outs):
+            toks = o["token_ids"][:n_new]
+            generated[i, :len(toks)] = toks
+            lps[i, :len(toks)] = o["logprobs"][:n_new]
+            if record and "routed_experts" in o:
+                r = np.asarray(o["routed_experts"])  # (Ni, nL, K)
+                if routed is None:
+                    routed = np.zeros((b, n_new, *r.shape[1:]), np.int32)
+                routed[i, :r.shape[0]] = r[:n_new]
+        out["generated"] = generated
+        if req.get("logprobs", True):
+            out["logprobs"] = lps
+        if routed is not None:
+            out["routed_experts"] = routed
+        return out
 
 
 class PausedError(RuntimeError):
