@@ -55,6 +55,11 @@ def main() -> None:
                             qk_norm=True),
         lm_loss_cfg=CELossConfig(chunk_size=2048, mode="fused"),
     )
+    if os.environ.get("BENCH_FP8"):  # tile-wise fp8 expert + attention GEMMs
+        from xtuner_tpu.ops.float8 import Float8Config
+
+        cfg = cfg.model_copy(update={"float8_cfg": Float8Config(
+            e5m2_grads=os.environ.get("BENCH_FP8") == "e5m2")})
     # 64k: the full (q,k,v,out,lse) residual set OOMs 16GB, but (out,lse)
     # alone fits — backward recomputes projections, never the fwd flash kernel
     remat = os.environ.get(

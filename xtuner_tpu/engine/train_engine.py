@@ -293,17 +293,28 @@ class TrainEngine:
         replicated = NamedSharding(self.mesh, P())
         n_all = data_ways * max(sizes["sp"], 1)
         vis_sharding = named_sharding(self.mesh, P(None, "vis_patch"), self.rules)
+
+        multihost = jax.process_count() > 1
+
+        def put(v, sharding):
+            if multihost:
+                # every process holds the same global batch (deterministic
+                # dataloading); each contributes only its addressable shards
+                return jax.make_array_from_callback(
+                    v.shape, sharding, lambda idx: v[idx])
+            return jax.device_put(v, sharding)
+
         out = {}
         for k, v in batch.items():
             if v.ndim == 3 and v.shape[:2] == (a, b):
-                out[k] = jax.device_put(v, self.batch_sharding)
+                out[k] = put(v, self.batch_sharding)
             elif (k.startswith(("pixel_values", "vision_")) and v.ndim >= 2
                   and v.shape[1] % n_all == 0):
                 # ViT patch arrays (A, P, ...): patch dim sharded over every
                 # data axis (reference shards vision tiles across SP ranks)
-                out[k] = jax.device_put(v, vis_sharding)
+                out[k] = put(v, vis_sharding)
             else:  # small aux arrays (mrope, grids): replicated
-                out[k] = jax.device_put(v, replicated)
+                out[k] = put(v, replicated)
         return out
 
     def train_step(self, batch: dict[str, np.ndarray], step: int) -> dict[str, float]:

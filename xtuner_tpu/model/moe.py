@@ -149,7 +149,8 @@ class MoE(Dense):
                             rope_scaling=cfg.rope_scaling_cfg, attn_impl=cfg.attn_impl)
         else:
             h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
-                            window=window, attn_impl=cfg.attn_impl)
+                            window=window, attn_impl=cfg.attn_impl,
+                            fp8_cfg=cfg.float8_cfg)
         x = x + h
         h = sc(rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_centered),
                "batch", "seq", None)
@@ -158,6 +159,7 @@ class MoE(Dense):
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
             act=cfg.hidden_act, compute_dtype=compute_dtype,
             dispatcher=cfg.dispatcher, sc=sc, forced_topk_idx=forced_routing,
+            fp8_cfg=cfg.float8_cfg,
         )
         if "shared_experts" in lp:
             moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)

@@ -34,7 +34,7 @@ def expert_mlp_param_specs(hidden_size: int, moe_intermediate_size: int,
 def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
                     x, *, num_experts: int, top_k: int, act: str = "silu",
                     compute_dtype=jnp.bfloat16, dispatcher: str = "gspmd", sc=None,
-                    forced_topk_idx=None):
+                    forced_topk_idx=None, fp8_cfg=None):
     """x: (B, L, H) -> (out (B, L, H), RouterOutput, expert_load (E,)).
 
     Dropless: every routed token is computed (no capacity factor).
@@ -69,20 +69,31 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
     info = permute(x2d.astype(compute_dtype), r.topk_idx, num_experts,
                    topk_weights=r.topk_weights)
     probe("before_dispatch", info.sorted_tokens)
-    # grouped GEMMs emit compute_dtype: the MXU accumulates f32 internally
-    # either way, and f32 (N*K, ...) outputs are GBs of HBM at 64k tokens
-    # (the act fns upcast elementwise to f32 before their transcendentals)
-    gate = grouped_gemm(info.sorted_tokens, p["gate_proj"].astype(compute_dtype),
-                        info.group_sizes, preferred_dtype=compute_dtype)
-    up = grouped_gemm(info.sorted_tokens, p["up_proj"].astype(compute_dtype),
-                      info.group_sizes, preferred_dtype=compute_dtype)
+    if fp8_cfg is not None and getattr(fp8_cfg, "enabled", False):
+        # tile-wise fp8 expert GEMMs (reference float8_gmm_tile_wise.py:42-215)
+        from ..ops.fp8_grouped import fp8_grouped_linear
+
+        e5m2 = getattr(fp8_cfg, "e5m2_grads", False)
+
+        def gg(x_, w_, gs_):
+            return fp8_grouped_linear(x_, w_.astype(compute_dtype), gs_, e5m2)
+    else:
+        def gg(x_, w_, gs_):
+            # grouped GEMMs emit compute_dtype: the MXU accumulates f32
+            # internally either way, and f32 (N*K, ...) outputs are GBs of
+            # HBM at 64k tokens
+            return grouped_gemm(x_, w_.astype(compute_dtype), gs_,
+                                preferred_dtype=compute_dtype)
+
+    gate = gg(info.sorted_tokens, p["gate_proj"], info.group_sizes)
+    up = gg(info.sorted_tokens, p["up_proj"], info.group_sizes)
+    # act fns upcast elementwise to f32 before their transcendentals
     gate, up = gate.astype(jnp.float32), up.astype(jnp.float32)
     if act == "swiglu_clipped":  # GPT-OSS experts (reference gpt_oss.py)
         hidden = swiglu_clipped(gate, up).astype(compute_dtype)
     else:
         hidden = (get_act_fn(act)(gate) * up).astype(compute_dtype)
-    out = grouped_gemm(hidden, p["down_proj"].astype(compute_dtype), info.group_sizes,
-                       preferred_dtype=compute_dtype)
+    out = gg(hidden, p["down_proj"], info.group_sizes)
     combined = unpermute(out, info, b * l)
     combined = probe("after_combine", combined)
     return combined.reshape(b, l, h).astype(compute_dtype), r, info.group_sizes

@@ -33,11 +33,18 @@ class Prober:
     """
 
     def __init__(self, out_dir: str | Path, points: Optional[list[str]] = None,
-                 save_arrays: bool = True):
+                 save_arrays: bool = True, nan_only: bool = False):
         self.out_dir = Path(out_dir)
         self.points = set(points) if points else None  # None = all points
         self.save_arrays = save_arrays
+        # nan_only: the per-module NaN debug hooks analog (reference
+        # trainer.py:1904-1926 module forward hooks). Each probe point taps a
+        # SCALAR all-isfinite reduce instead of the tensor — cheap enough to
+        # leave on for whole runs; non-finite points are logged with their
+        # module-point name.
+        self.nan_only = nan_only
         self.records: dict[str, dict] = {}
+        self.nan_points: list[str] = []
         self._counter = 0
 
     def wants(self, name: str) -> bool:
@@ -84,6 +91,18 @@ def probe(name: str, value):
     if prober is None or not prober.wants(name):
         return value
     import jax
+
+    if prober.nan_only:
+        import jax.numpy as jnp
+
+        def _nan_cb(ok):
+            if not bool(ok):
+                prober.nan_points.append(name)
+                logger.warning(f"[nan-watch] non-finite values at probe point "
+                               f"{name!r}")
+
+        jax.debug.callback(_nan_cb, jnp.all(jnp.isfinite(value)))
+        return value
 
     def _cb(v):
         prober._record(name, np.asarray(v))

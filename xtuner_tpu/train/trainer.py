@@ -101,6 +101,12 @@ class TrainerConfig(BaseModel):
     # per-module activation stats every N steps (reference
     # InternalMetricsRecorder, utils/internal_metrics.py; retraces the step)
     act_stats_interval: Optional[int] = None
+    # per-module NaN detection at every probe point (reference debug forward
+    # hooks, trainer.py:1904-1926): scalar isfinite taps, cheap enough to
+    # leave on for a whole run
+    debug_nan_hooks: bool = False
+    # host RSS + device HBM deltas logged per step (utils/track_rl_mem analog)
+    track_memory: bool = False
 
     def build(self) -> "Trainer":
         return Trainer(self)
@@ -254,6 +260,21 @@ class Trainer:
 
             profiler = StepProfiler(self.work_dir / "profile", cfg.profile_step)
 
+        nan_watch = None
+        if cfg.debug_nan_hooks:
+            from ..profiler.prober import Prober
+
+            # active at TRACE time so every probe point compiles in its
+            # scalar isfinite tap; stays active the whole run
+            nan_watch = Prober(self.work_dir / "nan_watch", nan_only=True)
+            nan_watch.__enter__()
+        mem_tracker = None
+        if cfg.track_memory:
+            from ..utils.mem_monitor import MemoryTracker
+
+            mem_tracker = MemoryTracker()
+            mem_tracker.mark("fit_start")
+
         for step in range(self.start_step + 1, self.total_steps + 1):
             t0 = time.time()
             if profiler is not None:
@@ -300,6 +321,12 @@ class Trainer:
                 )
             if profiler is not None:
                 profiler.maybe_stop(step)
+            if mem_tracker is not None:
+                mem_tracker.mark(f"step_{step}")
+            if nan_watch is not None and nan_watch.nan_points:
+                logger.warning(f"step {step}: non-finite activations at "
+                               f"{sorted(set(nan_watch.nan_points))}")
+                nan_watch.nan_points.clear()
             for hook in cfg.hooks:
                 hook.after_train_step(self, step, metrics)
             if cfg.health_check_interval and step % cfg.health_check_interval == 0:
@@ -325,6 +352,8 @@ class Trainer:
                 for hook in cfg.hooks:
                     hook.after_save_hf(self, step, hf_path)
 
+        if nan_watch is not None:
+            nan_watch.__exit__()
         self._save(self.total_steps)
         if self._hf_export is not None:
             self._hf_export.join()
