@@ -13,7 +13,7 @@ from xtuner_tpu.train.trainer import TrainerConfig
 trainer = TrainerConfig(
     model_cfg=gpt_oss_20b(),
     dataloader_cfg=DataloaderConfig(
-        datasets=[DatasetConfig(anno_path="/data/sft_corpus", chat_template="gpt_oss")],
+        datasets=[DatasetConfig(anno_path="/data/sft_corpus", chat_template="gpt-oss")],
         pack_max_length=16384,
     ),
     optim_cfg=MuonConfig(lr=0.01, adamw_lr=2e-5),

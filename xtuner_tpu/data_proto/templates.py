@@ -115,7 +115,22 @@ CHAT_TEMPLATE_MAP: dict[str, ChatTemplate] = {
         assistant="{assistant}<｜end▁of▁sentence｜>",
         stop_words=["<｜end▁of▁sentence｜>"],
     ),
+    # GLM-5.2 wire format (reference messages/glm52_chat.py:158-202:
+    # [gMASK]<sop> preamble, <|user|>/<|system|>/<|assistant|> role tags,
+    # non-thinking turns render an empty <think></think>)
+    "glm": ChatTemplate(
+        system="[gMASK]<sop><|system|>{system}",
+        user="<|user|>{user}<|assistant|><think></think>",
+        assistant="{assistant}",
+        stop_words=["<|endoftext|>", "<|observation|>"],
+        tool_extractor="<|observation|>{}",
+    ),
 }
+CHAT_TEMPLATE_MAP["glm52"] = CHAT_TEMPLATE_MAP["glm"]
+# Qwen3.5 text models keep the Qwen3 ChatML wire format (the reference maps
+# only a "qwen3.5-vl" variant, differing in vision tokens)
+CHAT_TEMPLATE_MAP["qwen35"] = CHAT_TEMPLATE_MAP["qwen3"]
+CHAT_TEMPLATE_MAP["qwen3.5"] = CHAT_TEMPLATE_MAP["qwen3"]
 
 
 def get_chat_template(name: str) -> ChatTemplate:

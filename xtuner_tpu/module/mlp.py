@@ -29,4 +29,10 @@ def mlp_param_specs(hidden_size: int, intermediate_size: int, init_scale: float 
 def mlp_forward(p: dict, x, act: str = "silu", lora_scaling: float = 1.0, fp8_cfg=None):
     gate = lora_linear(x, p["gate_proj"], lora_scaling, fp8_cfg)
     up = lora_linear(x, p["up_proj"], lora_scaling, fp8_cfg)
-    return lora_linear(get_act_fn(act)(gate) * up, p["down_proj"], lora_scaling, fp8_cfg)
+    if act == "swiglu_clipped":  # GPT-OSS variant (shared/dense layers)
+        from ..ops.act_fn import swiglu_clipped
+
+        hidden = swiglu_clipped(gate, up).astype(x.dtype)
+    else:
+        hidden = get_act_fn(act)(gate) * up
+    return lora_linear(hidden, p["down_proj"], lora_scaling, fp8_cfg)

@@ -150,9 +150,13 @@ class SessionHTTPServer:
         self.port = port
         self._server = None
         self._thread = None
-        # SessionServer state is not thread-safe; serialize turns across the
-        # handler threads (generation itself is device-serial anyway)
-        self._lock = threading.Lock()
+        # PER-SESSION locks: turns of one session stay strictly ordered, but
+        # different sessions' turns run concurrently — with an N-worker
+        # rollout plane (WorkerRegistry round-robin) multi-session rollout
+        # throughput scales with the workers instead of one global lock
+        # (round-2 weak #10)
+        self._locks_guard = threading.Lock()
+        self._session_locks: dict[str, threading.Lock] = {}
 
     @property
     def url(self) -> str:
@@ -200,19 +204,19 @@ class SessionHTTPServer:
             self._server.shutdown()
 
     # ------------------------------------------------------------------
+    def _session_lock(self, sid: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._session_locks.setdefault(sid, threading.Lock())
+
     def _run_turn(self, sid: Optional[str], system: Optional[str],
                   messages: list[dict], params: dict) -> tuple[str, dict]:
-        with self._lock:
-            return self._run_turn_locked(sid, system, messages, params)
-
-    def _run_turn_locked(self, sid: Optional[str], system: Optional[str],
-                         messages: list[dict], params: dict) -> tuple[str, dict]:
         if sid is None:
             sid = self.sessions.create(system=system)
-        # an existing session receives only the NEW messages
-        for m in messages:
-            self.sessions.append(sid, m["role"], m["content"])
-        out = self.sessions.generate(sid, **params)
+        with self._session_lock(sid):
+            # an existing session receives only the NEW messages
+            for m in messages:
+                self.sessions.append(sid, m["role"], m["content"])
+            out = self.sessions.generate(sid, **params)
         return sid, out
 
     def _openai(self, req: dict) -> dict:
