@@ -214,3 +214,51 @@ def test_disagg_completes_training_after_mid_run_worker_death(tmp_path):
     assert len(tracker.read_text().splitlines()) >= 3
     spans = (trainer.work_dir / "rl_spans.jsonl").read_text()
     assert "rollout.generate" in spans and "train.step" in spans
+
+
+@pytest.mark.slow
+def test_colocate_trainer_with_rollout_is(tmp_path):
+    """Colocate GRPO with rollout-IS enabled: old_logprobs are recomputed
+    teacher-forced, engine logprobs become rollout_logprobs, and the step
+    logs mismatch/IS metrics."""
+    import numpy as np
+
+    from xtuner_tpu.config.optim import AdamWConfig
+    from xtuner_tpu.model.generate import GenerateConfig
+    from xtuner_tpu.parallel.mesh import MeshConfig
+    from xtuner_tpu.rl.grpo_loss import GRPOLossConfig
+    from xtuner_tpu.rl.trainer import RLColocateTrainer, RLTrainerConfig
+
+    prompts = tmp_path / "prompts.jsonl"
+    with open(prompts, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"prompt": f"What is {i} plus {i}?",
+                                "label": f"#### {2 * i}"}) + "\n")
+    cfg = RLTrainerConfig(
+        model_cfg=DenseConfig(
+            vocab_size=300, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+            eos_token_id=258,
+            attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8),
+            lm_loss_cfg=CELossConfig(chunk_size=128),
+        ),
+        prompts_path=str(prompts),
+        optim_cfg=AdamWConfig(lr=1e-4),
+        mesh_cfg=MeshConfig(fsdp_size=8, param_dtype="float32"),
+        loss_cfg=GRPOLossConfig(rollout_is=RolloutISConfig(
+            level="token", mode="truncate", threshold_upper=2.0)),
+        gen_cfg=GenerateConfig(max_new_tokens=8, temperature=1.0, eos_token_id=258),
+        group_size=4, prompts_per_step=2, total_steps=2, max_prompt_length=56,
+        work_dir=str(tmp_path / "work"), exp_name="rl_is",
+    )
+    trainer = RLColocateTrainer(cfg)
+    trainer.fit()
+    tracker = trainer.work_dir / "tracker.jsonl"
+    recs = [json.loads(x) for x in tracker.read_text().splitlines()]
+    assert len(recs) == 2
+    for rec in recs:
+        assert np.isfinite(rec["pg_loss"])
+        assert "mismatch_kl" in rec and np.isfinite(rec["mismatch_kl"])
+        assert "rollout_is_mean" in rec and rec["rollout_is_mean"] > 0
+        # colocate same-params recompute: drift is tiny but nonzero (decode
+        # path vs packed-train numerics)
+        assert abs(rec["mismatch_kl"]) < 1.0

@@ -234,6 +234,7 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
                 self.trace_store.record(step, train_groups, tokenizer=self.tokenizer)
                 with self.spans.span("train.pack", step=step):
                     batch = self._pack(train_groups)
+                    self._maybe_add_rollout_is_inputs(batch)
                 if self.ref_params is not None:
                     with self.spans.span("train.ref_logprobs", step=step):
                         batch["ref_logprobs"] = self._compute_ref_logprobs(batch)

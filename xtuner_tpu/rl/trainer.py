@@ -327,6 +327,18 @@ class RLColocateTrainer:
     def _compute_ref_logprobs(self, batch: dict[str, np.ndarray]) -> np.ndarray:
         return self._compute_teacher_forced_logprobs(self.ref_params, batch)
 
+    def _maybe_add_rollout_is_inputs(self, batch: dict[str, np.ndarray]) -> None:
+        """When rollout-IS correction is configured, the packed
+        `old_logprobs` (which came from the rollout engine) become
+        `rollout_logprobs`, and the training-policy old logprobs are
+        recomputed teacher-forced with the CURRENT params (reference
+        separation of vLLM-numerics vs trainer-numerics logprobs)."""
+        if self.cfg.loss_cfg.rollout_is is None:
+            return
+        batch["rollout_logprobs"] = batch["old_logprobs"]
+        batch["old_logprobs"] = self._compute_teacher_forced_logprobs(
+            self.engine.params, batch)
+
     # ------------------------------------------------------------------
     def fit(self) -> None:
         cfg = self.cfg
@@ -356,6 +368,7 @@ class RLColocateTrainer:
             train_groups = self.replay_buffer.get(cfg.prompts_per_step)
             t_roll = time.time() - t0
             batch = self._pack(train_groups)
+            self._maybe_add_rollout_is_inputs(batch)
             if self.ref_params is not None:
                 batch["ref_logprobs"] = self._compute_ref_logprobs(batch)
             if self._step_fn is None:
