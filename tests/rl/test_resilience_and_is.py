@@ -262,3 +262,83 @@ def test_colocate_trainer_with_rollout_is(tmp_path):
         # colocate same-params recompute: drift is tiny but nonzero (decode
         # path vs packed-train numerics)
         assert abs(rec["mismatch_kl"]) < 1.0
+
+
+# ------------------------------------------------- replay query + mixed SFT
+def test_replay_buffer_query_language():
+    from xtuner_tpu.rl.replay_buffer import ReplayBuffer, SampleGroup
+
+    buf = ReplayBuffer()
+    for i in range(6):
+        buf.put(SampleGroup(prompt_id=i, samples=[{}], policy_version=i,
+                            meta={"mean_reward": i / 5.0, "source": "gsm8k" if i % 2 else "math"}))
+    # comparison ops over group fields
+    assert [g.prompt_id for g in buf.query({"policy_version": {"$gte": 4}})] == [4, 5]
+    # meta fields + $between
+    got = buf.query({"mean_reward": {"$between": [0.2, 0.6]}})
+    assert [g.prompt_id for g in got] == [1, 2, 3]
+    # $and / $or / $in composition
+    q = {"$and": [{"source": {"$in": ["gsm8k"]}},
+                  {"$or": [{"policy_version": {"$lt": 2}},
+                           {"policy_version": {"$eq": 5}}]}]}
+    assert [g.prompt_id for g in buf.query(q)] == [1, 5]
+    # pop removes matches, preserves order of the rest
+    buf.query({"source": "math"}, pop=True)
+    assert [g.prompt_id for g in buf.groups] == [1, 3, 5]
+    with pytest.raises(ValueError):
+        buf.query({"policy_version": {"$nope": 1}})
+    with pytest.raises(KeyError):
+        buf.query({"missing_field": 1})
+
+
+@pytest.mark.slow
+def test_colocate_mixed_sft_interleave(tmp_path):
+    """RL + interleaved SFT steps share the engine/optimizer (reference
+    _fit_sft): every sft_interval RL steps one CE step runs and is logged."""
+    import numpy as np
+
+    from xtuner_tpu.config.optim import AdamWConfig
+    from xtuner_tpu.datasets.config import DataloaderConfig, DatasetConfig
+    from xtuner_tpu.model.generate import GenerateConfig
+    from xtuner_tpu.parallel.mesh import MeshConfig
+    from xtuner_tpu.rl.grpo_loss import GRPOLossConfig
+    from xtuner_tpu.rl.trainer import RLColocateTrainer, RLTrainerConfig
+
+    prompts = tmp_path / "prompts.jsonl"
+    sft_data = tmp_path / "sft.jsonl"
+    with open(prompts, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"prompt": f"What is {i} plus {i}?",
+                                "label": f"#### {2 * i}"}) + "\n")
+    with open(sft_data, "w") as f:
+        for i in range(16):
+            f.write(json.dumps({"messages": [
+                {"role": "user", "content": f"what is {i}?"},
+                {"role": "assistant", "content": f"the answer is {i}."},
+            ]}) + "\n")
+    cfg = RLTrainerConfig(
+        model_cfg=DenseConfig(
+            vocab_size=300, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+            eos_token_id=258,
+            attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8),
+            lm_loss_cfg=CELossConfig(chunk_size=128),
+        ),
+        prompts_path=str(prompts),
+        optim_cfg=AdamWConfig(lr=1e-4),
+        mesh_cfg=MeshConfig(fsdp_size=8, param_dtype="float32"),
+        loss_cfg=GRPOLossConfig(),
+        gen_cfg=GenerateConfig(max_new_tokens=8, temperature=1.0, eos_token_id=258),
+        group_size=4, prompts_per_step=2, total_steps=2, max_prompt_length=56,
+        work_dir=str(tmp_path / "work"), exp_name="rl_mixed",
+        sft_dataloader_cfg=DataloaderConfig(
+            datasets=[DatasetConfig(anno_path=str(sft_data), chat_template="qwen")],
+            pack_max_length=128),
+        sft_interval=2,
+    )
+    trainer = RLColocateTrainer(cfg)
+    trainer.fit()
+    recs = [json.loads(x) for x in (trainer.work_dir / "tracker.jsonl")
+            .read_text().splitlines()]
+    sft_recs = [r for r in recs if any(k.startswith("sft/") for k in r)]
+    assert len(sft_recs) == 1  # fired at step 2 only
+    assert np.isfinite(sft_recs[0]["sft/reduced_llm_loss"])

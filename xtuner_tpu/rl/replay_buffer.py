@@ -56,3 +56,62 @@ class ReplayBuffer:
                 kept.append(g)
         self.groups = kept
         return taken
+
+    # ------------------------------------------------------------------
+    def query(self, q: dict, pop: bool = False, limit: Optional[int] = None
+              ) -> list[SampleGroup]:
+        """Mongo-style filter over groups (reference query language,
+        replay_buffer.py:179-228): `{"$and"|"$or": [...]}` logic nodes over
+        `{field: {"$eq"|"$ne"|"$gt"|"$gte"|"$lt"|"$lte"|"$in"|"$not_in"|
+        "$between": value}}` conditions. Fields resolve against the group
+        (prompt_id, policy_version) then its meta dict. `pop=True` removes
+        the matches (FIFO order preserved)."""
+        matches, kept = [], []
+        for g in self.groups:
+            if (limit is None or len(matches) < limit) and _match(g, q):
+                matches.append(g)
+            else:
+                kept.append(g)
+        if pop:
+            self.groups = kept
+        return matches
+
+
+def _field(g: SampleGroup, name: str):
+    if hasattr(g, name):
+        return getattr(g, name)
+    if name in g.meta:
+        return g.meta[name]
+    raise KeyError(f"unknown query field {name!r}; group fields: prompt_id, "
+                   f"policy_version, meta keys {sorted(g.meta)}")
+
+
+def _match(g: SampleGroup, q: dict) -> bool:
+    for key, spec in q.items():
+        if key == "$and":
+            if not all(_match(g, sub) for sub in spec):
+                return False
+        elif key == "$or":
+            if not any(_match(g, sub) for sub in spec):
+                return False
+        else:
+            val = _field(g, key)
+            if not isinstance(spec, dict):
+                spec = {"$eq": spec}
+            for op, arg in spec.items():
+                ok = {
+                    "$eq": lambda: val == arg,
+                    "$ne": lambda: val != arg,
+                    "$gt": lambda: val > arg,
+                    "$gte": lambda: val >= arg,
+                    "$lt": lambda: val < arg,
+                    "$lte": lambda: val <= arg,
+                    "$in": lambda: val in arg,
+                    "$not_in": lambda: val not in arg,
+                    "$between": lambda: arg[0] <= val <= arg[1],
+                }.get(op)
+                if ok is None:
+                    raise ValueError(f"unknown query op {op!r}")
+                if not ok():
+                    return False
+    return True

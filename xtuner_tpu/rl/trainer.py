@@ -76,6 +76,11 @@ class RLTrainerConfig(BaseModel):
     # replay_from bypasses generation and feeds captured groups back in
     debug_rollout_capture: bool = False
     debug_rollout_replay_from: Optional[str] = None
+    # mixed RL+SFT (reference trainer/worker.py:882-952 _fit_sft): every
+    # `sft_interval` RL steps, one SFT step from this dataloader runs through
+    # the SAME engine/optimizer (a second jitted step with the CE loss)
+    sft_dataloader_cfg: Optional[Any] = None  # datasets.config.DataloaderConfig
+    sft_interval: int = 0  # 0 disables
 
     def build(self) -> "RLColocateTrainer":
         return RLColocateTrainer(self)
@@ -111,6 +116,14 @@ class RLColocateTrainer:
         self.evaluator = None
         if cfg.eval_cfg is not None:
             self.evaluator = Evaluator(cfg.eval_cfg, self.judger, self._eval_generate)
+        # mixed RL+SFT plumbing (reference _fit_sft)
+        self._sft_iter = None
+        self._sft_step_fn = None
+        self._sft_dataloader = None
+        if cfg.sft_interval and cfg.sft_dataloader_cfg is not None:
+            n_dev = self.engine.mesh.devices.size
+            self._sft_dataloader = cfg.sft_dataloader_cfg.build(
+                self.tokenizer, global_batch_rows=n_dev, micro_batch_rows=n_dev)
 
     def _build_tokenizer(self):
         if self.cfg.tokenizer_path:
@@ -340,6 +353,33 @@ class RLColocateTrainer:
             self.engine.params, batch)
 
     # ------------------------------------------------------------------
+    def _maybe_sft_step(self, step: int) -> Optional[dict]:
+        """Interleaved SFT step on the same engine/optimizer (reference
+        trainer/worker.py:882-952 `_fit_sft`; epoch-cycling iterator
+        :914-922). Uses a SECOND jitted step with the default CE loss."""
+        cfg = self.cfg
+        if not cfg.sft_interval or self._sft_dataloader is None \
+                or step % cfg.sft_interval != 0:
+            return None
+        if self._sft_iter is None:
+            self._sft_iter = iter(self._sft_dataloader)
+        try:
+            batch = next(self._sft_iter)
+        except StopIteration:
+            self._sft_iter = iter(self._sft_dataloader)
+            batch = next(self._sft_iter)
+        if self._sft_step_fn is None:
+            self._sft_step_fn = self.engine._build_step_fn()  # default CE loss
+        device_batch = self.engine.put_batch(batch)
+        self.engine.params, self.engine.opt_state, metrics = self._sft_step_fn(
+            self.engine.params, self.engine.opt_state,
+            jnp.asarray(step, jnp.int32), device_batch)
+        metrics = {k: float(v) for k, v in metrics.items()
+                   if getattr(v, "ndim", 0) == 0}
+        logger.info(f"SFT interleave at RL step {step}: "
+                    f"loss {metrics.get('reduced_llm_loss', float('nan')):.4f}")
+        return metrics
+
     def fit(self) -> None:
         cfg = self.cfg
         trace = None
@@ -390,6 +430,10 @@ class RLColocateTrainer:
             )
             self.writer.add_scalars({**metrics, "mean_reward": mean_reward,
                                      "rollout_time": t_roll, "step_time": step_time}, step)
+            sft_mets = self._maybe_sft_step(step)
+            if sft_mets is not None:
+                self.writer.add_scalars({f"sft/{k}": v for k, v in sft_mets.items()},
+                                        step)
             if (self.evaluator is not None and cfg.eval_cfg.eval_interval
                     and step % cfg.eval_cfg.eval_interval == 0):
                 self.writer.add_scalars(self.evaluator.run(), step)
