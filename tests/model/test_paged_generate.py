@@ -141,3 +141,39 @@ def test_worker_uses_paged_engine():
     assert w._paged_engines  # the paged engine actually served it
     for c in resp["choices"]:
         assert c["token_ids"] and "token_logprobs" in c["logprobs"]
+
+
+def test_paged_mla_matches_dense_greedy():
+    """Compressed-KV MLA paged decode == the dense MLA engine (greedy)."""
+    from xtuner_tpu.module.mla import MLAConfig
+
+    cfg = DenseConfig(
+        vocab_size=160, num_hidden_layers=2, hidden_size=48, intermediate_size=96,
+        eos_token_id=150,
+        attention=MLAConfig(num_attention_heads=4, q_lora_rank=24,
+                            kv_lora_rank=16, qk_nope_head_dim=8,
+                            qk_rope_head_dim=4, v_head_dim=8),
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    assert paged_eligible(cfg)
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(1))
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    g = GenerateConfig(max_new_tokens=6, do_sample=False, temperature=0.0,
+                       eos_token_id=150, max_length=256,
+                       paged_max_batch=2, paged_block_size=16)
+    prompts = [[5, 6, 7, 8, 9, 10], [11, 12, 13]]
+    arr = np.zeros((2, 6), np.int32)
+    arr[0] = prompts[0]
+    arr[1, 3:] = prompts[1]
+    dense = generate(model, params, arr, g, compute_dtype=jnp.float32,
+                     pad_token_id=0)
+    pg = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    outs = pg.generate([{"prompt_ids": p} for p in prompts])
+    for i in range(2):
+        d = list(dense["generated"][i])
+        if 150 in d:
+            d = d[: d.index(150) + 1]
+        p = outs[i]["token_ids"]
+        assert p[: len(d)] == d, (i, p, d)

@@ -43,23 +43,100 @@ from .generate import GenerateConfig, _forward_cached, _sample, _stacks, init_ca
 
 
 def paged_eligible(model_cfg) -> bool:
-    """MHA without sinks/gate (MLA + sink/gate models use the dense engine)."""
+    """MHA without sinks/gate, or plain MLA (compressed-KV paged decode).
+    Sink/gate MHA and DSA fall back to the dense engine."""
+    from ..module.dsa import DSAConfig
+    from ..module.mla import MLAConfig
+
     attn = model_cfg.attention
+    if isinstance(attn, DSAConfig):
+        return False  # rollout needs the indexer; dense engine covers it
+    if isinstance(attn, MLAConfig):
+        return True
     return (isinstance(attn, MHAConfig) and not attn.with_sinks
             and not attn.with_gate)
 
 
 # ------------------------------------------------------------------ layers
+def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
+                    seq_lens, rope_scaling=None):
+    """Compressed-KV paged decode (the paged analog of mla_cached_forward,
+    module/mla.py:100-170): pool_k holds the rank-`kv_lora_rank` latent,
+    pool_v the shared rope key; the query is absorbed into latent space so
+    attention contracts over rank per slot."""
+    import jax
+
+    from ..module.mla import _deinterleave_rope, mla_softmax_scale
+    from ..ops.rotary import apply_rotary_emb
+
+    b = h.shape[0]
+    nh, rank = attn.num_attention_heads, attn.kv_lora_rank
+    dn, dr, dv = attn.qk_nope_head_dim, attn.qk_rope_head_dim, attn.v_head_dim
+    h3 = h  # (B, 1, H)
+    if attn.q_lora_rank is not None:
+        q = h3 @ p["q_a_proj"]["w"]
+        q = rms_norm(q, p["q_a_norm"], attn.rms_norm_eps)
+        q = q @ p["q_b_proj"]["w"]
+    else:
+        q = h3 @ p["q_proj"]["w"]
+    q = q.reshape(b, 1, nh, attn.qk_head_dim)
+    q_nope, q_rope = q[..., :dn], q[..., dn:]
+
+    kv = h3 @ p["kv_a_proj"]["w"]
+    kv_c, k_rope = kv[..., :rank], kv[..., rank:]
+    kv_c = rms_norm(kv_c, p["kv_a_norm"], attn.rms_norm_eps)
+    q_rope = _deinterleave_rope(q_rope)
+    k_rope = _deinterleave_rope(k_rope[:, :, None, :])
+    q_rope, k_rope = apply_rotary_emb(q_rope, k_rope, cos, sin)
+
+    pool_k = paged_write(pool_k, layer, block_table, seq_lens,
+                         kv_c[:, 0, None, :])  # (B, 1, rank)
+    pool_v = paged_write(pool_v, layer, block_table, seq_lens,
+                         k_rope[:, 0])  # (B, 1, dr)
+
+    wkb = p["kv_b_proj"]["w"].reshape(rank, nh, dn + dv)
+    w_uk, w_uv = wkb[..., :dn], wkb[..., dn:]
+    q_lat = jnp.einsum("bnd,rnd->bnr", q_nope[:, 0].astype(jnp.float32),
+                       w_uk.astype(jnp.float32))
+
+    lat = pool_k[layer][block_table]  # (B, MB, BS, 1, rank)
+    rop = pool_v[layer][block_table]
+    b_, mb, bs = lat.shape[:3]
+    lat = lat.reshape(b_, mb * bs, rank).astype(jnp.float32)
+    rop = rop.reshape(b_, mb * bs, dr).astype(jnp.float32)
+    scale = mla_softmax_scale(attn, rope_scaling)
+    logits = (jnp.einsum("bnr,bsr->bns", q_lat, lat)
+              + jnp.einsum("bnd,bsd->bns", q_rope[:, 0].astype(jnp.float32), rop)) * scale
+    slot = jnp.arange(mb * bs)[None, :]
+    valid = slot <= seq_lens[:, None]
+    logits = jnp.where(valid[:, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    o_lat = jnp.einsum("bns,bsr->bnr", probs, lat)  # (B, nh, rank)
+    o = jnp.einsum("bnr,rnd->bnd", o_lat, w_uv.astype(jnp.float32))  # (B, nh, dv)
+    o = o.reshape(b, nh * dv).astype(h.dtype)
+    return o @ p["o_proj"]["w"], pool_k, pool_v
+
+
 def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
                         block_table, seq_lens, compute_dtype, window=None):
     """One decoder layer, single-token decode against the paged pool.
 
     x: (B, H) one token per slot; seq_lens: (B,) tokens already cached
     (the new token is written at position seq_lens)."""
+    from ..module.mla import MLAConfig
+
     lp = cast_tree(lp, compute_dtype)
     attn = cfg.attention
     zc = cfg.rms_norm_type == "zero_centered"
     h = rms_norm(x[:, None, :], lp["input_norm"], cfg.rms_norm_eps, zc)
+
+    if isinstance(attn, MLAConfig):
+        o, pool_k, pool_v = _mla_paged_attn(
+            lp["attn"], attn, h, cos, sin, pool_k, pool_v, layer, block_table,
+            seq_lens, rope_scaling=cfg.rope_scaling_cfg)
+        x = x + o
+        h = rms_norm(x[:, None, :], lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+        return _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v)
 
     from ..module.lora import lora_linear
 
@@ -106,6 +183,12 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
 
     x = x + o
     h = rms_norm(x[:, None, :], lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+    return _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v)
+
+
+def _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v):
+    """Shared decode-layer MLP/MoE tail; h: (B, 1, H) post-attn normed."""
+    b = x.shape[0]
     routing = None
     if "experts" in lp:
         from ..module.moe_layer import moe_mlp_forward
@@ -168,9 +251,18 @@ class PagedGenerator:
         n_layers_total = sum(
             jax.tree.leaves(s, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
             for s in stacks)
-        self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,
-                                  attn.num_key_value_heads, attn.head_dim,
-                                  dtype=compute_dtype)
+        from ..module.mla import MLAConfig
+
+        if isinstance(attn, MLAConfig):
+            # compressed MLA cache: latent pool + shared-rope-key pool
+            # (mirrors model/generate.init_cache's MLA branch)
+            self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,
+                                      1, attn.kv_lora_rank, dtype=compute_dtype,
+                                      head_dim_v=attn.qk_rope_head_dim)
+        else:
+            self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,
+                                      attn.num_key_value_heads, attn.head_dim,
+                                      dtype=compute_dtype)
         # block 0 is the TRASH block: inactive decode slots have all-zero
         # block tables, so their (masked-out) writes land here instead of a
         # live sequence's block; never handed out by the allocator
@@ -253,14 +345,15 @@ class PagedGenerator:
                 model, params, prompt, positions, caches, jnp.int32(0), dtype,
                 kv_mask, self.record_routing)
             # scatter dense (L, 1, P, H, D) prompt KV into the pool's blocks
+            # (k/v dims handled separately: MLA pools differ — latent vs rope)
             li = 0
+            pad = n_blocks * bs - p_bucket
             for ck, cv in caches:
-                n, _, _, hh, dd = ck.shape
-                pad = n_blocks * bs - p_bucket
+                n = ck.shape[0]
                 ckp = jnp.pad(ck[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
                 cvp = jnp.pad(cv[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
-                ckp = ckp.reshape(n, n_blocks, bs, hh, dd)
-                cvp = cvp.reshape(n, n_blocks, bs, hh, dd)
+                ckp = ckp.reshape(n, n_blocks, bs, *ck.shape[3:])
+                cvp = cvp.reshape(n, n_blocks, bs, *cv.shape[3:])
                 pool_k = _scatter_blocks(pool_k, li, block_table[:n_blocks], ckp)
                 pool_v = _scatter_blocks(pool_v, li, block_table[:n_blocks], cvp)
                 li += n

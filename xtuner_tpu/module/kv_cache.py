@@ -63,11 +63,17 @@ class PagedKVCache:
     """
 
     def __init__(self, n_layers: int, num_blocks: int, block_size: int,
-                 num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
+                 num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16,
+                 head_dim_v: Optional[int] = None):
+        """head_dim_v: v-pool head dim when it differs from k's — MLA's
+        compressed cache stores the kv_lora_rank latent in pool_k and the
+        shared qk_rope_head_dim rope key in pool_v (mla.py:83-123)."""
         self.block_size = block_size
         self.allocator = PagedAllocator(num_blocks, block_size)
         self.pool_k = jnp.zeros((n_layers, num_blocks, block_size, num_kv_heads, head_dim), dtype)
-        self.pool_v = jnp.zeros_like(self.pool_k)
+        self.pool_v = jnp.zeros(
+            (n_layers, num_blocks, block_size, num_kv_heads, head_dim_v or head_dim),
+            dtype)
         self.tables: dict[int, list[int]] = {}  # seq id -> block ids
         self.seq_lens: dict[int, int] = {}
 
