@@ -3,14 +3,19 @@
 Reference: xtuner/v1/ops/moe/ (Triton TMA grouped-GEMM kernels + CUDA
 permute/unpermute wrappers). TPU redesign: `jax.lax.ragged_dot` IS the grouped
 GEMM (XLA lowers it onto the MXU with ragged group offsets — the Megablox
-path), and permutation is an argsort-gather; the scatter-add combine is the
-exact unpermute. Everything is dropless: no capacity factor, group sizes are
-data-dependent row counts, matching the reference's tokens_per_expert
-histogram design (dispatcher/torch_all2all.py:79-100).
+path). Permutation is SCATTER-FREE in both directions (round 3): because the
+expert sort is a bijection, every scatter-add XLA would otherwise emit (the
+combine, and both gathers' transposes) is re-expressed as a gather plus a
+k-way reduction through custom VJPs — on TPU row-gathers are markedly cheaper
+than scatter-adds, and the combine's (N*K, H) f32 scatter-operand temp
+(~1 GB at 64k x topk-4) disappears. Everything is dropless: no capacity
+factor, group sizes are data-dependent row counts, matching the reference's
+tokens_per_expert histogram design (dispatcher/torch_all2all.py:79-100).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -25,6 +30,29 @@ class DispatchInfo(NamedTuple):
     token_idx: jax.Array  # (N*K,) source token of each sorted row
     group_sizes: jax.Array  # (E,) rows per expert
     sorted_weights: jax.Array  # (N*K,) combine weight per sorted row
+    inv_pos: jax.Array  # (N, K) sorted-row position of each (token, k) pair
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_dup(x, token_idx, inv_pos, k: int):
+    """sorted_tokens = x[token_idx] with a scatter-free transpose: each
+    token appears k times in the output, so dx[t] = sum_k g[inv_pos[t, k]]
+    — a gather + reduce instead of XLA's scatter-add."""
+    return jnp.take(x, token_idx, axis=0)
+
+
+def _gather_dup_fwd(x, token_idx, inv_pos, k):
+    return jnp.take(x, token_idx, axis=0), (token_idx, inv_pos, x.shape[0])
+
+
+def _gather_dup_bwd(k, res, g):
+    token_idx, inv_pos, n = res
+    gk = jnp.take(g, inv_pos.reshape(-1), axis=0).reshape(n, k, g.shape[-1])
+    dx = jnp.sum(gk.astype(jnp.float32), axis=1).astype(g.dtype)
+    return dx, None, None
+
+
+_gather_dup.defvjp(_gather_dup_fwd, _gather_dup_bwd)
 
 
 def permute(x, topk_idx, num_experts: int, topk_weights=None) -> DispatchInfo:
@@ -33,25 +61,57 @@ def permute(x, topk_idx, num_experts: int, topk_weights=None) -> DispatchInfo:
     flat_expert = topk_idx.reshape(-1)
     sort_idx = jnp.argsort(flat_expert)  # stable
     token_idx = sort_idx // k
-    sorted_tokens = jnp.take(x, token_idx, axis=0)
+    # inverse permutation WITHOUT a second sort: position of flat pair f in
+    # the sorted order (a conflict-free int scatter-set, ~1 MB)
+    inv_flat = jnp.zeros((n * k,), jnp.int32).at[sort_idx].set(
+        jnp.arange(n * k, dtype=jnp.int32))
+    inv_pos = inv_flat.reshape(n, k)
+    sorted_tokens = _gather_dup(x, token_idx, inv_pos, k)
     group_sizes = jnp.bincount(flat_expert, length=num_experts)
     if topk_weights is None:
         sorted_weights = jnp.ones((n * k,), jnp.float32)
     else:
         sorted_weights = jnp.take(topk_weights.reshape(-1), sort_idx, axis=0)
-    return DispatchInfo(sorted_tokens, sort_idx, token_idx, group_sizes, sorted_weights)
+    return DispatchInfo(sorted_tokens, sort_idx, token_idx, group_sizes,
+                        sorted_weights, inv_pos)
+
+
+@jax.custom_vjp
+def _combine(expert_out, sorted_weights, token_idx, inv_pos):
+    """out[t] = sum_k w[p] * eo[p], p = inv_pos[t, k] — the weighted combine
+    as ONE gather + fused f32 reduce (no (N, H) scatter-add, no (N*K, H)
+    f32 temp). Backward is also gather-only: d_eo[m] = w[m]*g[token_idx[m]],
+    d_w[m] = <eo[m], g[token_idx[m]]>."""
+    out, _ = _combine_fwd(expert_out, sorted_weights, token_idx, inv_pos)
+    return out
+
+
+def _combine_fwd(expert_out, sorted_weights, token_idx, inv_pos):
+    n, k = inv_pos.shape
+    h = expert_out.shape[-1]
+    eo_g = jnp.take(expert_out, inv_pos.reshape(-1), axis=0).reshape(n, k, h)
+    w_g = jnp.take(sorted_weights, inv_pos.reshape(-1), axis=0).reshape(n, k)
+    out = jnp.sum(eo_g.astype(jnp.float32) * w_g[..., None].astype(jnp.float32),
+                  axis=1)
+    return out, (expert_out, sorted_weights, token_idx)
+
+
+def _combine_bwd(res, g):
+    expert_out, sorted_weights, token_idx = res
+    g_rows = jnp.take(g, token_idx, axis=0)  # (N*K, H) f32
+    d_eo = (g_rows * sorted_weights[:, None].astype(jnp.float32)).astype(
+        expert_out.dtype)
+    d_w = jnp.sum(g_rows * expert_out.astype(jnp.float32), axis=-1).astype(
+        sorted_weights.dtype)
+    return d_eo, d_w, None, None
+
+
+_combine.defvjp(_combine_fwd, _combine_bwd)
 
 
 def unpermute(expert_out, info: DispatchInfo, num_tokens: int):
-    """Weighted scatter-add back to token order: (N*K, H) -> (N, H).
-
-    The (N*K, H) weighted rows are stored in the expert-output dtype (bf16) —
-    at 64k x topk rows an f32 copy is GBs of HBM — while the top-k combine
-    itself still accumulates in f32 (the converts fuse into the scatter)."""
-    weighted = (expert_out.astype(jnp.float32)
-                * info.sorted_weights[:, None]).astype(expert_out.dtype)
-    out = jnp.zeros((num_tokens, expert_out.shape[-1]), jnp.float32)
-    return out.at[info.token_idx].add(weighted.astype(jnp.float32))
+    """Weighted combine back to token order: (N*K, H) -> (N, H) f32."""
+    return _combine(expert_out, info.sorted_weights, info.token_idx, info.inv_pos)
 
 
 def grouped_gemm(x, w, group_sizes, preferred_dtype=jnp.float32):
