@@ -88,6 +88,13 @@ def _stacks(model, params):
         out.append(params["layers"])
     if "moe_layers" in params:
         out.append(params["moe_layers"])
+    if not out and not hasattr(model, "forward_cached"):
+        # fail LOUDLY: silently decoding zero layers produced plausible-but-
+        # wrong rollouts for pattern-stacked models before round 3
+        raise ValueError(
+            f"{type(model).__name__} has no recognized layer stacks "
+            f"(params keys: {sorted(params)}) and no forward_cached hook — "
+            f"generation would silently skip every layer")
     return out
 
 
@@ -191,7 +198,18 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     g = prompt_group_size
     assert b % max(g, 1) == 0
     b_u = b // g if g > 1 else b
-    caches = init_cache(model, b_u, max_len, compute_dtype)
+    # models with heterogeneous layer caches (hybrid GDN: recurrent state +
+    # conv buffer instead of KV) provide their own decode hooks
+    if hasattr(model, "forward_cached"):
+        caches = model.init_decode_cache(b_u, max_len, compute_dtype)
+        fwd_cached = lambda params, ids_, pos_, caches_, clen, kvm, rec: \
+            model.forward_cached(params, ids_, pos_, caches_, clen,
+                                 compute_dtype, kv_mask=kvm, record_routing=rec)
+    else:
+        caches = init_cache(model, b_u, max_len, compute_dtype)
+        fwd_cached = lambda params, ids_, pos_, caches_, clen, kvm, rec: \
+            _forward_cached(model, params, ids_, pos_, caches_, clen,
+                            compute_dtype, kvm, rec)
     prompt_mask = prompt_ids != pad_token_id
     positions = jnp.maximum(jnp.cumsum(prompt_mask, axis=1) - 1, 0).astype(jnp.int32)
 
@@ -202,9 +220,9 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     # while one step compiles in ~1s and the host loop adds only dispatch
     # latency per token.
     def prefill(params, prompt_ids, positions, kv_mask0, caches, rng):
-        logits, caches, routing = _forward_cached(model, params, prompt_ids, positions,
-                                                  caches, jnp.int32(0), compute_dtype,
-                                                  kv_mask0, record_routing)
+        logits, caches, routing = fwd_cached(params, prompt_ids, positions,
+                                             caches, jnp.int32(0), kv_mask0,
+                                             record_routing)
         last = logits[:, -1]
         rout = routing[:, -1] if routing is not None else None  # (B_u, nL, K)
         if g > 1:
@@ -224,9 +242,9 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
         # (diverges from the unpadded run at ~10 pads)
         slots = jnp.arange(max_len)[None, :]
         kv_mask = kv_mask0 | ((slots >= p) & (slots < cache_len + 1))
-        logits, caches, routing = _forward_cached(model, params, tok[:, None], pos[:, None],
-                                                  caches, cache_len, compute_dtype,
-                                                  kv_mask, record_routing)
+        logits, caches, routing = fwd_cached(params, tok[:, None], pos[:, None],
+                                             caches, cache_len, kv_mask,
+                                             record_routing)
         last = logits[:, -1]
         new_tok = _sample(last, rng, gen_cfg)
         lp = jax.nn.log_softmax(last, axis=-1)

@@ -114,6 +114,49 @@ class Hybrid(Dense):
                      cfg.rms_norm_type == "zero_centered")
         return x.astype(compute_dtype)
 
+    # ------------------------------------------------------------------
+    # cached generation (decode hooks consumed by model/generate.py).
+    # Linear layers carry an O(1) recurrent cache (fast-weight state S +
+    # conv rolling buffer) instead of KV — the linear-attention decode win.
+    def init_decode_cache(self, batch_size: int, max_length: int, dtype):
+        return _hybrid_init_cache(self.cfg, batch_size, max_length, dtype,
+                                  self._decode_sublayer_kinds())
+
+    def _decode_sublayer_kinds(self):
+        return list(self.cfg.layer_types_pattern)
+
+    def forward_cached(self, params, ids, positions, caches, cache_len,
+                       compute_dtype, kv_mask=None, record_routing=False):
+        return _hybrid_forward_cached(self, params, ids, positions, caches,
+                                      cache_len, compute_dtype, kv_mask)
+
+    def _cached_sublayer(self, x, lp, kind, cfg, cos, sin, cache, cache_len,
+                         kv_mask, valid, compute_dtype):
+        """One decode sub-layer; cache = (ck, cv) for full attention or
+        (S, conv_buf) for GatedDeltaNet."""
+        from ..module.attention import mha_cached_forward
+        from ..module.gated_deltanet import gdn_cached_forward
+
+        lp = cast_tree(lp, compute_dtype)
+        zero_c = cfg.rms_norm_type == "zero_centered"
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_c)
+        if kind == "linear":
+            h, s_new, conv_new = gdn_cached_forward(
+                lp["attn"], cfg.linear_attention, h, cache[0], cache[1], valid)
+            cache = (s_new, conv_new)
+        else:
+            h, ck, cv = mha_cached_forward(
+                lp["attn"], cfg.attention, h, cos, sin, cache[0], cache[1],
+                cache_len, kv_mask=kv_mask)
+            cache = (ck, cv)
+        x = x + h
+        h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_c)
+        x = x + self._cached_ffn(lp, h, cfg, compute_dtype)
+        return x, cache
+
+    def _cached_ffn(self, lp, h, cfg, compute_dtype):
+        return mlp_forward(lp["mlp"], h, cfg.hidden_act)
+
     def hf_key_map(self) -> dict:
         # Qwen3.5 HF layout round-trips per sub-stack; self-consistent save/load
         cfg = self.cfg
@@ -170,6 +213,63 @@ class Hybrid(Dense):
         if not cfg.tie_word_embeddings:
             keymap["lm_head"] = {"w": HFKey("lm_head.weight", "linear")}
         return keymap
+
+
+# ---------------------------------------------------------------------------
+# shared cached-generation machinery for the pattern-stacked hybrids
+# ---------------------------------------------------------------------------
+def _hybrid_init_cache(cfg, batch_size: int, max_length: int, dtype, kinds):
+    period = len(kinds)
+    n_periods = cfg.num_hidden_layers // period
+    la = cfg.linear_attention
+    attn = cfg.attention
+    caches = {}
+    for i, kind in enumerate(kinds):
+        if kind == "linear":
+            s = jnp.zeros((n_periods, batch_size, la.num_v_heads,
+                           la.head_k_dim, la.head_v_dim), jnp.float32)
+            conv = jnp.zeros((n_periods, batch_size, la.conv_kernel_size - 1,
+                              la.conv_channels), dtype)
+            caches[f"p{i}"] = (s, conv)
+        else:
+            shape = (n_periods, batch_size, max_length,
+                     attn.num_key_value_heads, attn.head_dim)
+            caches[f"p{i}"] = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    return caches
+
+
+def _hybrid_forward_cached(model, params, ids, positions, caches, cache_len,
+                           compute_dtype, kv_mask=None):
+    """(logits (B, C, V), new caches, None) — the hybrid analog of
+    model/generate._forward_cached, scanning pattern PERIODS with per-slot
+    heterogeneous caches riding the scan xs/ys."""
+    cfg = model.cfg
+    pattern = cfg.layer_types_pattern
+    b, c = ids.shape
+    x = jnp.take(params["embed"]["w"], ids, axis=0).astype(compute_dtype)
+    cos, sin = rope_cos_sin(positions, _rope_dim(cfg.attention), cfg.rope_theta,
+                            cfg.rope_scaling_cfg, cfg.max_position_embeddings)
+    # GDN validity of the CURRENT chunk's slots (left-pad protection): at
+    # prefill the chunk occupies slots [0, C) of the kv_mask; decode steps
+    # are always-valid single tokens
+    valid = kv_mask[:, :c] if (kv_mask is not None and c > 1) else None
+
+    def period_fn(x, lp_and_cache):
+        lp_tuple, cache_tuple = lp_and_cache
+        new_caches = {}
+        for i, kind in enumerate(pattern):
+            x, new_caches[f"p{i}"] = model._cached_sublayer(
+                x, lp_tuple[f"p{i}"], kind, cfg, cos, sin, cache_tuple[f"p{i}"],
+                cache_len, kv_mask, valid, compute_dtype)
+        return x, new_caches
+
+    x, new_caches = jax.lax.scan(period_fn, x, (params["pattern"], caches))
+    x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
+                 cfg.rms_norm_type == "zero_centered")
+    logits = jnp.dot(x.astype(compute_dtype),
+                     model.lm_head_weight(params).astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return logits, new_caches, None
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +414,25 @@ class HybridMoE(MoE):
                      cfg.rms_norm_type == "zero_centered")
         self._last_aux = (bal.reshape(-1), zl.reshape(-1), load.reshape(-1, load.shape[-1]))
         return x.astype(compute_dtype)
+
+    # ---------------- cached generation (decode hooks) ----------------
+    init_decode_cache = Hybrid.init_decode_cache
+    _decode_sublayer_kinds = Hybrid._decode_sublayer_kinds
+    forward_cached = Hybrid.forward_cached
+    _cached_sublayer = Hybrid._cached_sublayer
+
+    def _cached_ffn(self, lp, h, cfg, compute_dtype):
+        moe_out, _, _ = moe_mlp_forward(
+            lp["experts"], lp["router"], cfg.router, h,
+            num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
+            act=cfg.hidden_act, compute_dtype=compute_dtype)
+        if "shared_experts" in lp:
+            shared = mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
+            if "shared_expert_gate" in lp:
+                gate = jax.nn.sigmoid((h @ lp["shared_expert_gate"]["w"]).astype(jnp.float32))
+                shared = shared * gate.astype(shared.dtype)
+            moe_out = moe_out + shared
+        return moe_out
 
     def hf_key_map(self) -> dict:
         """Qwen3.5 HF-style layout, layer index = period_idx * period + pos."""

@@ -48,6 +48,8 @@ def paged_eligible(model_cfg) -> bool:
     from ..module.dsa import DSAConfig
     from ..module.mla import MLAConfig
 
+    if hasattr(model_cfg, "layer_types_pattern"):
+        return False  # hybrid GDN layers carry recurrent state, not paged KV
     attn = model_cfg.attention
     if isinstance(attn, DSAConfig):
         return False  # rollout needs the indexer; dense engine covers it

@@ -81,6 +81,80 @@ def _l2norm(x, eps=1e-6):
     return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
 
 
+def _conv_with_buffer(x, w, buf):
+    """Causal depthwise conv continued from a rolling buffer of the previous
+    K-1 inputs (decode analog of _causal_depthwise_conv; reference
+    causal_conv1d's cache path). x: (B, C, ch); buf: (B, K-1, ch).
+    Returns (out (B, C, ch), new_buf)."""
+    k = w.shape[0]
+    ext = jnp.concatenate([buf.astype(x.dtype), x], axis=1)  # (B, K-1+C, ch)
+    out = jnp.zeros_like(x)
+    c = x.shape[1]
+    for i in range(k):
+        out = out + ext[:, k - 1 - i: k - 1 - i + c] * w[-1 - i]
+    new_buf = ext[:, -(k - 1):] if k > 1 else buf
+    return out, new_buf
+
+
+def gdn_cached_forward(p: dict, cfg: GatedDeltaNetConfig, x, state, conv_buf,
+                       valid=None):
+    """Incremental GDN for generation: x (B, C, H) chunk (prefill) or C=1
+    decode step; state (B, Hv, dk, dv) f32 fast-weight matrix; conv_buf
+    (B, K-1, qk_dim*2+v_dim) rolling conv inputs. O(1) memory per token —
+    the linear-attention decode win (no KV cache at all).
+
+    Returns (out (B, C, H), state', conv_buf'). Matches gdn_forward exactly
+    when chained over the same tokens (single document; packed resets are a
+    training-only concern). `valid` (B, C) bool masks LEFT-PAD prompt slots:
+    their inputs are zeroed before the conv and their state update is a
+    no-op (alpha=1, beta=0), so padding never contaminates the recurrence."""
+    from ..ops.gated_deltanet import gated_delta_rule_scan
+
+    b, c, _ = x.shape
+    hk, hv = cfg.num_k_heads, cfg.num_v_heads
+    dk, dv = cfg.head_k_dim, cfg.head_v_dim
+
+    if valid is not None:
+        x = jnp.where(valid[..., None], x, 0.0)
+    qkvz = x @ p["in_proj_qkvz"]["w"]
+    q, k, v, z = jnp.split(qkvz, [cfg.qk_dim, 2 * cfg.qk_dim, 2 * cfg.qk_dim + cfg.v_dim],
+                           axis=-1)
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    qkv, conv_buf = _conv_with_buffer(qkv, p["conv_w"], conv_buf)
+    qkv = jax.nn.silu(qkv)
+    q, k, v = jnp.split(qkv, [cfg.qk_dim, 2 * cfg.qk_dim], axis=-1)
+
+    q = _l2norm(q.reshape(b, c, hk, dk))
+    k = _l2norm(k.reshape(b, c, hk, dk))
+    v = v.reshape(b, c, hv, dv)
+
+    ba = x @ p["in_proj_ba"]["w"]
+    b_lr, a_in = jnp.split(ba, 2, axis=-1)
+    beta = jax.nn.sigmoid(b_lr.astype(jnp.float32))
+    g = -jnp.exp(p["a_log"].astype(jnp.float32)) * jax.nn.softplus(
+        a_in.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    alpha = jnp.exp(g)
+    if valid is not None:  # pad slots: no decay, no write
+        alpha = jnp.where(valid[..., None], alpha, 1.0)
+        beta = jnp.where(valid[..., None], beta, 0.0)
+
+    rep = hv // hk
+    if rep > 1:
+        q = jnp.repeat(q, rep, axis=2)
+        k = jnp.repeat(k, rep, axis=2)
+
+    o, state = gated_delta_rule_scan(q, k, v, alpha, beta, segment_ids=None,
+                                     initial_state=state, return_state=True)
+
+    z = z.reshape(b, c, hv, dv).astype(jnp.float32)
+    o32 = o.astype(jnp.float32)
+    o32 = o32 * jax.lax.rsqrt(jnp.mean(jnp.square(o32), axis=-1, keepdims=True)
+                              + cfg.rms_norm_eps)
+    o32 = o32 * p["norm"].astype(jnp.float32) * jax.nn.silu(z)
+    o = o32.reshape(b, c, cfg.v_dim).astype(x.dtype)
+    return o @ p["out_proj"]["w"], state, conv_buf
+
+
 def gdn_forward(p: dict, cfg: GatedDeltaNetConfig, x, segment_ids=None):
     """x: (B, L, H) -> (B, L, H)."""
     b, l, _ = x.shape

@@ -37,9 +37,12 @@ def _doc_start_mask(segment_ids):
     return (segment_ids != prev) & (segment_ids != 0)
 
 
-def gated_delta_rule_scan(q, k, v, alpha, beta, segment_ids=None):
+def gated_delta_rule_scan(q, k, v, alpha, beta, segment_ids=None,
+                          initial_state=None, return_state=False):
     """q, k: (B, L, H, dk); v: (B, L, H, dv); alpha, beta: (B, L, H).
-    Returns o: (B, L, H, dv) fp32. Exact sequential recurrence (oracle)."""
+    Returns o: (B, L, H, dv) fp32 (plus the final (B, H, dk, dv) state when
+    return_state — the decode-cache carry). Exact sequential recurrence
+    (oracle; also the prefill path for cached generation)."""
     b, l, h, dk = q.shape
     dv = v.shape[-1]
     q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
@@ -59,9 +62,29 @@ def gated_delta_rule_scan(q, k, v, alpha, beta, segment_ids=None):
 
     xs = (q.transpose(1, 0, 2, 3), k.transpose(1, 0, 2, 3), v.transpose(1, 0, 2, 3),
           alpha.transpose(1, 0, 2), beta.transpose(1, 0, 2), reset.T)
-    S0 = jnp.zeros((b, h, dk, dv), jnp.float32)
-    _, o = jax.lax.scan(step, S0, xs)
-    return o.transpose(1, 0, 2, 3)
+    S0 = (jnp.zeros((b, h, dk, dv), jnp.float32) if initial_state is None
+          else initial_state.astype(jnp.float32))
+    S_final, o = jax.lax.scan(step, S0, xs)
+    o = o.transpose(1, 0, 2, 3)
+    if return_state:
+        return o, S_final
+    return o
+
+
+def gated_delta_rule_step(S, q_t, k_t, v_t, a_t, b_t):
+    """Single-token decode update (the rollout recurrence; O(1) per token).
+
+    S: (B, H, dk, dv) f32 fast-weight state; q_t/k_t: (B, H, dk);
+    v_t: (B, H, dv); a_t/b_t: (B, H). Returns (S', o_t (B, H, dv) f32)."""
+    q_t, k_t, v_t = (x.astype(jnp.float32) for x in (q_t, k_t, v_t))
+    a_t = a_t.astype(jnp.float32)
+    b_t = b_t.astype(jnp.float32)
+    Sk = jnp.einsum("bhkv,bhk->bhv", S, k_t)
+    S = a_t[..., None, None] * (S - b_t[..., None, None]
+                                * jnp.einsum("bhk,bhv->bhkv", k_t, Sk))
+    S = S + b_t[..., None, None] * jnp.einsum("bhk,bhv->bhkv", k_t, v_t)
+    o_t = jnp.einsum("bhkv,bhk->bhv", S, q_t)
+    return S, o_t
 
 
 def gated_delta_rule_chunked(q, k, v, alpha, beta, segment_ids=None, chunk: int = 64):
