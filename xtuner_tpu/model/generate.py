@@ -26,6 +26,9 @@ from ..ops.rms_norm import rms_norm
 
 
 class GenerateConfig(BaseModel):
+    """Sampling + engine config (reference config/generate.py GenerateConfig
+    + data_proto/rl_data.py SampleParams surface)."""
+
     model_config = ConfigDict(extra="forbid")
     max_new_tokens: int = 128
     temperature: float = 1.0
@@ -34,6 +37,12 @@ class GenerateConfig(BaseModel):
     do_sample: bool = True
     eos_token_id: Optional[int] = None
     max_length: int = 2048  # cache size (prompt + generation)
+    # SampleParams parity (reference rl_data.py:25-45)
+    repetition_penalty: float = 1.0  # >1 discourages any already-seen token
+    presence_penalty: float = 0.0  # additive, fires once per seen token
+    frequency_penalty: float = 0.0  # additive, scales with occurrence count
+    min_tokens: int = 0  # suppress eos/stop ids for the first N new tokens
+    stop_token_ids: list[int] = []  # extra terminators beyond eos
     # rollout engine: "auto" = paged continuous batching when the attention
     # variant supports it (model/paged_generate.py), else the dense cache
     engine: str = "auto"  # auto | dense | paged
@@ -152,8 +161,47 @@ def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dt
     return logits, new_caches, routing
 
 
-def _sample(logits, rng, gen_cfg: GenerateConfig):
+def penalties_active(gen_cfg: GenerateConfig) -> bool:
+    return (gen_cfg.repetition_penalty != 1.0 or gen_cfg.presence_penalty != 0.0
+            or gen_cfg.frequency_penalty != 0.0)
+
+
+def _apply_penalties(logits, gen_cfg: GenerateConfig, seen, gen_counts):
+    """seen: (B, V) bool — token appeared in prompt or generation;
+    gen_counts: (B, V) int32 — occurrences among GENERATED tokens only
+    (OpenAI presence/frequency semantics; repetition penalty spans the full
+    context like the serving engines the reference wraps)."""
+    if gen_cfg.repetition_penalty != 1.0 and seen is not None:
+        rp = gen_cfg.repetition_penalty
+        penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(seen, penalized, logits)
+    if gen_counts is not None and (gen_cfg.presence_penalty != 0.0
+                                   or gen_cfg.frequency_penalty != 0.0):
+        counts = gen_counts.astype(jnp.float32)
+        logits = logits - gen_cfg.presence_penalty * (counts > 0) \
+            - gen_cfg.frequency_penalty * counts
+    return logits
+
+
+def _suppress_stops(logits, gen_cfg: GenerateConfig, n_generated, eos):
+    """min_tokens: terminators are unreachable for the first N new tokens."""
+    if gen_cfg.min_tokens <= 0:
+        return logits
+    ids = [eos] + [t for t in gen_cfg.stop_token_ids if t != eos]
+    blocked = jnp.zeros((logits.shape[-1],), bool)
+    for t in ids:
+        if t is not None:
+            blocked = blocked.at[t].set(True)
+    return jnp.where(blocked[None, :] & (n_generated < gen_cfg.min_tokens),
+                     -jnp.inf, logits)
+
+
+def _sample(logits, rng, gen_cfg: GenerateConfig, seen=None, gen_counts=None,
+            n_generated=None, eos=None):
     """logits (B, V) fp32 -> token ids (B,)."""
+    logits = _apply_penalties(logits, gen_cfg, seen, gen_counts)
+    if n_generated is not None and eos is not None:
+        logits = _suppress_stops(logits, gen_cfg, n_generated, eos)
     if not gen_cfg.do_sample or gen_cfg.temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / gen_cfg.temperature
@@ -219,6 +267,12 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     # a scan-of-steps around the scan-of-layers compiles pathologically slowly,
     # while one step compiles in ~1s and the host loop adds only dispatch
     # latency per token.
+    # penalty/min-token state rides the loop only when configured (extra
+    # (B, V) arrays otherwise skipped; the jit cache keys on the config)
+    use_pen = penalties_active(gen_cfg)
+    use_min = gen_cfg.min_tokens > 0
+    stop_ids = set([eos] + list(gen_cfg.stop_token_ids)) - {None}
+
     def prefill(params, prompt_ids, positions, kv_mask0, caches, rng):
         logits, caches, routing = fwd_cached(params, prompt_ids, positions,
                                              caches, jnp.int32(0), kv_mask0,
@@ -230,12 +284,23 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
             caches = jax.tree.map(lambda a: jnp.repeat(a, g, axis=1), caches)
             last = jnp.repeat(last, g, axis=0)
             rout = jnp.repeat(rout, g, axis=0) if rout is not None else None
-        next_tok = _sample(last, rng, gen_cfg)
+        seen = gen_counts = None
+        if use_pen:
+            v = last.shape[-1]
+            rows = jnp.arange(b)[:, None]
+            ids_full = prompt_ids if g == 1 else jnp.repeat(prompt_ids, g, axis=0)
+            mask_full = ids_full != pad_token_id
+            seen = (jnp.zeros((b, v), jnp.float32)
+                    .at[rows, ids_full].add(mask_full.astype(jnp.float32)) > 0)
+            gen_counts = jnp.zeros((b, v), jnp.int32)
+        next_tok = _sample(last, rng, gen_cfg, seen, gen_counts,
+                           n_generated=jnp.int32(0) if use_min else None, eos=eos)
         lp = jax.nn.log_softmax(last, axis=-1)
         lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
-        return next_tok, lp, caches, rout
+        return next_tok, lp, caches, rout, seen, gen_counts
 
-    def decode_step(params, tok, pos, cache_len, kv_mask0, caches, rng, done):
+    def decode_step(params, tok, pos, cache_len, kv_mask0, caches, rng, done,
+                    seen, gen_counts):
         # unmask only the GENERATED slots [p, cache_len]; `< cache_len + 1`
         # alone would re-enable the left-pad slots that kv_mask0 masked out,
         # making generated tokens attend to pad KV written during prefill
@@ -246,13 +311,23 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
                                              caches, cache_len, kv_mask,
                                              record_routing)
         last = logits[:, -1]
-        new_tok = _sample(last, rng, gen_cfg)
+        if use_pen:
+            rows = jnp.arange(b)
+            live = (~done).astype(jnp.int32)
+            gen_counts = gen_counts.at[rows, tok].add(live)
+            seen = seen | (jnp.zeros_like(seen).at[rows, tok].set(True)
+                           & (~done)[:, None])
+        n_gen = (cache_len - p + 1) if use_min else None
+        new_tok = _sample(last, rng, gen_cfg, seen, gen_counts,
+                          n_generated=n_gen, eos=eos)
         lp = jax.nn.log_softmax(last, axis=-1)
         lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
-        new_done = done | (tok == eos)
+        new_done = done
+        for t in stop_ids:
+            new_done = new_done | (tok == t)
         new_tok = jnp.where(new_done, eos, new_tok)
         rout = routing[:, 0] if routing is not None else None
-        return new_tok, lp, caches, new_done, rout
+        return new_tok, lp, caches, new_done, rout, seen, gen_counts
 
     cache_key = (b, p, n_new, eos, pad_token_id, str(compute_dtype), record_routing,
                  g, gen_cfg.model_dump_json())
@@ -267,18 +342,19 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     prefill_fn, step_fn = jit_cache[cache_key]
 
     if g > 1:
-        tok, lp, caches, rout = prefill_fn(params, prompt_ids[::g], positions[::g],
-                                           kv_mask0[::g], caches, rng)
+        tok, lp, caches, rout, seen, gen_counts = prefill_fn(
+            params, prompt_ids[::g], positions[::g], kv_mask0[::g], caches, rng)
     else:
-        tok, lp, caches, rout = prefill_fn(params, prompt_ids, positions, kv_mask0,
-                                           caches, rng)
+        tok, lp, caches, rout, seen, gen_counts = prefill_fn(
+            params, prompt_ids, positions, kv_mask0, caches, rng)
     toks_list, lps_list, rout_list = [tok], [lp], [rout]
     done = jnp.zeros(b, bool)
     pos = positions[:, -1]
     for i in range(n_new - 1):
         rng, step_rng = jax.random.split(rng)
-        new_tok, lp, caches, done, rout = step_fn(
-            params, tok, pos + 1, jnp.int32(p + i), kv_mask0, caches, step_rng, done)
+        new_tok, lp, caches, done, rout, seen, gen_counts = step_fn(
+            params, tok, pos + 1, jnp.int32(p + i), kv_mask0, caches, step_rng,
+            done, seen, gen_counts)
         toks_list.append(new_tok)
         lps_list.append(lp)
         rout_list.append(rout)

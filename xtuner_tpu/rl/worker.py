@@ -128,20 +128,27 @@ class RolloutWorker:
         for i, p in enumerate(rows):
             arr[i, p_max - len(p):] = p  # left padding
 
-        # map OpenAI names -> GenerateConfig names
+        # map OpenAI/SampleParams names -> GenerateConfig names
         upd = {}
         if "max_tokens" in req:
             upd["max_new_tokens"] = int(req["max_tokens"])
-        for k in ("temperature", "top_p", "top_k"):
+        for k in ("temperature", "top_p", "top_k", "repetition_penalty",
+                  "presence_penalty", "frequency_penalty", "min_tokens",
+                  "stop_token_ids"):
             if k in req:
                 upd[k] = req[k]
         g = self.gen_defaults.model_copy(update=upd)
 
+        from ..model.generate import penalties_active
         from ..model.paged_generate import paged_eligible
         from .spans import span
 
-        use_paged = (g.engine == "paged"
-                     or (g.engine == "auto" and paged_eligible(self.model_cfg)))
+        # penalty/min-token sampling state is implemented on the dense
+        # engine's (B, V) loop arrays; fall back when configured
+        plain_sampling = not penalties_active(g) and g.min_tokens <= 0
+        use_paged = plain_sampling and (
+            g.engine == "paged"
+            or (g.engine == "auto" and paged_eligible(self.model_cfg)))
         with self._gen_lock, span("rollout.generate", rows=len(rows),
                                   engine="paged" if use_paged else "dense"):
             self._rng, rng = jax.random.split(self._rng)
