@@ -89,3 +89,37 @@ def test_min_tokens_and_stop_ids_end_to_end():
     out2 = generate(model, params, prompts, g2, compute_dtype=jnp.float32,
                     pad_token_id=0)["generated"][0].tolist()
     assert stop not in out2[:4] and 50 not in out2[:4]
+
+
+def test_top_logprobs_end_to_end():
+    cfg, model, params = _model()
+    prompts = np.asarray([[5, 6, 7, 8]], np.int32)
+    g = GenerateConfig(max_new_tokens=4, do_sample=False, temperature=0.0,
+                       eos_token_id=50, top_logprobs=3)
+    out = generate(model, params, prompts, g, compute_dtype=jnp.float32,
+                   pad_token_id=0, return_logprobs=True)
+    assert out["top_logprobs"].shape == (1, 4, 3)
+    assert out["top_logprob_ids"].shape == (1, 4, 3)
+    # greedy: the sampled token is the #1 alternative with matching logprob
+    np.testing.assert_array_equal(out["top_logprob_ids"][0, :, 0],
+                                  out["generated"][0])
+    np.testing.assert_allclose(out["top_logprobs"][0, :, 0],
+                               out["logprobs"][0], rtol=1e-6)
+    # descending order
+    assert (np.diff(out["top_logprobs"][0], axis=-1) <= 0).all()
+
+
+def test_worker_top_logprobs_wire():
+    from xtuner_tpu.rl.transport import ParamStore
+    from xtuner_tpu.rl.worker import RolloutWorker
+
+    cfg, model, params = _model()
+    w = RolloutWorker(cfg, gen_cfg=GenerateConfig(
+        max_new_tokens=4, do_sample=False, temperature=0.0, eos_token_id=50),
+        compute_dtype=jnp.float32, pad_token_id=0,
+        param_store=ParamStore(params))
+    resp = w.complete({"prompt_ids": [[5, 6, 7]], "logprobs": True,
+                       "top_logprobs": 2})
+    lp = resp["choices"][0]["logprobs"]
+    assert "top_logprobs" in lp and len(lp["top_logprobs"]) == len(lp["token_logprobs"])
+    assert all(len(d) == 2 for d in lp["top_logprobs"])

@@ -43,6 +43,7 @@ class GenerateConfig(BaseModel):
     frequency_penalty: float = 0.0  # additive, scales with occurrence count
     min_tokens: int = 0  # suppress eos/stop ids for the first N new tokens
     stop_token_ids: list[int] = []  # extra terminators beyond eos
+    top_logprobs: int = 0  # also return the top-K alternatives per position
     # rollout engine: "auto" = paged continuous batching when the attention
     # variant supports it (model/paged_generate.py), else the dense cache
     engine: str = "auto"  # auto | dense | paged
@@ -295,9 +296,11 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
             gen_counts = jnp.zeros((b, v), jnp.int32)
         next_tok = _sample(last, rng, gen_cfg, seen, gen_counts,
                            n_generated=jnp.int32(0) if use_min else None, eos=eos)
-        lp = jax.nn.log_softmax(last, axis=-1)
-        lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
-        return next_tok, lp, caches, rout, seen, gen_counts
+        lps_full = jax.nn.log_softmax(last, axis=-1)
+        lp = jnp.take_along_axis(lps_full, next_tok[:, None], axis=-1)[:, 0]
+        top = (jax.lax.top_k(lps_full, gen_cfg.top_logprobs)
+               if gen_cfg.top_logprobs > 0 else None)
+        return next_tok, lp, caches, rout, seen, gen_counts, top
 
     def decode_step(params, tok, pos, cache_len, kv_mask0, caches, rng, done,
                     seen, gen_counts):
@@ -320,14 +323,16 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
         n_gen = (cache_len - p + 1) if use_min else None
         new_tok = _sample(last, rng, gen_cfg, seen, gen_counts,
                           n_generated=n_gen, eos=eos)
-        lp = jax.nn.log_softmax(last, axis=-1)
-        lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
+        lps_full = jax.nn.log_softmax(last, axis=-1)
+        lp = jnp.take_along_axis(lps_full, new_tok[:, None], axis=-1)[:, 0]
+        top = (jax.lax.top_k(lps_full, gen_cfg.top_logprobs)
+               if gen_cfg.top_logprobs > 0 else None)
         new_done = done
         for t in stop_ids:
             new_done = new_done | (tok == t)
         new_tok = jnp.where(new_done, eos, new_tok)
         rout = routing[:, 0] if routing is not None else None
-        return new_tok, lp, caches, new_done, rout, seen, gen_counts
+        return new_tok, lp, caches, new_done, rout, seen, gen_counts, top
 
     cache_key = (b, p, n_new, eos, pad_token_id, str(compute_dtype), record_routing,
                  g, gen_cfg.model_dump_json())
@@ -342,22 +347,23 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
     prefill_fn, step_fn = jit_cache[cache_key]
 
     if g > 1:
-        tok, lp, caches, rout, seen, gen_counts = prefill_fn(
+        tok, lp, caches, rout, seen, gen_counts, top = prefill_fn(
             params, prompt_ids[::g], positions[::g], kv_mask0[::g], caches, rng)
     else:
-        tok, lp, caches, rout, seen, gen_counts = prefill_fn(
+        tok, lp, caches, rout, seen, gen_counts, top = prefill_fn(
             params, prompt_ids, positions, kv_mask0, caches, rng)
-    toks_list, lps_list, rout_list = [tok], [lp], [rout]
+    toks_list, lps_list, rout_list, top_list = [tok], [lp], [rout], [top]
     done = jnp.zeros(b, bool)
     pos = positions[:, -1]
     for i in range(n_new - 1):
         rng, step_rng = jax.random.split(rng)
-        new_tok, lp, caches, done, rout, seen, gen_counts = step_fn(
+        new_tok, lp, caches, done, rout, seen, gen_counts, top = step_fn(
             params, tok, pos + 1, jnp.int32(p + i), kv_mask0, caches, step_rng,
             done, seen, gen_counts)
         toks_list.append(new_tok)
         lps_list.append(lp)
         rout_list.append(rout)
+        top_list.append(top)
         tok, pos = new_tok, pos + 1
     toks = jnp.stack(toks_list, axis=1)  # (B, N)
     lps = jnp.stack(lps_list, axis=1)
@@ -366,6 +372,10 @@ def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,
            "num_generated": n_new}
     if return_logprobs:
         out["logprobs"] = np.asarray(lps)
+    if gen_cfg.top_logprobs > 0:
+        # (B, N, K): the K best alternatives' logprobs + ids per position
+        out["top_logprobs"] = np.asarray(jnp.stack([t[0] for t in top_list], axis=1))
+        out["top_logprob_ids"] = np.asarray(jnp.stack([t[1] for t in top_list], axis=1))
     if record_routing and rout_list[0] is not None:
         out["routed_experts"] = np.asarray(jnp.stack(rout_list, axis=1))  # (B, N, nL, K)
     return out

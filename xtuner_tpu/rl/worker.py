@@ -134,7 +134,7 @@ class RolloutWorker:
             upd["max_new_tokens"] = int(req["max_tokens"])
         for k in ("temperature", "top_p", "top_k", "repetition_penalty",
                   "presence_penalty", "frequency_penalty", "min_tokens",
-                  "stop_token_ids"):
+                  "stop_token_ids", "top_logprobs"):
             if k in req:
                 upd[k] = req[k]
         g = self.gen_defaults.model_copy(update=upd)
@@ -143,9 +143,10 @@ class RolloutWorker:
         from ..model.paged_generate import paged_eligible
         from .spans import span
 
-        # penalty/min-token sampling state is implemented on the dense
-        # engine's (B, V) loop arrays; fall back when configured
-        plain_sampling = not penalties_active(g) and g.min_tokens <= 0
+        # penalty/min-token/top-logprob sampling state is implemented on the
+        # dense engine's loop; fall back when configured
+        plain_sampling = (not penalties_active(g) and g.min_tokens <= 0
+                          and g.top_logprobs <= 0)
         use_paged = plain_sampling and (
             g.engine == "paged"
             or (g.engine == "auto" and paged_eligible(self.model_cfg)))
@@ -178,6 +179,11 @@ class RolloutWorker:
             if "logprobs" in out:
                 choice["logprobs"] = {
                     "token_logprobs": [float(x) for x in out["logprobs"][i][:n_resp]]}
+                if "top_logprobs" in out:
+                    choice["logprobs"]["top_logprobs"] = [
+                        {int(t): float(v) for t, v in
+                         zip(out["top_logprob_ids"][i][j], out["top_logprobs"][i][j])}
+                        for j in range(n_resp)]
             if self.tokenizer is not None:
                 stripped = toks[:n_resp]
                 if finish == "stop":
