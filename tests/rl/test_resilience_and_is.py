@@ -128,6 +128,31 @@ def test_span_tracer_nesting_and_summary(tmp_path):
 
 
 # ------------------------------------------------- N workers + restart
+def test_on_dead_fires_once_even_after_request_failover():
+    """Request failover flips `alive=False` before the probe loop confirms
+    death (disagg_trainer routes around a mid-request error immediately).
+    on_dead must still fire — and fire exactly once — so the restart path
+    runs (reference health_manager.py:105-214 restart_inactive_workers)."""
+    from xtuner_tpu.rl.health_manager import HealthManager, WorkerRegistry
+
+    reg = WorkerRegistry()
+    reg.register("http://127.0.0.1:1")  # nothing listens: every probe fails
+    fired = []
+    hm = HealthManager(reg, failure_threshold=3, timeout=0.1,
+                       on_dead=fired.append)
+    # failover marked it dead before any probe ran
+    reg.states()[0].alive = False
+    for _ in range(5):
+        hm.check_once()
+    assert len(fired) == 1 and fired[0].url == "http://127.0.0.1:1"
+    # recovery re-arms the dead handler
+    w = reg.states()[0]
+    w.alive, w.consecutive_failures, w.dead_handled = True, 0, False
+    for _ in range(3):
+        hm.check_once()
+    assert len(fired) == 2
+
+
 def _tiny_disagg_cfg(tmp_path, **kw):
     from xtuner_tpu.config.optim import AdamWConfig
     from xtuner_tpu.parallel.mesh import MeshConfig

@@ -29,6 +29,9 @@ class WorkerState:
     last_ok: float = 0.0
     version: int = -1
     meta: dict = field(default_factory=dict)
+    # on_dead fired for this worker (guards double-restarts when request
+    # failover already flipped `alive` before the probes confirmed death)
+    dead_handled: bool = False
 
 
 class WorkerRegistry:
@@ -93,10 +96,16 @@ class HealthManager:
                 if not w.alive:
                     logger.info(f"rollout worker {w.url} recovered")
                 w.alive = True
+                w.dead_handled = False
             else:
                 w.consecutive_failures += 1
-                if w.alive and w.consecutive_failures >= self.failure_threshold:
+                if w.consecutive_failures >= self.failure_threshold \
+                        and not w.dead_handled:
+                    # note: `alive` may already be False (request failover
+                    # marks it immediately); on_dead must still fire exactly
+                    # once so the restart path runs
                     w.alive = False
+                    w.dead_handled = True
                     logger.warning(
                         f"rollout worker {w.url} marked DEAD after "
                         f"{w.consecutive_failures} failed probes")
