@@ -143,6 +143,79 @@ def test_worker_uses_paged_engine():
         assert c["token_ids"] and "token_logprobs" in c["logprobs"]
 
 
+def test_paged_sinks_gate_matches_dense_greedy():
+    """GPT-OSS sinks + Qwen3-Next output gating through the paged decode ==
+    the dense engine (attention.py:201-213 semantics)."""
+    cfg = DenseConfig(
+        vocab_size=199, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+        eos_token_id=198,
+        attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+                            with_sinks=True, with_gate=True, qk_norm=True),
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    assert paged_eligible(cfg)
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(2))
+    # non-zero sinks so the sink branch actually changes the softmax
+    params["layers"]["attn"]["sinks"] = 0.5 + jnp.arange(
+        2 * 4, dtype=jnp.float32).reshape(2, 4) / 4.0
+    g = _greedy(n=8)
+    prompts = [[5, 6, 7, 8, 9], [11, 12, 13]]
+    arr = np.zeros((2, 5), np.int32)
+    arr[0] = prompts[0]
+    arr[1, 2:] = prompts[1]
+    dense = generate(model, params, arr, g, compute_dtype=jnp.float32,
+                     pad_token_id=0)
+    pg = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    outs = pg.generate([{"prompt_ids": p} for p in prompts])
+    for i in range(2):
+        d = list(dense["generated"][i])
+        if 198 in d:
+            d = d[: d.index(198) + 1]
+        p = outs[i]["token_ids"]
+        assert p[: len(d)] == d, (i, p, d)
+
+
+def test_gpt_oss_window_pattern_decode_matches_training_forward():
+    """Alternating sliding/full layers (layer_window_pattern) must be honored
+    at decode: greedy tokens == argmax of the TRAINING forward replayed over
+    the full sequence, with the context well past the 8-token window. Also
+    checks paged == dense."""
+    from xtuner_tpu.data_proto.sequence_context import SequenceContext
+    from xtuner_tpu.model.gpt_oss import gpt_oss_tiny
+
+    cfg = gpt_oss_tiny(num_hidden_layers=2, eos_token_id=126, vocab_size=127)
+    assert paged_eligible(cfg)
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(3))
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    params["moe_layers"]["attn"]["sinks"] = 0.5 + jnp.arange(
+        2 * 4, dtype=jnp.float32).reshape(2, 4) / 4.0
+    prompt = [(3 + i) % 120 for i in range(14)]  # prompt alone > window=8
+    g = GenerateConfig(max_new_tokens=10, do_sample=False, temperature=0.0,
+                       eos_token_id=126, max_length=256,
+                       paged_max_batch=2, paged_block_size=16)
+    dense = generate(model, params, np.asarray([prompt], np.int32), g,
+                     compute_dtype=jnp.float32, pad_token_id=0)
+    seq = dense["sequences"][0]
+    ctx = SequenceContext.from_input_ids(seq[None, :])
+    hidden = model.forward(params, ctx, compute_dtype=jnp.float32, remat="none")
+    logits = np.asarray(hidden @ model.lm_head_weight(params))
+    stop = list(seq).index(126) + 1 if 126 in list(seq[14:]) else len(seq)
+    for t in range(14, stop):
+        pred = int(np.argmax(logits[0, t - 1]))
+        assert pred == int(seq[t]), f"window-pattern decode drift at {t}"
+
+    pg = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    outs = pg.generate([{"prompt_ids": prompt}])
+    d = list(dense["generated"][0])
+    if 126 in d:
+        d = d[: d.index(126) + 1]
+    assert outs[0]["token_ids"][: len(d)] == d
+
+
 def test_paged_mla_matches_dense_greedy():
     """Compressed-KV MLA paged decode == the dense MLA engine (greedy)."""
     from xtuner_tpu.module.mla import MLAConfig

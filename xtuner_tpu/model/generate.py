@@ -52,7 +52,7 @@ class GenerateConfig(BaseModel):
 
 
 def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
-                  compute_dtype, kv_mask=None):
+                  compute_dtype, kv_mask=None, window=None):
     lp = cast_tree(lp, compute_dtype)
     zero_c = cfg.rms_norm_type == "zero_centered"
     lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
@@ -67,8 +67,7 @@ def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
     else:
         h, cache_k, cache_v = mha_cached_forward(
             lp["attn"], cfg.attention, h, cos, sin, cache_k, cache_v, cache_len,
-            window=cfg.sliding_window if cfg.use_sliding_window else None,
-            lora_scaling=lora_s, kv_mask=kv_mask)
+            window=window, lora_scaling=lora_s, kv_mask=kv_mask)
     x = x + h
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_c)
     routing = None
@@ -90,14 +89,11 @@ def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
 
 
 def _stacks(model, params):
-    """[(layer_params_stacked, n_layers), ...] in forward order."""
+    """[(stack_name, layer_params_stacked), ...] in forward order."""
     out = []
-    if "dense_layers" in params:
-        out.append(params["dense_layers"])
-    if "layers" in params:
-        out.append(params["layers"])
-    if "moe_layers" in params:
-        out.append(params["moe_layers"])
+    for key in ("dense_layers", "layers", "moe_layers"):
+        if key in params:
+            out.append((key, params[key]))
     if not out and not hasattr(model, "forward_cached"):
         # fail LOUDLY: silently decoding zero layers produced plausible-but-
         # wrong rollouts for pattern-stacked models before round 3
@@ -106,6 +102,21 @@ def _stacks(model, params):
             f"(params keys: {sorted(params)}) and no forward_cached hook — "
             f"generation would silently skip every layer")
     return out
+
+
+def _layer_windows(cfg, stack_name: str, n_layers: int):
+    """(n_layers,) int32 per-layer sliding window; 0 = full attention.
+
+    GPT-OSS-style `layer_window_pattern` (moe.py:207-224) alternates
+    sliding/full across the MoE stack; training honors it, so decode must
+    too — a sliding layer attending the whole cache drifts off-policy as
+    soon as the context exceeds the window."""
+    pattern = getattr(cfg, "layer_window_pattern", None)
+    if stack_name == "moe_layers" and pattern:
+        vals = [(pattern[i % len(pattern)] or 0) for i in range(n_layers)]
+        return jnp.asarray(vals, jnp.int32)
+    w = cfg.sliding_window if cfg.use_sliding_window else None
+    return jnp.full((n_layers,), 0 if w is None else int(w), jnp.int32)
 
 
 def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):
@@ -121,7 +132,7 @@ def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):
     else:
         shape_k = shape_v = (batch_size, max_length, attn.num_key_value_heads, attn.head_dim)
     caches = []
-    for stack in _stacks(model, model.param_specs()):
+    for _name, stack in _stacks(model, model.param_specs()):
         n = jax.tree.leaves(stack, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
         caches.append((jnp.zeros((n, *shape_k), dtype), jnp.zeros((n, *shape_v), dtype)))
     return caches
@@ -139,16 +150,19 @@ def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dt
                             cfg.rope_scaling_cfg, cfg.max_position_embeddings)
     new_caches = []
     routings = []
-    for stack, (ck, cv) in zip(_stacks(model, params), caches):
+    for (name, stack), (ck, cv) in zip(_stacks(model, params), caches):
+        windows = _layer_windows(cfg, name, ck.shape[0])
+
         def body(x, xs):
-            lp, ck_l, cv_l = xs
+            lp, ck_l, cv_l, win = xs
             x, ck_l, cv_l, routing = _layer_cached(model, lp, cfg, x, cos, sin, ck_l, cv_l,
-                                                   cache_len, compute_dtype, kv_mask)
+                                                   cache_len, compute_dtype, kv_mask,
+                                                   window=win)
             ys = (ck_l, cv_l) if (routing is None or not record_routing) \
                 else (ck_l, cv_l, routing)
             return x, ys
 
-        x, ys = jax.lax.scan(body, x, (stack, ck, cv))
+        x, ys = jax.lax.scan(body, x, (stack, ck, cv, windows))
         new_caches.append((ys[0], ys[1]))
         if len(ys) == 3 and record_routing:
             routings.append(ys[2])  # (nL, B, C, K)

@@ -19,9 +19,10 @@ finish). TPU redesign on top of module/kv_cache.py:
   its block-aligned prefix via refcounts (kv_cache.share_prefix) and copy
   only the unaligned tail block.
 
-Decode attention supports MHA with GQA, qk-norm, partial rotary and sliding
-window; models needing sinks/gates/MLA decode fall back to model/generate.py
-(the dense engine) — `generate_auto` picks per config.
+Decode attention supports MHA with GQA, qk-norm, partial rotary, sliding
+window, GPT-OSS sinks and Qwen3-Next output gating, plus compressed-KV MLA;
+hybrid-GDN and DSA models fall back to model/generate.py (the dense engine) —
+`generate_auto` picks per config.
 """
 
 from __future__ import annotations
@@ -39,12 +40,13 @@ from ..module.mlp import mlp_forward
 from ..module.params import cast_tree
 from ..module.rope import _rope_dim, rope_cos_sin
 from ..ops.rms_norm import rms_norm
-from .generate import GenerateConfig, _forward_cached, _sample, _stacks, init_cache
+from .generate import (GenerateConfig, _forward_cached, _layer_windows,
+                       _sample, _stacks, init_cache)
 
 
 def paged_eligible(model_cfg) -> bool:
-    """MHA without sinks/gate, or plain MLA (compressed-KV paged decode).
-    Sink/gate MHA and DSA fall back to the dense engine."""
+    """MHA (incl. sinks/gate variants) or plain MLA (compressed-KV paged
+    decode). Hybrid-GDN and DSA fall back to the dense engine."""
     from ..module.dsa import DSAConfig
     from ..module.mla import MLAConfig
 
@@ -53,10 +55,7 @@ def paged_eligible(model_cfg) -> bool:
     attn = model_cfg.attention
     if isinstance(attn, DSAConfig):
         return False  # rollout needs the indexer; dense engine covers it
-    if isinstance(attn, MLAConfig):
-        return True
-    return (isinstance(attn, MHAConfig) and not attn.with_sinks
-            and not attn.with_gate)
+    return isinstance(attn, (MHAConfig, MLAConfig))
 
 
 # ------------------------------------------------------------------ layers
@@ -145,8 +144,16 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
     p = lp["attn"]
     b = x.shape[0]
     h2d = h.reshape(b, -1)
-    q = lora_linear(h2d, p["q_proj"], 1.0).reshape(b, attn.num_attention_heads,
-                                                   attn.head_dim)
+    gate = None
+    if attn.with_gate:
+        # q_proj emits (q ‖ gate) per head (attention.py:105-108); sigmoid
+        # gate scales the attention output before o_proj
+        qg = lora_linear(h2d, p["q_proj"], 1.0).reshape(
+            b, attn.num_attention_heads, 2 * attn.head_dim)
+        q, gate = qg[..., : attn.head_dim], qg[..., attn.head_dim:]
+    else:
+        q = lora_linear(h2d, p["q_proj"], 1.0).reshape(
+            b, attn.num_attention_heads, attn.head_dim)
     k = lora_linear(h2d, p["k_proj"], 1.0).reshape(b, attn.num_key_value_heads,
                                                    attn.head_dim)
     v = lora_linear(h2d, p["v_proj"], 1.0).reshape(b, attn.num_key_value_heads,
@@ -176,11 +183,27 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
     slot = jnp.arange(mb * bs)[None, :]
     valid = slot <= seq_lens[:, None]
     if window is not None:
-        valid = valid & (seq_lens[:, None] - slot < window)
+        # traced per-layer window (generate._layer_windows): 0 = full
+        in_win = seq_lens[:, None] - slot < window
+        if not isinstance(window, int):
+            in_win = in_win | (window <= 0)
+        valid = valid & in_win
     logits = jnp.where(valid[:, None, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
+    if attn.with_sinks:
+        # GPT-OSS sinks: a per-head learnable logit joins the softmax
+        # denominator only (attention.py:201-206)
+        sink = p["sinks"].astype(jnp.float32)[None, :, None]  # (1, nh, 1)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sink)
+        probs = jnp.exp(logits - m)
+        probs = probs / (jnp.sum(probs, axis=-1, keepdims=True)
+                         + jnp.exp(sink - m))
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     o = jnp.einsum("bhs,bshd->bhd", probs, vv.astype(jnp.float32))
     o = o.reshape(b, attn.num_attention_heads * attn.head_dim).astype(compute_dtype)
+    if gate is not None:
+        o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype).reshape(
+            b, attn.num_attention_heads * attn.head_dim)
     o = lora_linear(o, p["o_proj"], 1.0)
 
     x = x + o
@@ -237,7 +260,7 @@ class PagedGenerator:
         cfg = model.cfg
         if not paged_eligible(cfg):
             raise ValueError("model config not eligible for the paged engine "
-                             "(sinks/gate/MLA) — use model.generate")
+                             "(hybrid-GDN / DSA) — use model.generate")
         self.model, self.params, self.gen_cfg = model, params, gen_cfg
         self.compute_dtype = compute_dtype
         self.pad_token_id = pad_token_id
@@ -252,7 +275,7 @@ class PagedGenerator:
         stacks = _stacks(model, model.param_specs())
         n_layers_total = sum(
             jax.tree.leaves(s, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
-            for s in stacks)
+            for _, s in stacks)
         from ..module.mla import MLAConfig
 
         if isinstance(attn, MLAConfig):
@@ -282,7 +305,6 @@ class PagedGenerator:
             return self._decode_fn
         model, cfg, dtype = self.model, self.model.cfg, self.compute_dtype
         gen_cfg = self.gen_cfg
-        window = cfg.sliding_window if cfg.use_sliding_window else None
         record = self.record_routing
 
         def step(params, pool_k, pool_v, tok, seq_lens, block_table, active, rng):
@@ -292,19 +314,23 @@ class PagedGenerator:
                                     cfg.max_position_embeddings)
             layer0 = 0
             routings = []
-            for stack in _stacks(model, params):
+            for name, stack in _stacks(model, params):
                 has_moe = isinstance(stack, dict) and "experts" in stack
+                n = jax.tree.leaves(
+                    stack, is_leaf=lambda a: hasattr(a, "shape"))[0].shape[0]
+                windows = _layer_windows(cfg, name, n)
 
-                def body(carry, lp, _moe=has_moe):
+                def body(carry, xs, _moe=has_moe):
+                    lp, win = xs
                     x, pk, pv, li = carry
                     x, pk, pv, routing = _paged_layer_decode(
                         lp, cfg, x, cos, sin, pk, pv, li, block_table, seq_lens,
-                        dtype, window)
+                        dtype, win)
                     ys = routing if (record and _moe) else jnp.int32(0)
                     return (x, pk, pv, li + 1), ys
 
                 (x, pool_k, pool_v, layer0), ys = jax.lax.scan(
-                    body, (x, pool_k, pool_v, layer0), stack)
+                    body, (x, pool_k, pool_v, layer0), (stack, windows))
                 if record and has_moe:
                     routings.append(ys)  # (nL, B, K)
             x = rms_norm(x[:, None], params["final_norm"].astype(jnp.float32),

@@ -193,7 +193,11 @@ def mha_cached_forward(p: dict, cfg: MHAConfig, x, cos, sin, cache_k, cache_v,
     qpos = cache_len + jnp.arange(c)[:, None]
     mask = kpos <= qpos  # causal over the cache
     if window is not None:
-        mask = mask & (qpos - kpos < window)
+        in_win = qpos - kpos < window
+        if not isinstance(window, int):
+            # traced per-layer window (generate._layer_windows): 0 = full
+            in_win = in_win | (window <= 0)
+        mask = mask & in_win
     mask = mask[None, None]  # (1, 1, C, S)
     if kv_mask is not None:  # (B, S): False = padding slot, never attended
         mask = mask & kv_mask[:, None, None, :]
