@@ -250,3 +250,85 @@ def test_paged_mla_matches_dense_greedy():
             d = d[: d.index(150) + 1]
         p = outs[i]["token_ids"]
         assert p[: len(d)] == d, (i, p, d)
+
+
+# ------------------------------------------------------------- hybrid GDN
+def _hybrid_paged_cfg(moe=False):
+    """Qwen3.5-shaped tiny hybrid: GDN + gated full attention pattern."""
+    from xtuner_tpu.model.hybrid import HybridConfig, HybridMoEConfig
+    from xtuner_tpu.module.gated_deltanet import GatedDeltaNetConfig
+
+    kw = dict(
+        vocab_size=160, num_hidden_layers=4, hidden_size=32,
+        eos_token_id=150, layer_types_pattern=["linear", "full"],
+        linear_attention=GatedDeltaNetConfig(num_v_heads=4, num_k_heads=2,
+                                             head_k_dim=8, head_v_dim=8,
+                                             conv_kernel_size=4),
+        attention=MHAConfig(num_attention_heads=4, num_key_value_heads=2,
+                            head_dim=8, with_gate=True, qk_norm=True),
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    if moe:
+        return HybridMoEConfig(moe_intermediate_size=16, n_routed_experts=4,
+                               num_experts_per_tok=2, n_shared_experts=1,
+                               with_shared_expert_gate=True,
+                               router=GreedyRouterConfig(), intermediate_size=0,
+                               **kw)
+    return HybridConfig(intermediate_size=64, **kw)
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_paged_hybrid_matches_dense_greedy(moe):
+    """Qwen3.5-style GDN hybrid through the paged engine == the dense
+    engine: full-attn sub-layers page KV, GDN sub-layers carry per-slot
+    recurrent state written by the (right-padded) prefill."""
+    cfg = _hybrid_paged_cfg(moe)
+    assert paged_eligible(cfg)
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(4 + moe))
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    g = GenerateConfig(max_new_tokens=7, do_sample=False, temperature=0.0,
+                       eos_token_id=150, max_length=256,
+                       paged_max_batch=2, paged_block_size=16)
+    prompts = [[5, 6, 7, 8, 9, 10], [11, 12, 13]]
+    arr = np.zeros((2, 6), np.int32)
+    arr[0] = prompts[0]
+    arr[1, 3:] = prompts[1]
+    dense = generate(model, params, arr, g, compute_dtype=jnp.float32,
+                     pad_token_id=0)
+    pg = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    outs = pg.generate([{"prompt_ids": p} for p in prompts])
+    for i in range(2):
+        d = list(dense["generated"][i])
+        if 150 in d:
+            d = d[: d.index(150) + 1]
+        p = outs[i]["token_ids"]
+        assert p[: len(d)] == d, (i, p, d)
+
+
+def test_paged_hybrid_continuous_batching_and_groups():
+    """More requests than slots (slot reuse overwrites stale GDN state) and
+    group prompt sharing (sibling gets the leader's post-prompt recurrent
+    snapshot, not its post-decode state)."""
+    cfg = _hybrid_paged_cfg(moe=False)
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(6))
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    g = GenerateConfig(max_new_tokens=5, do_sample=False, temperature=0.0,
+                       eos_token_id=150, max_length=256,
+                       paged_max_batch=2, paged_block_size=16)
+    pg = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    prompt = list(range(3, 3 + 20))  # > one block: aligned prefix + tail
+    reqs = ([{"prompt_ids": prompt, "group": "g0"} for _ in range(3)]
+            + [{"prompt_ids": [40 + i, 41 + i]} for i in range(2)])
+    outs = pg.generate(reqs)
+    assert len(outs) == 5
+    # greedy + shared prompt -> identical tokens across the whole group,
+    # and they match a fresh ungrouped run of the same prompt
+    toks = {tuple(o["token_ids"]) for o in outs[:3]}
+    assert len(toks) == 1
+    solo = pg.generate([{"prompt_ids": prompt}])
+    assert solo[0]["token_ids"] == outs[0]["token_ids"]
+    assert pg.cache.allocator.refcount.sum() == 1  # only the trash block

@@ -126,12 +126,14 @@ class Hybrid(Dense):
         return list(self.cfg.layer_types_pattern)
 
     def forward_cached(self, params, ids, positions, caches, cache_len,
-                       compute_dtype, kv_mask=None, record_routing=False):
+                       compute_dtype, kv_mask=None, record_routing=False,
+                       n_valid=None):
         return _hybrid_forward_cached(self, params, ids, positions, caches,
-                                      cache_len, compute_dtype, kv_mask)
+                                      cache_len, compute_dtype, kv_mask,
+                                      n_valid=n_valid)
 
     def _cached_sublayer(self, x, lp, kind, cfg, cos, sin, cache, cache_len,
-                         kv_mask, valid, compute_dtype):
+                         kv_mask, valid, compute_dtype, n_valid=None):
         """One decode sub-layer; cache = (ck, cv) for full attention or
         (S, conv_buf) for GatedDeltaNet."""
         from ..module.attention import mha_cached_forward
@@ -142,12 +144,15 @@ class Hybrid(Dense):
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_c)
         if kind == "linear":
             h, s_new, conv_new = gdn_cached_forward(
-                lp["attn"], cfg.linear_attention, h, cache[0], cache[1], valid)
+                lp["attn"], cfg.linear_attention, h, cache[0], cache[1], valid,
+                n_valid=n_valid)
             cache = (s_new, conv_new)
         else:
             h, ck, cv = mha_cached_forward(
                 lp["attn"], cfg.attention, h, cos, sin, cache[0], cache[1],
-                cache_len, kv_mask=kv_mask)
+                cache_len,
+                window=cfg.sliding_window if cfg.use_sliding_window else None,
+                kv_mask=kv_mask)
             cache = (ck, cv)
         x = x + h
         h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zero_c)
@@ -239,7 +244,7 @@ def _hybrid_init_cache(cfg, batch_size: int, max_length: int, dtype, kinds):
 
 
 def _hybrid_forward_cached(model, params, ids, positions, caches, cache_len,
-                           compute_dtype, kv_mask=None):
+                           compute_dtype, kv_mask=None, n_valid=None):
     """(logits (B, C, V), new caches, None) — the hybrid analog of
     model/generate._forward_cached, scanning pattern PERIODS with per-slot
     heterogeneous caches riding the scan xs/ys."""
@@ -260,7 +265,7 @@ def _hybrid_forward_cached(model, params, ids, positions, caches, cache_len,
         for i, kind in enumerate(pattern):
             x, new_caches[f"p{i}"] = model._cached_sublayer(
                 x, lp_tuple[f"p{i}"], kind, cfg, cos, sin, cache_tuple[f"p{i}"],
-                cache_len, kv_mask, valid, compute_dtype)
+                cache_len, kv_mask, valid, compute_dtype, n_valid=n_valid)
         return x, new_caches
 
     x, new_caches = jax.lax.scan(period_fn, x, (params["pattern"], caches))

@@ -20,9 +20,12 @@ finish). TPU redesign on top of module/kv_cache.py:
   only the unaligned tail block.
 
 Decode attention supports MHA with GQA, qk-norm, partial rotary, sliding
-window, GPT-OSS sinks and Qwen3-Next output gating, plus compressed-KV MLA;
-hybrid-GDN and DSA models fall back to model/generate.py (the dense engine) —
-`generate_auto` picks per config.
+window, GPT-OSS sinks and Qwen3-Next output gating, plus compressed-KV MLA.
+Hybrid-GDN models (Qwen3.5 family) are paged too: full-attention sub-layers
+ride the block pool while GatedDeltaNet sub-layers keep an O(1) per-SLOT
+recurrent state (fast-weight S + conv rolling buffer) that prefill snapshots
+for group prompt sharing. DSA models fall back to model/generate.py (the
+dense engine) — `generate_auto` picks per config.
 """
 
 from __future__ import annotations
@@ -45,14 +48,17 @@ from .generate import (GenerateConfig, _forward_cached, _layer_windows,
 
 
 def paged_eligible(model_cfg) -> bool:
-    """MHA (incl. sinks/gate variants) or plain MLA (compressed-KV paged
-    decode). Hybrid-GDN and DSA fall back to the dense engine."""
+    """MHA (incl. sinks/gate variants), plain MLA (compressed-KV paged
+    decode), or hybrid-GDN with MHA full layers (per-slot recurrent state).
+    DSA falls back to the dense engine."""
     from ..module.dsa import DSAConfig
     from ..module.mla import MLAConfig
 
-    if hasattr(model_cfg, "layer_types_pattern"):
-        return False  # hybrid GDN layers carry recurrent state, not paged KV
     attn = model_cfg.attention
+    if hasattr(model_cfg, "layer_types_pattern"):
+        # GDN sub-layers carry per-slot recurrent state; the interleaved
+        # full-attention sub-layers must be pageable MHA
+        return isinstance(attn, MHAConfig)
     if isinstance(attn, DSAConfig):
         return False  # rollout needs the indexer; dense engine covers it
     return isinstance(attn, (MHAConfig, MLAConfig))
@@ -224,11 +230,37 @@ def _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v):
             act=cfg.hidden_act, compute_dtype=compute_dtype)
         routing = r.topk_idx.reshape(b, -1)  # (B, K)
         if "shared_experts" in lp:
-            moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
+            shared = mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
+            if "shared_expert_gate" in lp:
+                # Qwen3-Next sigmoid gate on the shared expert (hybrid.py:372-375)
+                g = jax.nn.sigmoid((h @ lp["shared_expert_gate"]["w"]).astype(jnp.float32))
+                shared = shared * g.astype(shared.dtype)
+            moe_out = moe_out + shared
         h2 = moe_out[:, 0]
     else:
         h2 = mlp_forward(lp["mlp"], h, cfg.hidden_act)[:, 0]
     return x + h2, pool_k, pool_v, routing
+
+
+def _paged_gdn_sublayer(lp, cfg, x, state, compute_dtype):
+    """One hybrid GatedDeltaNet sub-layer at decode: per-slot recurrent
+    state (S fast-weight, conv rolling buffer) instead of paged KV —
+    the linear-attention decode win (no cache growth at all).
+
+    x: (B, H) one token per slot; state: (S (B, Hv, dk, dv) f32,
+    conv (B, K-1, ch)). Inactive slots update garbage state — harmless,
+    prefill overwrites the slot on the next admit."""
+    from ..module.gated_deltanet import gdn_cached_forward
+
+    lp = cast_tree(lp, compute_dtype)
+    zc = cfg.rms_norm_type == "zero_centered"
+    h = rms_norm(x[:, None, :], lp["input_norm"], cfg.rms_norm_eps, zc)
+    o, s_new, conv_new = gdn_cached_forward(
+        lp["attn"], cfg.linear_attention, h, state[0], state[1])
+    x = x + o[:, 0]
+    h = rms_norm(x[:, None, :], lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+    x, _, _, routing = _paged_mlp(lp, cfg, x, h, compute_dtype, None, None)
+    return x, (s_new, conv_new), routing
 
 
 # ------------------------------------------------------------------ engine
@@ -260,7 +292,7 @@ class PagedGenerator:
         cfg = model.cfg
         if not paged_eligible(cfg):
             raise ValueError("model config not eligible for the paged engine "
-                             "(hybrid-GDN / DSA) — use model.generate")
+                             "(DSA) — use model.generate")
         self.model, self.params, self.gen_cfg = model, params, gen_cfg
         self.compute_dtype = compute_dtype
         self.pad_token_id = pad_token_id
@@ -272,10 +304,33 @@ class PagedGenerator:
         if num_blocks is None:
             num_blocks = self.max_blocks * max_batch + 1  # worst case, all unshared
         attn = cfg.attention
-        stacks = _stacks(model, model.param_specs())
-        n_layers_total = sum(
-            jax.tree.leaves(s, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
-            for _, s in stacks)
+        self.is_hybrid = bool(getattr(cfg, "layer_types_pattern", None))
+        self.gdn_state: dict = {}
+        if self.is_hybrid:
+            pattern = list(cfg.layer_types_pattern)
+            self._n_periods = cfg.num_hidden_layers // len(pattern)
+            # pool layer ranges: the i-th full-attention pattern slot owns
+            # [base_i, base_i + n_periods); GDN slots own per-slot state
+            self._full_base: dict[int, int] = {}
+            base = 0
+            la = cfg.linear_attention
+            for i, kind in enumerate(pattern):
+                if kind == "linear":
+                    self.gdn_state[f"p{i}"] = (
+                        jnp.zeros((self._n_periods, max_batch, la.num_v_heads,
+                                   la.head_k_dim, la.head_v_dim), jnp.float32),
+                        jnp.zeros((self._n_periods, max_batch,
+                                   la.conv_kernel_size - 1, la.conv_channels),
+                                  compute_dtype))
+                else:
+                    self._full_base[i] = base
+                    base += self._n_periods
+            n_layers_total = base
+        else:
+            stacks = _stacks(model, model.param_specs())
+            n_layers_total = sum(
+                jax.tree.leaves(s, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
+                for _, s in stacks)
         from ..module.mla import MLAConfig
 
         if isinstance(attn, MLAConfig):
@@ -307,11 +362,8 @@ class PagedGenerator:
         gen_cfg = self.gen_cfg
         record = self.record_routing
 
-        def step(params, pool_k, pool_v, tok, seq_lens, block_table, active, rng):
-            x = jnp.take(params["embed"]["w"], tok, axis=0).astype(dtype)
-            cos, sin = rope_cos_sin(seq_lens[:, None], _rope_dim(cfg.attention),
-                                    cfg.rope_theta, cfg.rope_scaling_cfg,
-                                    cfg.max_position_embeddings)
+        def trunk_dense(params, pool_k, pool_v, gdn_state, x, cos, sin,
+                        seq_lens, block_table):
             layer0 = 0
             routings = []
             for name, stack in _stacks(model, params):
@@ -333,6 +385,59 @@ class PagedGenerator:
                     body, (x, pool_k, pool_v, layer0), (stack, windows))
                 if record and has_moe:
                     routings.append(ys)  # (nL, B, K)
+            rout = (jnp.transpose(jnp.concatenate(routings, axis=0), (1, 0, 2))
+                    if routings else jnp.zeros((x.shape[0], 0, 0), jnp.int32))
+            return x, pool_k, pool_v, gdn_state, rout
+
+        def trunk_hybrid(params, pool_k, pool_v, gdn_state, x, cos, sin,
+                         seq_lens, block_table):
+            pattern = list(cfg.layer_types_pattern)
+            full_base = self._full_base
+            window = cfg.sliding_window if cfg.use_sliding_window else None
+            has_moe = hasattr(cfg, "n_routed_experts")
+
+            def body(carry, xs):
+                x, pk, pv = carry
+                lp_tuple, states, j = xs
+                new_states, routs = {}, []
+                for i, kind in enumerate(pattern):
+                    lp = lp_tuple[f"p{i}"]
+                    if kind == "linear":
+                        x, new_states[f"p{i}"], r = _paged_gdn_sublayer(
+                            lp, cfg, x, states[f"p{i}"], dtype)
+                    else:
+                        x, pk, pv, r = _paged_layer_decode(
+                            lp, cfg, x, cos, sin, pk, pv, full_base[i] + j,
+                            block_table, seq_lens, dtype, window)
+                    routs.append(r)
+                ys_r = (jnp.stack(routs, 0) if (record and has_moe)
+                        else jnp.int32(0))
+                return (x, pk, pv), (new_states, ys_r)
+
+            n_periods = self._n_periods
+            (x, pool_k, pool_v), (gdn_state, ys) = jax.lax.scan(
+                body, (x, pool_k, pool_v),
+                (params["pattern"], gdn_state, jnp.arange(n_periods)))
+            if record and has_moe:
+                # (n_periods, period, B, K) -> (B, n_periods*period, K),
+                # HF layer order = period_idx * period + pos
+                rout = jnp.transpose(ys, (2, 0, 1, 3)).reshape(
+                    x.shape[0], -1, ys.shape[-1])
+            else:
+                rout = jnp.zeros((x.shape[0], 0, 0), jnp.int32)
+            return x, pool_k, pool_v, gdn_state, rout
+
+        trunk = trunk_hybrid if self.is_hybrid else trunk_dense
+
+        def step(params, pool_k, pool_v, gdn_state, tok, seq_lens, block_table,
+                 active, rng):
+            x = jnp.take(params["embed"]["w"], tok, axis=0).astype(dtype)
+            cos, sin = rope_cos_sin(seq_lens[:, None], _rope_dim(cfg.attention),
+                                    cfg.rope_theta, cfg.rope_scaling_cfg,
+                                    cfg.max_position_embeddings)
+            x, pool_k, pool_v, gdn_state, rout = trunk(
+                params, pool_k, pool_v, gdn_state, x, cos, sin, seq_lens,
+                block_table)
             x = rms_norm(x[:, None], params["final_norm"].astype(jnp.float32),
                          cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")[:, 0]
             logits = jnp.dot(x.astype(dtype), model.lm_head_weight(params).astype(dtype),
@@ -342,11 +447,9 @@ class PagedGenerator:
             lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
             new_tok = jnp.where(active, new_tok, self.pad_token_id)
             new_lens = jnp.where(active, seq_lens + 1, seq_lens)
-            rout = (jnp.transpose(jnp.concatenate(routings, axis=0), (1, 0, 2))
-                    if routings else jnp.zeros((tok.shape[0], 0, 0), jnp.int32))
-            return new_tok, lp, new_lens, pool_k, pool_v, rout
+            return new_tok, lp, new_lens, pool_k, pool_v, gdn_state, rout
 
-        self._decode_fn = jax.jit(step, donate_argnums=(1, 2))
+        self._decode_fn = jax.jit(step, donate_argnums=(1, 2, 3))
         return self._decode_fn
 
     PREFILL_BUCKET = 64
@@ -366,34 +469,63 @@ class PagedGenerator:
         bs = self.block_size
         n_blocks = -(-p_bucket // bs)
 
-        def run(params, pool_k, pool_v, prompt, positions, kv_mask, block_table,
-                last_idx, rng):
-            caches = init_cache(model, 1, p_bucket, dtype)
-            logits, caches, routing = _forward_cached(
-                model, params, prompt, positions, caches, jnp.int32(0), dtype,
-                kv_mask, self.record_routing)
-            # scatter dense (L, 1, P, H, D) prompt KV into the pool's blocks
-            # (k/v dims handled separately: MLA pools differ — latent vs rope)
-            li = 0
+        def _pack_blocks(c, pad):
+            n = c.shape[0]
+            cp = jnp.pad(c[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
+            return cp.reshape(n, n_blocks, bs, *c.shape[3:])
+
+        def run(params, pool_k, pool_v, gdn_state, slot, prompt, positions,
+                kv_mask, block_table, last_idx, rng):
             pad = n_blocks * bs - p_bucket
-            for ck, cv in caches:
-                n = ck.shape[0]
-                ckp = jnp.pad(ck[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
-                cvp = jnp.pad(cv[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
-                ckp = ckp.reshape(n, n_blocks, bs, *ck.shape[3:])
-                cvp = cvp.reshape(n, n_blocks, bs, *cv.shape[3:])
-                pool_k = _scatter_blocks(pool_k, li, block_table[:n_blocks], ckp)
-                pool_v = _scatter_blocks(pool_v, li, block_table[:n_blocks], cvp)
-                li += n
+            snap: dict = {}
+            if self.is_hybrid:
+                caches = model.init_decode_cache(1, p_bucket, dtype)
+                logits, new_caches, routing = model.forward_cached(
+                    params, prompt, positions, caches, jnp.int32(0), dtype,
+                    kv_mask, n_valid=(last_idx + 1)[None])
+                gdn_state = dict(gdn_state)
+                for i, kind in enumerate(cfg.layer_types_pattern):
+                    c = new_caches[f"p{i}"]
+                    if kind == "linear":
+                        # post-PROMPT recurrent state: written at this slot
+                        # and snapshotted for group prompt sharing
+                        snap[f"p{i}"] = c
+                        s_all, conv_all = gdn_state[f"p{i}"]
+                        gdn_state[f"p{i}"] = (
+                            s_all.at[:, slot].set(c[0][:, 0]),
+                            conv_all.at[:, slot].set(
+                                c[1][:, 0].astype(conv_all.dtype)))
+                    else:
+                        base = self._full_base[i]
+                        pool_k = _scatter_blocks(pool_k, base,
+                                                 block_table[:n_blocks],
+                                                 _pack_blocks(c[0], pad))
+                        pool_v = _scatter_blocks(pool_v, base,
+                                                 block_table[:n_blocks],
+                                                 _pack_blocks(c[1], pad))
+            else:
+                caches = init_cache(model, 1, p_bucket, dtype)
+                logits, caches, routing = _forward_cached(
+                    model, params, prompt, positions, caches, jnp.int32(0), dtype,
+                    kv_mask, self.record_routing)
+                # scatter dense (L, 1, P, H, D) prompt KV into the pool's blocks
+                # (k/v dims handled separately: MLA pools differ — latent vs rope)
+                li = 0
+                for ck, cv in caches:
+                    pool_k = _scatter_blocks(pool_k, li, block_table[:n_blocks],
+                                             _pack_blocks(ck, pad))
+                    pool_v = _scatter_blocks(pool_v, li, block_table[:n_blocks],
+                                             _pack_blocks(cv, pad))
+                    li += ck.shape[0]
             last = jnp.take(logits, last_idx[None], axis=1)[:, 0]
             tok = _sample(last, rng, gen_cfg)
             lp = jax.nn.log_softmax(last, axis=-1)
             lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
             rout = (jnp.take(routing, last_idx[None], axis=1)[:, 0]
                     if routing is not None else jnp.zeros((1, 0, 0), jnp.int32))
-            return tok, lp, pool_k, pool_v, rout, last
+            return tok, lp, pool_k, pool_v, gdn_state, snap, rout, last
 
-        fn = jax.jit(run, donate_argnums=(1, 2))
+        fn = jax.jit(run, donate_argnums=(1, 2, 3))
         self._prefill_fns[p_bucket] = fn
         return fn
 
@@ -417,7 +549,7 @@ class PagedGenerator:
         shared = (leader is not None and leader[0] in self.cache.tables
                   and self.cache.seq_lens[leader[0]] == p_len)
         if shared:
-            leader_seq, leader_logits, leader_rout = leader
+            leader_seq, leader_logits, leader_rout, leader_snap = leader
             # share the block-aligned prefix, copy the ragged tail block
             self.cache.share_prefix(leader_seq, seq_id)
             aligned = self.cache.seq_lens[seq_id]
@@ -430,6 +562,12 @@ class PagedGenerator:
                 self.cache.pool_v = self.cache.pool_v.at[:, dst_blk].set(
                     self.cache.pool_v[:, src_blk])
                 self.cache.seq_lens[seq_id] = p_len
+            if self.is_hybrid and leader_snap:
+                # GDN state isn't paged: copy the leader's post-prompt
+                # recurrent snapshot into this slot
+                self.gdn_state = jax.tree.map(
+                    lambda a, s: a.at[:, slot_idx].set(s[:, 0].astype(a.dtype)),
+                    self.gdn_state, leader_snap)
             # sibling samples its OWN first token from the leader's cached
             # last-position logits (no re-prefill)
             self._rng, r = jax.random.split(self._rng)
@@ -454,15 +592,16 @@ class PagedGenerator:
             positions = jnp.minimum(jnp.arange(pb, dtype=jnp.int32), p_len - 1)[None]
             kv_mask = (jnp.arange(pb) < p_len)[None]
             self._rng, r = jax.random.split(self._rng)
-            tok_a, lp_a, self.cache.pool_k, self.cache.pool_v, rout, last = \
-                self._prefill(pb)(
-                    self.params, self.cache.pool_k, self.cache.pool_v, prompt_arr,
-                    positions, kv_mask, jnp.asarray(table),
-                    jnp.int32(p_len - 1), r)
+            (tok_a, lp_a, self.cache.pool_k, self.cache.pool_v, self.gdn_state,
+             snap, rout, last) = self._prefill(pb)(
+                self.params, self.cache.pool_k, self.cache.pool_v,
+                self.gdn_state, jnp.int32(slot_idx), prompt_arr,
+                positions, kv_mask, jnp.asarray(table),
+                jnp.int32(p_len - 1), r)
             tok, lp = int(tok_a[0]), float(lp_a[0])
             rout = np.asarray(rout[0]) if rout.size else None
             if group is not None:
-                self._group_leader[group] = (seq_id, last, rout)
+                self._group_leader[group] = (seq_id, last, rout, snap)
         slot.req = req
         slot.seq_id = seq_id
         slot.remaining = int(req.get("max_new_tokens", self.gen_cfg.max_new_tokens))
@@ -540,10 +679,11 @@ class PagedGenerator:
                 table[i, :len(ids)] = ids
 
             self._rng, r = jax.random.split(self._rng)
-            new_tok, lp, new_lens, self.cache.pool_k, self.cache.pool_v, rout = step_fn(
+            (new_tok, lp, new_lens, self.cache.pool_k, self.cache.pool_v,
+             self.gdn_state, rout) = step_fn(
                 self.params, self.cache.pool_k, self.cache.pool_v,
-                jnp.asarray(tok), jnp.asarray(lens), jnp.asarray(table),
-                jnp.asarray(active), r)
+                self.gdn_state, jnp.asarray(tok), jnp.asarray(lens),
+                jnp.asarray(table), jnp.asarray(active), r)
             new_tok = np.asarray(new_tok)
             lp = np.asarray(lp)
             rout = np.asarray(rout)

@@ -81,23 +81,33 @@ def _l2norm(x, eps=1e-6):
     return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
 
 
-def _conv_with_buffer(x, w, buf):
+def _conv_with_buffer(x, w, buf, n_valid=None):
     """Causal depthwise conv continued from a rolling buffer of the previous
     K-1 inputs (decode analog of _causal_depthwise_conv; reference
     causal_conv1d's cache path). x: (B, C, ch); buf: (B, K-1, ch).
-    Returns (out (B, C, ch), new_buf)."""
+    Returns (out (B, C, ch), new_buf).
+
+    `n_valid` (B,) int32: RIGHT-padded chunks — only the first n_valid tokens
+    of x are real, so the rolling buffer must end at token n_valid-1, not at
+    the chunk's padded tail (ext index of real token t is K-1+t)."""
     k = w.shape[0]
     ext = jnp.concatenate([buf.astype(x.dtype), x], axis=1)  # (B, K-1+C, ch)
     out = jnp.zeros_like(x)
     c = x.shape[1]
     for i in range(k):
         out = out + ext[:, k - 1 - i: k - 1 - i + c] * w[-1 - i]
-    new_buf = ext[:, -(k - 1):] if k > 1 else buf
+    if k <= 1:
+        new_buf = buf
+    elif n_valid is None:
+        new_buf = ext[:, -(k - 1):]
+    else:
+        idx = n_valid[:, None] + jnp.arange(k - 1, dtype=jnp.int32)[None]
+        new_buf = jnp.take_along_axis(ext, idx[..., None], axis=1)
     return out, new_buf
 
 
 def gdn_cached_forward(p: dict, cfg: GatedDeltaNetConfig, x, state, conv_buf,
-                       valid=None):
+                       valid=None, n_valid=None):
     """Incremental GDN for generation: x (B, C, H) chunk (prefill) or C=1
     decode step; state (B, Hv, dk, dv) f32 fast-weight matrix; conv_buf
     (B, K-1, qk_dim*2+v_dim) rolling conv inputs. O(1) memory per token —
@@ -107,7 +117,9 @@ def gdn_cached_forward(p: dict, cfg: GatedDeltaNetConfig, x, state, conv_buf,
     when chained over the same tokens (single document; packed resets are a
     training-only concern). `valid` (B, C) bool masks LEFT-PAD prompt slots:
     their inputs are zeroed before the conv and their state update is a
-    no-op (alpha=1, beta=0), so padding never contaminates the recurrence."""
+    no-op (alpha=1, beta=0), so padding never contaminates the recurrence.
+    `n_valid` (B,): RIGHT-pad prompt counts (paged-engine prefill) — keeps
+    the conv rolling buffer anchored at the last REAL token."""
     from ..ops.gated_deltanet import gated_delta_rule_scan
 
     b, c, _ = x.shape
@@ -120,7 +132,7 @@ def gdn_cached_forward(p: dict, cfg: GatedDeltaNetConfig, x, state, conv_buf,
     q, k, v, z = jnp.split(qkvz, [cfg.qk_dim, 2 * cfg.qk_dim, 2 * cfg.qk_dim + cfg.v_dim],
                            axis=-1)
     qkv = jnp.concatenate([q, k, v], axis=-1)
-    qkv, conv_buf = _conv_with_buffer(qkv, p["conv_w"], conv_buf)
+    qkv, conv_buf = _conv_with_buffer(qkv, p["conv_w"], conv_buf, n_valid)
     qkv = jax.nn.silu(qkv)
     q, k, v = jnp.split(qkv, [cfg.qk_dim, 2 * cfg.qk_dim], axis=-1)
 
