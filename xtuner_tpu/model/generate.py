@@ -57,9 +57,15 @@ def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
     zero_c = cfg.rms_norm_type == "zero_centered"
     lora_s = cfg.lora_cfg.scaling if cfg.lora_cfg else 1.0
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_c)
+    from ..module.dsa import DSAConfig, dsa_cached_forward
     from ..module.mla import MLAConfig, mla_cached_forward
 
-    if isinstance(cfg.attention, MLAConfig):
+    if isinstance(cfg.attention, DSAConfig):
+        # indexer-aware sparse decode: cache_k packs latent ‖ indexer key
+        h, cache_k, cache_v = dsa_cached_forward(
+            lp["attn"], cfg.attention, h, cos, sin, cache_k, cache_v, cache_len,
+            rope_scaling=cfg.rope_scaling_cfg, kv_mask=kv_mask)
+    elif isinstance(cfg.attention, MLAConfig):
         # compressed-KV decode: caches hold the latent + shared rope key
         h, cache_k, cache_v = mla_cached_forward(
             lp["attn"], cfg.attention, h, cos, sin, cache_k, cache_v, cache_len,
@@ -126,8 +132,13 @@ def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):
 
     if isinstance(attn, MLAConfig):
         # compressed-KV: latent (rank) + shared rope key per position —
-        # kv_lora_rank+rope_dim dims vs nh*(dn+dv) materialized (mla.py:83-123)
-        shape_k = (batch_size, max_length, 1, attn.kv_lora_rank)
+        # kv_lora_rank+rope_dim dims vs nh*(dn+dv) materialized (mla.py:83-123).
+        # DSA additionally packs the per-token lightning-indexer key into the
+        # latent cache (dsa.py:dsa_cached_forward)
+        from ..module.dsa import DSAConfig
+
+        extra = attn.index_head_dim if isinstance(attn, DSAConfig) else 0
+        shape_k = (batch_size, max_length, 1, attn.kv_lora_rank + extra)
         shape_v = (batch_size, max_length, 1, attn.qk_rope_head_dim)
     else:
         shape_k = shape_v = (batch_size, max_length, attn.num_key_value_heads, attn.head_dim)

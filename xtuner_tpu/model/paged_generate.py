@@ -48,10 +48,9 @@ from .generate import (GenerateConfig, _forward_cached, _layer_windows,
 
 
 def paged_eligible(model_cfg) -> bool:
-    """MHA (incl. sinks/gate variants), plain MLA (compressed-KV paged
-    decode), or hybrid-GDN with MHA full layers (per-slot recurrent state).
-    DSA falls back to the dense engine."""
-    from ..module.dsa import DSAConfig
+    """MHA (incl. sinks/gate variants), MLA/DSA (compressed-KV paged decode,
+    indexer-aware for DSA), or hybrid-GDN with MHA full layers (per-slot
+    recurrent state). Every model family pages."""
     from ..module.mla import MLAConfig
 
     attn = model_cfg.attention
@@ -59,9 +58,7 @@ def paged_eligible(model_cfg) -> bool:
         # GDN sub-layers carry per-slot recurrent state; the interleaved
         # full-attention sub-layers must be pageable MHA
         return isinstance(attn, MHAConfig)
-    if isinstance(attn, DSAConfig):
-        return False  # rollout needs the indexer; dense engine covers it
-    return isinstance(attn, (MHAConfig, MLAConfig))
+    return isinstance(attn, (MHAConfig, MLAConfig))  # DSAConfig ⊂ MLAConfig
 
 
 # ------------------------------------------------------------------ layers
@@ -70,12 +67,16 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
     """Compressed-KV paged decode (the paged analog of mla_cached_forward,
     module/mla.py:100-170): pool_k holds the rank-`kv_lora_rank` latent,
     pool_v the shared rope key; the query is absorbed into latent space so
-    attention contracts over rank per slot."""
+    attention contracts over rank per slot. DSA packs the per-token
+    lightning-indexer key after the latent and narrows the valid set to the
+    indexer's top-k (module/dsa.py:dsa_cached_forward)."""
     import jax
 
+    from ..module.dsa import DSAConfig
     from ..module.mla import _deinterleave_rope, mla_softmax_scale
     from ..ops.rotary import apply_rotary_emb
 
+    is_dsa = isinstance(attn, DSAConfig)
     b = h.shape[0]
     nh, rank = attn.num_attention_heads, attn.kv_lora_rank
     dn, dr, dv = attn.qk_nope_head_dim, attn.qk_rope_head_dim, attn.v_head_dim
@@ -96,8 +97,10 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
     k_rope = _deinterleave_rope(k_rope[:, :, None, :])
     q_rope, k_rope = apply_rotary_emb(q_rope, k_rope, cos, sin)
 
+    if is_dsa:
+        kv_c = jnp.concatenate([kv_c, h3 @ p["idx_k_proj"]["w"]], axis=-1)
     pool_k = paged_write(pool_k, layer, block_table, seq_lens,
-                         kv_c[:, 0, None, :])  # (B, 1, rank)
+                         kv_c[:, 0, None, :])  # (B, 1, rank[+di])
     pool_v = paged_write(pool_v, layer, block_table, seq_lens,
                          k_rope[:, 0])  # (B, 1, dr)
 
@@ -106,16 +109,30 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
     q_lat = jnp.einsum("bnd,rnd->bnr", q_nope[:, 0].astype(jnp.float32),
                        w_uk.astype(jnp.float32))
 
-    lat = pool_k[layer][block_table]  # (B, MB, BS, 1, rank)
+    lat = pool_k[layer][block_table]  # (B, MB, BS, 1, rank[+di])
     rop = pool_v[layer][block_table]
     b_, mb, bs = lat.shape[:3]
-    lat = lat.reshape(b_, mb * bs, rank).astype(jnp.float32)
+    lat = lat.reshape(b_, mb * bs, -1).astype(jnp.float32)
+    lat, idxk = lat[..., :rank], lat[..., rank:]
     rop = rop.reshape(b_, mb * bs, dr).astype(jnp.float32)
+    slot = jnp.arange(mb * bs)[None, :]
+    valid = slot <= seq_lens[:, None]
+    if is_dsa:
+        hi, di = attn.index_n_heads, attn.index_head_dim
+        q_idx = (h3 @ p["idx_q_proj"]["w"]).reshape(b, hi, di).astype(jnp.float32)
+        w_idx = (h3 @ p["idx_w_proj"]["w"])[:, 0].astype(jnp.float32)  # (B, Hi)
+        isc = jnp.einsum("bhs,bh->bs",
+                         jnp.maximum(jnp.einsum("bhd,bsd->bhs", q_idx, idxk), 0.0),
+                         w_idx)
+        isc = jnp.where(valid, isc, -jnp.inf)
+        kk = min(attn.index_top_k, mb * bs)
+        _, sel = jax.lax.top_k(isc, kk)  # (B, K)
+        sel_mask = jnp.zeros((b, mb * bs), bool).at[
+            jnp.arange(b)[:, None], sel].set(True)
+        valid = valid & sel_mask
     scale = mla_softmax_scale(attn, rope_scaling)
     logits = (jnp.einsum("bnr,bsr->bns", q_lat, lat)
               + jnp.einsum("bnd,bsd->bns", q_rope[:, 0].astype(jnp.float32), rop)) * scale
-    slot = jnp.arange(mb * bs)[None, :]
-    valid = slot <= seq_lens[:, None]
     logits = jnp.where(valid[:, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     o_lat = jnp.einsum("bns,bsr->bnr", probs, lat)  # (B, nh, rank)
@@ -335,9 +352,14 @@ class PagedGenerator:
 
         if isinstance(attn, MLAConfig):
             # compressed MLA cache: latent pool + shared-rope-key pool
-            # (mirrors model/generate.init_cache's MLA branch)
+            # (mirrors model/generate.init_cache's MLA branch); DSA packs
+            # the indexer key into the latent pool
+            from ..module.dsa import DSAConfig
+
+            extra = attn.index_head_dim if isinstance(attn, DSAConfig) else 0
             self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,
-                                      1, attn.kv_lora_rank, dtype=compute_dtype,
+                                      1, attn.kv_lora_rank + extra,
+                                      dtype=compute_dtype,
                                       head_dim_v=attn.qk_rope_head_dim)
         else:
             self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,

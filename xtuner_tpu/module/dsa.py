@@ -49,6 +49,91 @@ def dsa_param_specs(cfg: DSAConfig, hidden_size: int, init_scale: float = 0.02) 
     return specs
 
 
+def dsa_cached_forward(p: dict, cfg: DSAConfig, x, cos, sin, cache_c, cache_r,
+                       cache_len, rope_scaling=None, kv_mask=None):
+    """Indexer-aware compressed-KV DSA decode (module/mla.py:100-165 math plus
+    the lightning indexer's top-k token selection at every step).
+
+    cache_c packs latent ‖ indexer-key per position — (B, S, 1,
+    kv_lora_rank + index_head_dim) — so every cache consumer keeps the
+    (k, v) pair structure; cache_r is the shared rope key as in MLA.
+
+    Identical to full MLA decode while the valid context fits inside
+    index_top_k; beyond that, decode follows the TRAINING sparse pattern
+    (token-granular top-k — reference serving engines also select per token
+    even for block-granular training, dsa_mla.py)."""
+    b, c, _ = x.shape
+    nh, rank = cfg.num_attention_heads, cfg.kv_lora_rank
+    dn, dv = cfg.qk_nope_head_dim, cfg.v_head_dim
+    hi, di = cfg.index_n_heads, cfg.index_head_dim
+    s_max = cache_c.shape[1]
+
+    if cfg.q_lora_rank is not None:
+        q = x @ p["q_a_proj"]["w"]
+        q = rms_norm(q, p["q_a_norm"], cfg.rms_norm_eps)
+        q = q @ p["q_b_proj"]["w"]
+    else:
+        q = x @ p["q_proj"]["w"]
+    q = q.reshape(b, c, nh, cfg.qk_head_dim)
+    q_nope, q_rope = q[..., :dn], q[..., dn:]
+
+    kv = x @ p["kv_a_proj"]["w"]
+    kv_c, k_rope = kv[..., :rank], kv[..., rank:]
+    kv_c = rms_norm(kv_c, p["kv_a_norm"], cfg.rms_norm_eps)
+    q_rope = _deinterleave_rope(q_rope)
+    k_rope = _deinterleave_rope(k_rope[:, :, None, :])
+    q_rope, k_rope = apply_rotary_emb(q_rope, k_rope, cos, sin)
+
+    import jax
+
+    k_idx = x @ p["idx_k_proj"]["w"]  # (B, C, di), shared across idx heads
+    packed = jnp.concatenate([kv_c, k_idx], axis=-1)
+    cache_c = jax.lax.dynamic_update_slice(
+        cache_c, packed[:, :, None, :].astype(cache_c.dtype), (0, cache_len, 0, 0))
+    cache_r = jax.lax.dynamic_update_slice(
+        cache_r, k_rope.astype(cache_r.dtype), (0, cache_len, 0, 0))
+
+    lat = cache_c[:, :, 0, :rank].astype(jnp.float32)   # (B, S, rank)
+    idxk = cache_c[:, :, 0, rank:].astype(jnp.float32)  # (B, S, di)
+    rop = cache_r[:, :, 0].astype(jnp.float32)
+
+    kpos = jnp.arange(s_max)[None, :]
+    qpos = cache_len + jnp.arange(c)[:, None]
+    mask = jnp.broadcast_to((kpos <= qpos)[None], (b, c, s_max))
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, :]
+
+    # lightning indexer (ops/sparse_mla.indexer_scores):
+    # I[t, s] = sum_h w[t, h] * relu(q_idx[t, h] . k_idx[s])
+    q_idx = (x @ p["idx_q_proj"]["w"]).reshape(b, c, hi, di).astype(jnp.float32)
+    w_idx = (x @ p["idx_w_proj"]["w"]).astype(jnp.float32)  # (B, C, Hi)
+    iscore = jnp.einsum("bths,bth->bts",
+                        jnp.maximum(jnp.einsum("bthd,bsd->bths", q_idx, idxk), 0.0),
+                        w_idx)
+    iscore = jnp.where(mask, iscore, -jnp.inf)
+    top_k = min(cfg.index_top_k, s_max)
+    _, sel = jax.lax.top_k(iscore, top_k)  # (B, C, K)
+    sel_mask = jnp.zeros((b, c, s_max), bool).at[
+        jnp.arange(b)[:, None, None], jnp.arange(c)[None, :, None], sel].set(True)
+    # all-(-inf) rows select arbitrary slots; re-ANDing the validity mask
+    # excludes them, so short contexts reduce exactly to full attention
+    mask = mask & sel_mask
+
+    wkb = p["kv_b_proj"]["w"].reshape(rank, nh, dn + dv)
+    w_uk, w_uv = wkb[..., :dn], wkb[..., dn:]
+    q_lat = jnp.einsum("bcnd,rnd->bcnr", q_nope.astype(jnp.float32),
+                       w_uk.astype(jnp.float32))
+    scale = mla_softmax_scale(cfg, rope_scaling)
+    logits = (jnp.einsum("bcnr,bsr->bncs", q_lat, lat)
+              + jnp.einsum("bcnd,bsd->bncs", q_rope.astype(jnp.float32), rop)) * scale
+    logits = jnp.where(mask[:, None], logits, -1e30)  # (B, 1, C, S) over heads
+    probs = jax.nn.softmax(logits, axis=-1)
+    out_lat = jnp.einsum("bncs,bsr->bcnr", probs, lat)
+    o = jnp.einsum("bcnr,rnd->bcnd", out_lat, w_uv.astype(jnp.float32)).astype(x.dtype)
+    o = o.reshape(b, c, nh * dv)
+    return o @ p["o_proj"]["w"], cache_c, cache_r
+
+
 def dsa_forward(p: dict, cfg: DSAConfig, x, cos, sin, segment_ids, sc: ShardCtx,
                 rope_scaling=None, select_idx=None, **_):
     """x: (B, L, H) -> (out, select_idx) — select_idx reusable by later layers
