@@ -77,17 +77,17 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
     from ..ops.rotary import apply_rotary_emb
 
     is_dsa = isinstance(attn, DSAConfig)
-    b = h.shape[0]
+    b, c, _ = h.shape  # (B, C, H): C-token decode chunk (spec-verify uses C=2)
     nh, rank = attn.num_attention_heads, attn.kv_lora_rank
     dn, dr, dv = attn.qk_nope_head_dim, attn.qk_rope_head_dim, attn.v_head_dim
-    h3 = h  # (B, 1, H)
+    h3 = h
     if attn.q_lora_rank is not None:
         q = h3 @ p["q_a_proj"]["w"]
         q = rms_norm(q, p["q_a_norm"], attn.rms_norm_eps)
         q = q @ p["q_b_proj"]["w"]
     else:
         q = h3 @ p["q_proj"]["w"]
-    q = q.reshape(b, 1, nh, attn.qk_head_dim)
+    q = q.reshape(b, c, nh, attn.qk_head_dim)
     q_nope, q_rope = q[..., :dn], q[..., dn:]
 
     kv = h3 @ p["kv_a_proj"]["w"]
@@ -99,14 +99,15 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
 
     if is_dsa:
         kv_c = jnp.concatenate([kv_c, h3 @ p["idx_k_proj"]["w"]], axis=-1)
-    pool_k = paged_write(pool_k, layer, block_table, seq_lens,
-                         kv_c[:, 0, None, :])  # (B, 1, rank[+di])
-    pool_v = paged_write(pool_v, layer, block_table, seq_lens,
-                         k_rope[:, 0])  # (B, 1, dr)
+    for i in range(c):
+        pool_k = paged_write(pool_k, layer, block_table, seq_lens + i,
+                             kv_c[:, i, None, :])  # (B, 1, rank[+di])
+        pool_v = paged_write(pool_v, layer, block_table, seq_lens + i,
+                             k_rope[:, i])  # (B, 1, dr)
 
     wkb = p["kv_b_proj"]["w"].reshape(rank, nh, dn + dv)
     w_uk, w_uv = wkb[..., :dn], wkb[..., dn:]
-    q_lat = jnp.einsum("bnd,rnd->bnr", q_nope[:, 0].astype(jnp.float32),
+    q_lat = jnp.einsum("bcnd,rnd->bcnr", q_nope.astype(jnp.float32),
                        w_uk.astype(jnp.float32))
 
     lat = pool_k[layer][block_table]  # (B, MB, BS, 1, rank[+di])
@@ -115,82 +116,84 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
     lat = lat.reshape(b_, mb * bs, -1).astype(jnp.float32)
     lat, idxk = lat[..., :rank], lat[..., rank:]
     rop = rop.reshape(b_, mb * bs, dr).astype(jnp.float32)
-    slot = jnp.arange(mb * bs)[None, :]
-    valid = slot <= seq_lens[:, None]
+    slot = jnp.arange(mb * bs)[None, None, :]
+    qpos = seq_lens[:, None, None] + jnp.arange(c)[None, :, None]
+    valid = slot <= qpos  # (B, C, S)
     if is_dsa:
         hi, di = attn.index_n_heads, attn.index_head_dim
-        q_idx = (h3 @ p["idx_q_proj"]["w"]).reshape(b, hi, di).astype(jnp.float32)
-        w_idx = (h3 @ p["idx_w_proj"]["w"])[:, 0].astype(jnp.float32)  # (B, Hi)
-        isc = jnp.einsum("bhs,bh->bs",
-                         jnp.maximum(jnp.einsum("bhd,bsd->bhs", q_idx, idxk), 0.0),
+        q_idx = (h3 @ p["idx_q_proj"]["w"]).reshape(b, c, hi, di).astype(jnp.float32)
+        w_idx = (h3 @ p["idx_w_proj"]["w"]).astype(jnp.float32)  # (B, C, Hi)
+        isc = jnp.einsum("bchs,bch->bcs",
+                         jnp.maximum(jnp.einsum("bchd,bsd->bchs", q_idx, idxk), 0.0),
                          w_idx)
         isc = jnp.where(valid, isc, -jnp.inf)
         kk = min(attn.index_top_k, mb * bs)
-        _, sel = jax.lax.top_k(isc, kk)  # (B, K)
-        sel_mask = jnp.zeros((b, mb * bs), bool).at[
-            jnp.arange(b)[:, None], sel].set(True)
+        _, sel = jax.lax.top_k(isc, kk)  # (B, C, K)
+        sel_mask = jnp.zeros((b, c, mb * bs), bool).at[
+            jnp.arange(b)[:, None, None], jnp.arange(c)[None, :, None],
+            sel].set(True)
         valid = valid & sel_mask
     scale = mla_softmax_scale(attn, rope_scaling)
-    logits = (jnp.einsum("bnr,bsr->bns", q_lat, lat)
-              + jnp.einsum("bnd,bsd->bns", q_rope[:, 0].astype(jnp.float32), rop)) * scale
-    logits = jnp.where(valid[:, None, :], logits, -1e30)
+    logits = (jnp.einsum("bcnr,bsr->bncs", q_lat, lat)
+              + jnp.einsum("bcnd,bsd->bncs", q_rope.astype(jnp.float32), rop)) * scale
+    logits = jnp.where(valid[:, None], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
-    o_lat = jnp.einsum("bns,bsr->bnr", probs, lat)  # (B, nh, rank)
-    o = jnp.einsum("bnr,rnd->bnd", o_lat, w_uv.astype(jnp.float32))  # (B, nh, dv)
-    o = o.reshape(b, nh * dv).astype(h.dtype)
+    o_lat = jnp.einsum("bncs,bsr->bcnr", probs, lat)  # (B, C, nh, rank)
+    o = jnp.einsum("bcnr,rnd->bcnd", o_lat, w_uv.astype(jnp.float32))
+    o = o.reshape(b, c, nh * dv).astype(h.dtype)
     return o @ p["o_proj"]["w"], pool_k, pool_v
 
 
 def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
                         block_table, seq_lens, compute_dtype, window=None):
-    """One decoder layer, single-token decode against the paged pool.
+    """One decoder layer, C-token decode chunk against the paged pool.
 
-    x: (B, H) one token per slot; seq_lens: (B,) tokens already cached
-    (the new token is written at position seq_lens)."""
+    x: (B, C, H) — C=1 for plain decode, C=2 for MTP spec-verify; seq_lens:
+    (B,) tokens already cached (chunk token i is written at seq_lens+i,
+    attending slots <= seq_lens+i)."""
     from ..module.mla import MLAConfig
 
     lp = cast_tree(lp, compute_dtype)
     attn = cfg.attention
+    b, c, _ = x.shape
     zc = cfg.rms_norm_type == "zero_centered"
-    h = rms_norm(x[:, None, :], lp["input_norm"], cfg.rms_norm_eps, zc)
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zc)
 
     if isinstance(attn, MLAConfig):
         o, pool_k, pool_v = _mla_paged_attn(
             lp["attn"], attn, h, cos, sin, pool_k, pool_v, layer, block_table,
             seq_lens, rope_scaling=cfg.rope_scaling_cfg)
         x = x + o
-        h = rms_norm(x[:, None, :], lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+        h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zc)
         return _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v)
 
     from ..module.lora import lora_linear
 
     p = lp["attn"]
-    b = x.shape[0]
-    h2d = h.reshape(b, -1)
     gate = None
     if attn.with_gate:
         # q_proj emits (q ‖ gate) per head (attention.py:105-108); sigmoid
         # gate scales the attention output before o_proj
-        qg = lora_linear(h2d, p["q_proj"], 1.0).reshape(
-            b, attn.num_attention_heads, 2 * attn.head_dim)
+        qg = lora_linear(h, p["q_proj"], 1.0).reshape(
+            b, c, attn.num_attention_heads, 2 * attn.head_dim)
         q, gate = qg[..., : attn.head_dim], qg[..., attn.head_dim:]
     else:
-        q = lora_linear(h2d, p["q_proj"], 1.0).reshape(
-            b, attn.num_attention_heads, attn.head_dim)
-    k = lora_linear(h2d, p["k_proj"], 1.0).reshape(b, attn.num_key_value_heads,
-                                                   attn.head_dim)
-    v = lora_linear(h2d, p["v_proj"], 1.0).reshape(b, attn.num_key_value_heads,
-                                                   attn.head_dim)
+        q = lora_linear(h, p["q_proj"], 1.0).reshape(
+            b, c, attn.num_attention_heads, attn.head_dim)
+    k = lora_linear(h, p["k_proj"], 1.0).reshape(b, c, attn.num_key_value_heads,
+                                                 attn.head_dim)
+    v = lora_linear(h, p["v_proj"], 1.0).reshape(b, c, attn.num_key_value_heads,
+                                                 attn.head_dim)
     if attn.qk_norm:
         q = rms_norm(q, p["q_norm"], attn.rms_norm_eps, zc)
         k = rms_norm(k, p["k_norm"], attn.rms_norm_eps, zc)
-    q, k = apply_partial_rotary(q[:, None], k[:, None], cos, sin, attn.rope_dim)
-    q, k = q[:, 0], k[:, 0]
+    q, k = apply_partial_rotary(q, k, cos, sin, attn.rope_dim)
 
-    pool_k = paged_write(pool_k, layer, block_table, seq_lens, k)
-    pool_v = paged_write(pool_v, layer, block_table, seq_lens, v)
+    for i in range(c):
+        pool_k = paged_write(pool_k, layer, block_table, seq_lens + i, k[:, i])
+        pool_v = paged_write(pool_v, layer, block_table, seq_lens + i, v[:, i])
 
-    # gather-based paged attention over seq_lens+1 valid slots (incl. new tok)
+    # gather-based paged attention; chunk token i sees slots <= seq_lens+i
     kk = pool_k[layer][block_table]  # (B, MB, BS, Hkv, D)
     vv = pool_v[layer][block_table]
     b_, mb, bs, hkv, d = kk.shape
@@ -201,42 +204,43 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
         kk = jnp.repeat(kk, rep, axis=2)
         vv = jnp.repeat(vv, rep, axis=2)
     scale = attn.head_dim ** -0.5
-    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.float32),
+    logits = jnp.einsum("bchd,bshd->bhcs", q.astype(jnp.float32),
                         kk.astype(jnp.float32)) * scale
-    slot = jnp.arange(mb * bs)[None, :]
-    valid = slot <= seq_lens[:, None]
+    slot = jnp.arange(mb * bs)[None, None, :]
+    qpos = seq_lens[:, None, None] + jnp.arange(c)[None, :, None]
+    valid = slot <= qpos  # (B, C, S)
     if window is not None:
         # traced per-layer window (generate._layer_windows): 0 = full
-        in_win = seq_lens[:, None] - slot < window
+        in_win = qpos - slot < window
         if not isinstance(window, int):
             in_win = in_win | (window <= 0)
         valid = valid & in_win
-    logits = jnp.where(valid[:, None, :], logits, -1e30)
+    logits = jnp.where(valid[:, None], logits, -1e30)  # (B, nh, C, S)
     if attn.with_sinks:
         # GPT-OSS sinks: a per-head learnable logit joins the softmax
         # denominator only (attention.py:201-206)
-        sink = p["sinks"].astype(jnp.float32)[None, :, None]  # (1, nh, 1)
+        sink = p["sinks"].astype(jnp.float32)[None, :, None, None]
         m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sink)
         probs = jnp.exp(logits - m)
         probs = probs / (jnp.sum(probs, axis=-1, keepdims=True)
                          + jnp.exp(sink - m))
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-    o = jnp.einsum("bhs,bshd->bhd", probs, vv.astype(jnp.float32))
-    o = o.reshape(b, attn.num_attention_heads * attn.head_dim).astype(compute_dtype)
+    o = jnp.einsum("bhcs,bshd->bchd", probs, vv.astype(jnp.float32))
+    o = o.reshape(b, c, -1).astype(compute_dtype)
     if gate is not None:
         o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype).reshape(
-            b, attn.num_attention_heads * attn.head_dim)
+            b, c, -1)
     o = lora_linear(o, p["o_proj"], 1.0)
 
     x = x + o
-    h = rms_norm(x[:, None, :], lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zc)
     return _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v)
 
 
 def _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v):
-    """Shared decode-layer MLP/MoE tail; h: (B, 1, H) post-attn normed."""
-    b = x.shape[0]
+    """Shared decode-layer MLP/MoE tail; x, h: (B, C, H), h post-attn normed."""
+    b, c, _ = x.shape
     routing = None
     if "experts" in lp:
         from ..module.moe_layer import moe_mlp_forward
@@ -245,7 +249,7 @@ def _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v):
             lp["experts"], lp["router"], cfg.router, h,
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
             act=cfg.hidden_act, compute_dtype=compute_dtype)
-        routing = r.topk_idx.reshape(b, -1)  # (B, K)
+        routing = r.topk_idx.reshape(b, c, -1)  # (B, C, K)
         if "shared_experts" in lp:
             shared = mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
             if "shared_expert_gate" in lp:
@@ -253,9 +257,9 @@ def _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v):
                 g = jax.nn.sigmoid((h @ lp["shared_expert_gate"]["w"]).astype(jnp.float32))
                 shared = shared * g.astype(shared.dtype)
             moe_out = moe_out + shared
-        h2 = moe_out[:, 0]
+        h2 = moe_out
     else:
-        h2 = mlp_forward(lp["mlp"], h, cfg.hidden_act)[:, 0]
+        h2 = mlp_forward(lp["mlp"], h, cfg.hidden_act)
     return x + h2, pool_k, pool_v, routing
 
 
@@ -264,18 +268,18 @@ def _paged_gdn_sublayer(lp, cfg, x, state, compute_dtype):
     state (S fast-weight, conv rolling buffer) instead of paged KV —
     the linear-attention decode win (no cache growth at all).
 
-    x: (B, H) one token per slot; state: (S (B, Hv, dk, dv) f32,
+    x: (B, C, H) decode chunk; state: (S (B, Hv, dk, dv) f32,
     conv (B, K-1, ch)). Inactive slots update garbage state — harmless,
     prefill overwrites the slot on the next admit."""
     from ..module.gated_deltanet import gdn_cached_forward
 
     lp = cast_tree(lp, compute_dtype)
     zc = cfg.rms_norm_type == "zero_centered"
-    h = rms_norm(x[:, None, :], lp["input_norm"], cfg.rms_norm_eps, zc)
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zc)
     o, s_new, conv_new = gdn_cached_forward(
         lp["attn"], cfg.linear_attention, h, state[0], state[1])
-    x = x + o[:, 0]
-    h = rms_norm(x[:, None, :], lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+    x = x + o
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zc)
     x, _, _, routing = _paged_mlp(lp, cfg, x, h, compute_dtype, None, None)
     return x, (s_new, conv_new), routing
 
@@ -406,8 +410,9 @@ class PagedGenerator:
                 (x, pool_k, pool_v, layer0), ys = jax.lax.scan(
                     body, (x, pool_k, pool_v, layer0), (stack, windows))
                 if record and has_moe:
-                    routings.append(ys)  # (nL, B, K)
-            rout = (jnp.transpose(jnp.concatenate(routings, axis=0), (1, 0, 2))
+                    routings.append(ys)  # (nL, B, C, K)
+            rout = (jnp.transpose(jnp.concatenate(routings, axis=0)[:, :, -1],
+                                  (1, 0, 2))
                     if routings else jnp.zeros((x.shape[0], 0, 0), jnp.int32))
             return x, pool_k, pool_v, gdn_state, rout
 
@@ -441,8 +446,9 @@ class PagedGenerator:
                 body, (x, pool_k, pool_v),
                 (params["pattern"], gdn_state, jnp.arange(n_periods)))
             if record and has_moe:
-                # (n_periods, period, B, K) -> (B, n_periods*period, K),
-                # HF layer order = period_idx * period + pos
+                # (n_periods, period, B, C, K) -> (B, n_periods*period, K) at
+                # the last chunk pos; HF layer order = period_idx*period + pos
+                ys = ys[:, :, :, -1]
                 rout = jnp.transpose(ys, (2, 0, 1, 3)).reshape(
                     x.shape[0], -1, ys.shape[-1])
             else:
@@ -453,15 +459,15 @@ class PagedGenerator:
 
         def step(params, pool_k, pool_v, gdn_state, tok, seq_lens, block_table,
                  active, rng):
-            x = jnp.take(params["embed"]["w"], tok, axis=0).astype(dtype)
+            x = jnp.take(params["embed"]["w"], tok[:, None], axis=0).astype(dtype)
             cos, sin = rope_cos_sin(seq_lens[:, None], _rope_dim(cfg.attention),
                                     cfg.rope_theta, cfg.rope_scaling_cfg,
                                     cfg.max_position_embeddings)
             x, pool_k, pool_v, gdn_state, rout = trunk(
                 params, pool_k, pool_v, gdn_state, x, cos, sin, seq_lens,
                 block_table)
-            x = rms_norm(x[:, None], params["final_norm"].astype(jnp.float32),
-                         cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")[:, 0]
+            x = rms_norm(x, params["final_norm"].astype(jnp.float32),
+                         cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")[:, -1]
             logits = jnp.dot(x.astype(dtype), model.lm_head_weight(params).astype(dtype),
                              preferred_element_type=jnp.float32)
             new_tok = _sample(logits, rng, gen_cfg)
