@@ -332,3 +332,100 @@ def test_paged_hybrid_continuous_batching_and_groups():
     solo = pg.generate([{"prompt_ids": prompt}])
     assert solo[0]["token_ids"] == outs[0]["token_ids"]
     assert pg.cache.allocator.refcount.sum() == 1  # only the trash block
+
+
+# ------------------------------------------------------------- MTP speculative
+def _mtp_moe_model(seed=2, mla=False):
+    from xtuner_tpu.module.mla import MLAConfig
+
+    attn = (MLAConfig(num_attention_heads=4, kv_lora_rank=16, q_lora_rank=None,
+                      qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8)
+            if mla else
+            MHAConfig(num_attention_heads=4, num_key_value_heads=2, head_dim=8))
+    cfg = MoEConfig(
+        vocab_size=127, num_hidden_layers=2, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=16, n_routed_experts=4, num_experts_per_tok=2,
+        mtp_num_layers=1, mtp_loss_coef=0.3,
+        eos_token_id=126, router=GreedyRouterConfig(),
+        attention=attn,
+        lm_loss_cfg=CELossConfig(chunk_size=64),
+    )
+    model = cfg.build()
+    params = init_params(model.param_specs(), jax.random.key(seed))
+    return cfg, model, params
+
+
+def test_speculative_accept_is_distribution_exact():
+    """Leviathan accept/reject: the committed token's marginal distribution
+    equals the target's filtered softmax regardless of the draft quality."""
+    from xtuner_tpu.model.paged_generate import speculative_accept
+
+    g = GenerateConfig(max_new_tokens=1, do_sample=True, temperature=0.7,
+                       top_k=0, top_p=1.0, max_length=64)
+    k0 = jax.random.key(0)
+    l0 = jax.random.normal(jax.random.key(1), (1, 5)) * 2.0     # target
+    dl = jax.random.normal(jax.random.key(2), (1, 5)) * 2.0     # draft (bad)
+    q = jax.nn.softmax(np.asarray(dl[0]) / g.temperature)
+    p = jax.nn.softmax(np.asarray(l0[0]) / g.temperature)
+    n = 20000
+    keys = jax.random.split(k0, n)
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        draft = jax.random.categorical(kd, dl / g.temperature, axis=-1).astype(jnp.int32)
+        tok, acc = speculative_accept(l0, dl, draft, ka, g)
+        return tok[0], acc[0]
+
+    toks, accs = jax.vmap(one)(keys)
+    toks = np.asarray(toks)
+    emp = np.bincount(toks, minlength=5) / n
+    np.testing.assert_allclose(emp, np.asarray(p), atol=0.015)
+    # acceptance rate matches sum_d q(d) min(1, p/q) = sum min(p, q)
+    np.testing.assert_allclose(np.mean(np.asarray(accs)),
+                               np.minimum(p, q).sum(), atol=0.015)
+
+
+@pytest.mark.parametrize("mla", [False, True])
+def test_mtp_speculative_matches_plain_paged_greedy(mla):
+    """Greedy spec decode must emit EXACTLY the plain engine's tokens —
+    acceptance only changes how many verify steps it takes. Random-init MTP
+    means plenty of rejects, exercising the KV-overwrite/rollback path.
+    mla=True is the DeepSeek-V3 shape (MTP's home turf): the MTP layer's
+    compressed-latent KV rides the same paged pool."""
+    cfg, model, params = _mtp_moe_model(mla=mla)
+    g = GenerateConfig(max_new_tokens=10, do_sample=False, temperature=0.0,
+                       eos_token_id=126, max_length=256,
+                       paged_max_batch=2, paged_block_size=16)
+    prompts = [[7, 8, 9, 10], [20, 21, 22], [33, 34, 35, 36, 37]]
+    plain = PagedGenerator(model, params, g, max_batch=2, block_size=16,
+                           compute_dtype=jnp.float32, pad_token_id=0)
+    base = plain.generate([{"prompt_ids": p} for p in prompts])
+
+    gs = g.model_copy(update={"mtp_speculative": True})
+    spec = PagedGenerator(model, params, gs, max_batch=2, block_size=16,
+                          compute_dtype=jnp.float32, pad_token_id=0)
+    # 3 requests > 2 slots: continuous batching through the spec path too
+    outs = spec.generate([{"prompt_ids": p} for p in prompts])
+    for b, o in zip(base, outs):
+        assert o["token_ids"] == b["token_ids"], (o, b)
+        assert len(o["logprobs"]) == len(o["token_ids"])
+        assert o["spec_steps"] >= 1
+        assert 0 <= o["spec_accepted"] <= o["spec_steps"]
+        # tokens == steps + accepted_bonuses (up to eos/budget discards)
+        assert len(o["token_ids"]) <= 1 + o["spec_steps"] + o["spec_accepted"]
+    assert spec.cache.allocator.refcount.sum() == 1  # all blocks released
+
+
+def test_mtp_speculative_sampling_runs():
+    cfg, model, params = _mtp_moe_model()
+    g = GenerateConfig(max_new_tokens=8, do_sample=True, temperature=0.8,
+                       top_p=0.95, eos_token_id=126, max_length=256)
+    gs = g.model_copy(update={"mtp_speculative": True})
+    spec = PagedGenerator(model, params, gs, max_batch=2, block_size=16,
+                          compute_dtype=jnp.float32, pad_token_id=0,
+                          rng=jax.random.key(7))
+    outs = spec.generate([{"prompt_ids": [5, 6, 7]}, {"prompt_ids": [9, 10]}])
+    for o in outs:
+        assert 1 <= len(o["token_ids"]) <= 8
+        assert len(o["logprobs"]) == len(o["token_ids"])
+        assert o["finish_reason"] in ("stop", "length")

@@ -49,6 +49,11 @@ class GenerateConfig(BaseModel):
     engine: str = "auto"  # auto | dense | paged
     paged_max_batch: int = 8  # decode slots (compiled once)
     paged_block_size: int = 128
+    # MTP self-speculative decode (paged engine, mtp_num_layers >= 1 models):
+    # the MTP head drafts token t+2, the next step verifies draft+commits up
+    # to 2 tokens — exact (greedy: argmax match; sampling: Leviathan
+    # accept/reject), ~1/(1+accept_rate) decode steps per token
+    mtp_speculative: bool = False
 
 
 def _layer_cached(model, lp, cfg, x, cos, sin, cache_k, cache_v, cache_len,
@@ -150,11 +155,14 @@ def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):
 
 
 def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dtype,
-                    kv_mask=None, record_routing: bool = False):
+                    kv_mask=None, record_routing: bool = False,
+                    with_hidden: bool = False):
     """ids: (B, C) -> (logits (B, C, V), new caches, routing or None).
 
     routing: (B, C, nL_moe, K) int32 per-layer expert assignment of the MoE
-    stacks (R3 rollout-routing record, reference rollout/worker.py:784)."""
+    stacks (R3 rollout-routing record, reference rollout/worker.py:784).
+    with_hidden: additionally return the PRE-final-norm trunk hidden
+    (B, C, H) — MTP drafting fuses it with next-token embeddings."""
     cfg = model.cfg
     x = jnp.take(params["embed"]["w"], ids, axis=0).astype(compute_dtype)
     cos, sin = rope_cos_sin(positions, _rope_dim(cfg.attention), cfg.rope_theta,
@@ -177,6 +185,7 @@ def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dt
         new_caches.append((ys[0], ys[1]))
         if len(ys) == 3 and record_routing:
             routings.append(ys[2])  # (nL, B, C, K)
+    trunk = x
     x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                  cfg.rms_norm_type == "zero_centered")
     logits = jnp.dot(x.astype(compute_dtype), model.lm_head_weight(params).astype(compute_dtype),
@@ -184,6 +193,8 @@ def _forward_cached(model, params, ids, positions, caches, cache_len, compute_dt
     routing = None
     if routings:
         routing = jnp.transpose(jnp.concatenate(routings, axis=0), (1, 2, 0, 3))
+    if with_hidden:
+        return logits, new_caches, routing, trunk
     return logits, new_caches, routing
 
 
@@ -230,6 +241,13 @@ def _sample(logits, rng, gen_cfg: GenerateConfig, seen=None, gen_counts=None,
         logits = _suppress_stops(logits, gen_cfg, n_generated, eos)
     if not gen_cfg.do_sample or gen_cfg.temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(rng, _filter_logits(logits, gen_cfg)).astype(jnp.int32)
+
+
+def _filter_logits(logits, gen_cfg: GenerateConfig):
+    """Temperature/top-k/top-p filtered logits — log of the (unnormalized)
+    SAMPLING distribution. Shared by _sample and speculative accept/reject
+    (the spec target/draft distributions must be the filtered ones)."""
     logits = logits / gen_cfg.temperature
     if gen_cfg.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -gen_cfg.top_k][:, None]
@@ -241,7 +259,7 @@ def _sample(logits, rng, gen_cfg: GenerateConfig, seen=None, gen_counts=None,
         cutoff_idx = jnp.sum(cum < gen_cfg.top_p, axis=-1)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(rng, logits).astype(jnp.int32)
+    return logits
 
 
 def generate(model, params, prompt_ids: np.ndarray, gen_cfg: GenerateConfig,

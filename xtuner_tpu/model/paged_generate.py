@@ -43,8 +43,9 @@ from ..module.mlp import mlp_forward
 from ..module.params import cast_tree
 from ..module.rope import _rope_dim, rope_cos_sin
 from ..ops.rms_norm import rms_norm
-from .generate import (GenerateConfig, _forward_cached, _layer_windows,
-                       _sample, _stacks, init_cache)
+from .generate import (GenerateConfig, _filter_logits, _forward_cached,
+                       _layer_cached, _layer_windows, _sample, _stacks,
+                       init_cache)
 
 
 def paged_eligible(model_cfg) -> bool:
@@ -284,6 +285,36 @@ def _paged_gdn_sublayer(lp, cfg, x, state, compute_dtype):
     return x, (s_new, conv_new), routing
 
 
+def speculative_accept(l0, draft_logits, draft, rng, gen_cfg):
+    """(committed (B,), accept (B,) bool) — exact speculative acceptance.
+
+    Greedy: accept iff the target model's argmax equals the draft. Sampling
+    (Leviathan et al. / DeepSeek-V3 MTP decode): the draft was drawn from
+    q = filtered(draft_logits); accept w.p. min(1, p(d)/q(d)) against
+    p = filtered(l0), else resample from norm(max(p - q, 0)). Either way the
+    committed token is distributed EXACTLY as p — speculation only changes
+    how many steps decode takes, never what it samples."""
+    import jax
+
+    if not gen_cfg.do_sample or gen_cfg.temperature == 0.0:
+        t = jnp.argmax(l0, axis=-1).astype(jnp.int32)
+        return t, t == draft
+    r1, r2 = jax.random.split(rng)
+    p = jax.nn.softmax(_filter_logits(l0.astype(jnp.float32), gen_cfg), axis=-1)
+    q = jax.nn.softmax(_filter_logits(draft_logits.astype(jnp.float32), gen_cfg),
+                       axis=-1)
+    pd = jnp.take_along_axis(p, draft[:, None], axis=1)[:, 0]
+    qd = jnp.take_along_axis(q, draft[:, None], axis=1)[:, 0]
+    accept = jax.random.uniform(r1, pd.shape) < jnp.minimum(
+        pd / jnp.maximum(qd, 1e-30), 1.0)
+    resid = jnp.maximum(p - q, 0.0)
+    # residual is all-zero only when p <= q everywhere i.e. p == q: then the
+    # accept probability is 1 and the resample branch is unreachable
+    resid = jnp.where(jnp.sum(resid, axis=-1, keepdims=True) > 0, resid, p)
+    resampled = jax.random.categorical(r2, jnp.log(resid + 1e-30)).astype(jnp.int32)
+    return jnp.where(accept, draft, resampled), accept
+
+
 # ------------------------------------------------------------------ engine
 @dataclass
 class _Slot:
@@ -294,6 +325,8 @@ class _Slot:
     logprobs: list = field(default_factory=list)
     routings: list = field(default_factory=list)
     done: bool = True  # free
+    spec_steps: int = 0  # MTP verify steps taken / drafts accepted
+    spec_accepted: int = 0
 
 
 class PagedGenerator:
@@ -352,6 +385,26 @@ class PagedGenerator:
             n_layers_total = sum(
                 jax.tree.leaves(s, is_leaf=lambda x: hasattr(x, "shape"))[0].shape[0]
                 for _, s in stacks)
+        self.speculative = bool(getattr(gen_cfg, "mtp_speculative", False))
+        if self.speculative:
+            from .generate import penalties_active
+
+            if self.is_hybrid or getattr(cfg, "mtp_num_layers", 0) < 1:
+                raise ValueError("mtp_speculative needs a non-hybrid model "
+                                 "with mtp_num_layers >= 1")
+            if record_routing:
+                raise ValueError("mtp_speculative does not support "
+                                 "record_routing (use plain paged decode)")
+            if penalties_active(gen_cfg) or gen_cfg.min_tokens > 0:
+                raise ValueError("mtp_speculative is incompatible with "
+                                 "repetition penalties / min_tokens")
+            # the MTP layer's KV rides the same pool, one extra layer slot
+            self._mtp_layer = n_layers_total
+            n_layers_total += 1
+            self._draft = np.zeros((max_batch,), np.int32)
+            self._draft_logits = jnp.zeros((max_batch, cfg.vocab_size),
+                                           jnp.float32)
+            self._spec_fn = None
         from ..module.mla import MLAConfig
 
         if isinstance(attn, MLAConfig):
@@ -381,12 +434,11 @@ class PagedGenerator:
         self._group_leader: dict[Any, int] = {}  # group -> seq_id of leader
 
     # ---------------- jitted programs ----------------
-    def _decode(self):
-        if self._decode_fn is not None:
-            return self._decode_fn
+    def _make_trunk(self, record: bool):
+        """trunk(params, pool_k, pool_v, gdn_state, x, cos, sin, seq_lens,
+        block_table) -> (x, pool_k, pool_v, gdn_state, rout) over all layer
+        stacks; x: (B, C, H) decode chunk."""
         model, cfg, dtype = self.model, self.model.cfg, self.compute_dtype
-        gen_cfg = self.gen_cfg
-        record = self.record_routing
 
         def trunk_dense(params, pool_k, pool_v, gdn_state, x, cos, sin,
                         seq_lens, block_table):
@@ -455,7 +507,14 @@ class PagedGenerator:
                 rout = jnp.zeros((x.shape[0], 0, 0), jnp.int32)
             return x, pool_k, pool_v, gdn_state, rout
 
-        trunk = trunk_hybrid if self.is_hybrid else trunk_dense
+        return trunk_hybrid if self.is_hybrid else trunk_dense
+
+    def _decode(self):
+        if self._decode_fn is not None:
+            return self._decode_fn
+        model, cfg, dtype = self.model, self.model.cfg, self.compute_dtype
+        gen_cfg = self.gen_cfg
+        trunk = self._make_trunk(self.record_routing)
 
         def step(params, pool_k, pool_v, gdn_state, tok, seq_lens, block_table,
                  active, rng):
@@ -479,6 +538,81 @@ class PagedGenerator:
 
         self._decode_fn = jax.jit(step, donate_argnums=(1, 2, 3))
         return self._decode_fn
+
+    def _spec_decode(self):
+        """One MTP draft-verify step: feed [last_committed, draft] as a C=2
+        trunk chunk, accept/reject the draft against the target distribution
+        (exact — speculative_accept), commit 1-2 tokens, and draft the next
+        token with the MTP layer (its KV rides pool layer self._mtp_layer).
+
+        Reference: DeepSeek-V3 MTP speculative decoding (the reference
+        framework delegates this to its serving engines; here it is native)."""
+        if self._spec_fn is not None:
+            return self._spec_fn
+        model, cfg, dtype = self.model, self.model.cfg, self.compute_dtype
+        gen_cfg = self.gen_cfg
+        trunk = self._make_trunk(record=False)
+        mtp_layer = self._mtp_layer
+        pad_id = self.pad_token_id
+
+        from ..module.mtp import mtp_fuse
+
+        def step(params, pool_k, pool_v, tok, draft, draft_logits, seq_lens,
+                 block_table, active, rng):
+            chunk = jnp.stack([tok, draft], axis=1)  # (B, 2)
+            x = jnp.take(params["embed"]["w"], chunk, axis=0).astype(dtype)
+            pos = seq_lens[:, None] + jnp.arange(2)[None, :]
+            cos, sin = rope_cos_sin(pos, _rope_dim(cfg.attention),
+                                    cfg.rope_theta, cfg.rope_scaling_cfg,
+                                    cfg.max_position_embeddings)
+            x, pool_k, pool_v, _, _ = trunk(params, pool_k, pool_v, {}, x,
+                                            cos, sin, seq_lens, block_table)
+            zc = cfg.rms_norm_type == "zero_centered"
+            fnorm = params["final_norm"].astype(jnp.float32)
+            w_head = model.lm_head_weight(params).astype(dtype)
+            hn = rms_norm(x, fnorm, cfg.rms_norm_eps, zc)
+            logits = jnp.dot(hn.astype(dtype), w_head,
+                             preferred_element_type=jnp.float32)  # (B, 2, V)
+            l0, l1 = logits[:, 0], logits[:, 1]
+            r1, r2, r3 = jax.random.split(rng, 3)
+            committed1, accept = speculative_accept(l0, draft_logits, draft,
+                                                    r1, gen_cfg)
+            committed2 = _sample(l1, r2, gen_cfg)  # the "bonus" token from p
+            lp1 = jnp.take_along_axis(jax.nn.log_softmax(l0, axis=-1),
+                                      committed1[:, None], axis=1)[:, 0]
+            lp2 = jnp.take_along_axis(jax.nn.log_softmax(l1, axis=-1),
+                                      committed2[:, None], axis=1)[:, 0]
+
+            # ---- MTP drafting for the NEXT position ----
+            mtp_lp = jax.tree.map(lambda a: a[0], params["mtp_layers"])
+            emb = jnp.take(params["embed"]["w"],
+                           jnp.stack([committed1, committed2], axis=1),
+                           axis=0).astype(dtype)
+            extras = cast_tree({k: mtp_lp[k] for k in
+                                ("proj", "hidden_norm", "embed_norm")}, dtype)
+            fused = mtp_fuse(extras, x, emb, cfg.rms_norm_eps)
+            # on reject, fused[:, 1] is garbage: its MTP output is unused for
+            # those rows and its pool write at seq_lens+1 is overwritten by
+            # the next step (seq_lens rolls back to +1)
+            g, pool_k, pool_v, _ = _paged_layer_decode(
+                mtp_lp, cfg, fused, cos, sin, pool_k, pool_v, mtp_layer,
+                block_table, seq_lens, dtype)
+            gn = rms_norm(g, fnorm, cfg.rms_norm_eps, zc)
+            mtp_logits = jnp.dot(gn.astype(dtype), w_head,
+                                 preferred_element_type=jnp.float32)
+            nd_logits = jnp.where(accept[:, None], mtp_logits[:, 1],
+                                  mtp_logits[:, 0])
+            new_draft = _sample(nd_logits, r3, gen_cfg)
+
+            n_commit = jnp.where(accept, 2, 1)
+            committed1 = jnp.where(active, committed1, pad_id)
+            committed2 = jnp.where(active & accept, committed2, pad_id)
+            new_lens = jnp.where(active, seq_lens + n_commit, seq_lens)
+            return (committed1, committed2, accept, lp1, lp2, new_draft,
+                    nd_logits, new_lens, pool_k, pool_v)
+
+        self._spec_fn = jax.jit(step, donate_argnums=(1, 2))
+        return self._spec_fn
 
     PREFILL_BUCKET = 64
 
@@ -533,9 +667,15 @@ class PagedGenerator:
                                                  _pack_blocks(c[1], pad))
             else:
                 caches = init_cache(model, 1, p_bucket, dtype)
-                logits, caches, routing = _forward_cached(
-                    model, params, prompt, positions, caches, jnp.int32(0), dtype,
-                    kv_mask, self.record_routing)
+                h_tr = None
+                if self.speculative:
+                    logits, caches, routing, h_tr = _forward_cached(
+                        model, params, prompt, positions, caches, jnp.int32(0),
+                        dtype, kv_mask, self.record_routing, with_hidden=True)
+                else:
+                    logits, caches, routing = _forward_cached(
+                        model, params, prompt, positions, caches, jnp.int32(0),
+                        dtype, kv_mask, self.record_routing)
                 # scatter dense (L, 1, P, H, D) prompt KV into the pool's blocks
                 # (k/v dims handled separately: MLA pools differ — latent vs rope)
                 li = 0
@@ -545,13 +685,51 @@ class PagedGenerator:
                     pool_v = _scatter_blocks(pool_v, li, block_table[:n_blocks],
                                              _pack_blocks(cv, pad))
                     li += ck.shape[0]
+            r_tok, r_draft = jax.random.split(rng)
             last = jnp.take(logits, last_idx[None], axis=1)[:, 0]
-            tok = _sample(last, rng, gen_cfg)
+            tok = _sample(last, r_tok, gen_cfg)
             lp = jax.nn.log_softmax(last, axis=-1)
             lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
             rout = (jnp.take(routing, last_idx[None], axis=1)[:, 0]
                     if routing is not None else jnp.zeros((1, 0, 0), jnp.int32))
-            return tok, lp, pool_k, pool_v, gdn_state, snap, rout, last
+            if not self.speculative:
+                return tok, lp, pool_k, pool_v, gdn_state, snap, rout, last
+
+            # ---- MTP prefill: fuse trunk hidden with NEXT-token embeddings
+            # (the last real position's next token is the freshly sampled
+            # one), run the MTP layer over the bucket, page its KV, draft ----
+            from ..module.mtp import mtp_fuse
+
+            mtp_lp = jax.tree.map(lambda a: a[0], params["mtp_layers"])
+            nxt = jnp.concatenate([prompt[:, 1:], prompt[:, :1] * 0], axis=1)
+            nxt = nxt.at[0, last_idx].set(tok[0])
+            emb_n = jnp.take(params["embed"]["w"], nxt, axis=0).astype(dtype)
+            extras = cast_tree({k: mtp_lp[k] for k in
+                                ("proj", "hidden_norm", "embed_norm")}, dtype)
+            fused = mtp_fuse(extras, h_tr, emb_n, cfg.rms_norm_eps)
+            cos, sin = rope_cos_sin(positions, _rope_dim(cfg.attention),
+                                    cfg.rope_theta, cfg.rope_scaling_cfg,
+                                    cfg.max_position_embeddings)
+            mtp_caches = init_cache(model, 1, p_bucket, dtype)
+            mk, mv = jax.tree.map(lambda a: a[0], mtp_caches[0])
+            g, mk, mv, _ = _layer_cached(model, mtp_lp, cfg, fused, cos, sin,
+                                         mk, mv, jnp.int32(0), dtype, kv_mask)
+            pool_k = _scatter_blocks(pool_k, self._mtp_layer,
+                                     block_table[:n_blocks],
+                                     _pack_blocks(mk[None], pad))
+            pool_v = _scatter_blocks(pool_v, self._mtp_layer,
+                                     block_table[:n_blocks],
+                                     _pack_blocks(mv[None], pad))
+            g_last = jnp.take(g, last_idx[None], axis=1)
+            gn = rms_norm(g_last, params["final_norm"].astype(jnp.float32),
+                          cfg.rms_norm_eps,
+                          cfg.rms_norm_type == "zero_centered")
+            d_logits = jnp.dot(gn.astype(dtype),
+                               model.lm_head_weight(params).astype(dtype),
+                               preferred_element_type=jnp.float32)[:, 0]
+            draft = _sample(d_logits, r_draft, gen_cfg)
+            return (tok, lp, pool_k, pool_v, gdn_state, snap, rout, last,
+                    draft, d_logits)
 
         fn = jax.jit(run, donate_argnums=(1, 2, 3))
         self._prefill_fns[p_bucket] = fn
@@ -574,6 +752,10 @@ class PagedGenerator:
         slot = self.slots[slot_idx]
 
         leader = self._group_leader.get(group) if group is not None else None
+        if self.speculative:
+            # the leader's last-position MTP KV encodes ITS first sampled
+            # token; a sibling's differs, so spec mode prefills every request
+            leader = None
         shared = (leader is not None and leader[0] in self.cache.tables
                   and self.cache.seq_lens[leader[0]] == p_len)
         if shared:
@@ -620,12 +802,24 @@ class PagedGenerator:
             positions = jnp.minimum(jnp.arange(pb, dtype=jnp.int32), p_len - 1)[None]
             kv_mask = (jnp.arange(pb) < p_len)[None]
             self._rng, r = jax.random.split(self._rng)
-            (tok_a, lp_a, self.cache.pool_k, self.cache.pool_v, self.gdn_state,
-             snap, rout, last) = self._prefill(pb)(
-                self.params, self.cache.pool_k, self.cache.pool_v,
-                self.gdn_state, jnp.int32(slot_idx), prompt_arr,
-                positions, kv_mask, jnp.asarray(table),
-                jnp.int32(p_len - 1), r)
+            if self.speculative:
+                (tok_a, lp_a, self.cache.pool_k, self.cache.pool_v,
+                 self.gdn_state, snap, rout, last, draft_a, d_logits) = \
+                    self._prefill(pb)(
+                        self.params, self.cache.pool_k, self.cache.pool_v,
+                        self.gdn_state, jnp.int32(slot_idx), prompt_arr,
+                        positions, kv_mask, jnp.asarray(table),
+                        jnp.int32(p_len - 1), r)
+                self._draft[slot_idx] = int(np.asarray(draft_a)[0])
+                self._draft_logits = self._draft_logits.at[slot_idx].set(
+                    d_logits[0])
+            else:
+                (tok_a, lp_a, self.cache.pool_k, self.cache.pool_v,
+                 self.gdn_state, snap, rout, last) = self._prefill(pb)(
+                    self.params, self.cache.pool_k, self.cache.pool_v,
+                    self.gdn_state, jnp.int32(slot_idx), prompt_arr,
+                    positions, kv_mask, jnp.asarray(table),
+                    jnp.int32(p_len - 1), r)
             tok, lp = int(tok_a[0]), float(lp_a[0])
             rout = np.asarray(rout[0]) if rout.size else None
             if group is not None:
@@ -636,6 +830,7 @@ class PagedGenerator:
         slot.tokens = [tok]
         slot.logprobs = [lp]
         slot.routings = [rout] if (rout is not None and self.record_routing) else []
+        slot.spec_steps = slot.spec_accepted = 0
         slot.done = False
         slot.remaining -= 1
 
@@ -649,6 +844,9 @@ class PagedGenerator:
         }
         if self.record_routing and slot.routings:
             out["routed_experts"] = np.stack(slot.routings)  # (N, nL, K)
+        if self.speculative:
+            out["spec_steps"] = slot.spec_steps
+            out["spec_accepted"] = slot.spec_accepted
         self.cache.release(slot.seq_id)
         group = (req or {}).get("group")
         leader = self._group_leader.get(group) if group is not None else None
@@ -688,6 +886,9 @@ class PagedGenerator:
             active_idx = [i for i, s in enumerate(self.slots) if not s.done]
             if not active_idx:
                 continue
+            if self.speculative:
+                self._spec_step(active_idx, eos)
+                continue
 
             b = self.max_batch
             tok = np.full((b,), self.pad_token_id, np.int32)
@@ -724,6 +925,54 @@ class PagedGenerator:
                 s.remaining -= 1
 
         return [results[i] for i in range(len(requests))]
+
+    def _spec_step(self, active_idx: list[int], eos: int) -> None:
+        """One MTP draft-verify step over the live slots: commits 1 token on
+        reject, 2 on accept. The jit extends every active sequence by
+        n_commit; host bookkeeping reserves 2 slots up front and rolls the
+        length back to what was actually committed (the over-reserved block,
+        if any, stays allocated for the next step — release frees it)."""
+        b = self.max_batch
+        tok = np.full((b,), self.pad_token_id, np.int32)
+        lens = np.zeros((b,), np.int32)
+        table = np.zeros((b, self.max_blocks), np.int32)
+        active = np.zeros((b,), bool)
+        for i in active_idx:
+            s = self.slots[i]
+            tok[i] = s.tokens[-1]
+            lens[i] = self.cache.seq_lens[s.seq_id]
+            self.cache.extend(s.seq_id, 2)  # room for both chunk writes
+            ids = self.cache.tables[s.seq_id]
+            table[i, :len(ids)] = ids
+            active[i] = True
+        self._rng, r = jax.random.split(self._rng)
+        (c1, c2, acc, lp1, lp2, new_draft, nd_logits, _new_lens,
+         self.cache.pool_k, self.cache.pool_v) = self._spec_decode()(
+            self.params, self.cache.pool_k, self.cache.pool_v,
+            jnp.asarray(tok), jnp.asarray(self._draft), self._draft_logits,
+            jnp.asarray(lens), jnp.asarray(table), jnp.asarray(active), r)
+        c1, c2, acc = np.asarray(c1), np.asarray(c2), np.asarray(acc)
+        lp1, lp2 = np.asarray(lp1), np.asarray(lp2)
+        self._draft = np.array(new_draft)  # copy: np view of a jax array is read-only
+        self._draft_logits = nd_logits
+        for i in active_idx:
+            s = self.slots[i]
+            s.spec_steps += 1
+            s.tokens.append(int(c1[i]))
+            s.logprobs.append(float(lp1[i]))
+            s.remaining -= 1
+            committed = 1
+            if bool(acc[i]):
+                s.spec_accepted += 1
+                # the bonus token only counts if the slot is still going
+                # (not eos, budget left) — a discarded bonus means the slot
+                # finishes this round, so its cache is about to be released
+                if s.tokens[-1] != eos and s.remaining > 0:
+                    s.tokens.append(int(c2[i]))
+                    s.logprobs.append(float(lp2[i]))
+                    s.remaining -= 1
+                    committed = 2
+            self.cache.seq_lens[s.seq_id] = int(lens[i]) + committed
 
 
 def _scatter_blocks(pool, layer0: int, block_table, values):
