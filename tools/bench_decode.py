@@ -26,7 +26,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(batch: int, ctx: int, layers: int, kv_heads: int):
+def build(batch: int, ctx: int, layers: int, kv_heads: int,
+          block_size: int = 128):
     from xtuner_tpu.loss.ce_loss import CELossConfig
     from xtuner_tpu.model.dense import DenseConfig
     from xtuner_tpu.model.generate import GenerateConfig
@@ -46,8 +47,9 @@ def build(batch: int, ctx: int, layers: int, kv_heads: int):
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     g = GenerateConfig(max_new_tokens=64, do_sample=False, temperature=0.0,
                        eos_token_id=2, max_length=ctx + 128,
-                       paged_max_batch=batch, paged_block_size=128)
-    pg = PagedGenerator(model, params, g, max_batch=batch, block_size=128,
+                       paged_max_batch=batch, paged_block_size=block_size)
+    pg = PagedGenerator(model, params, g, max_batch=batch,
+                        block_size=block_size,
                         compute_dtype=jnp.bfloat16, pad_token_id=0)
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     return cfg, model, params, pg, n_params
@@ -87,8 +89,10 @@ def main():
     ctx = int(os.environ.get("DEC_CTX", 1024))
     layers = int(os.environ.get("DEC_LAYERS", 12))
     kv_heads = int(os.environ.get("DEC_KV", 2))
+    block_size = int(os.environ.get("DEC_BLOCK", 128))
     n_short, n_long = 8, 72
-    cfg, model, params, pg, n_params = build(batch, ctx, layers, kv_heads)
+    cfg, model, params, pg, n_params = build(batch, ctx, layers, kv_heads,
+                                             block_size)
 
     # warmup / compile
     np.asarray(chain_steps(pg, batch, ctx, 2))
@@ -108,7 +112,7 @@ def main():
     out = {
         "decode_tok_s": round(tok_s, 1),
         "step_ms": round(step_s * 1e3, 3),
-        "batch": batch, "ctx": ctx, "layers": layers,
+        "batch": batch, "ctx": ctx, "layers": layers, "block": block_size,
         "params_m": round(n_params / 1e6, 1),
         "param_bytes_gb": round(n_params * 2 / 1e9, 3),
         "kv_read_mb_per_step": round(kv_bytes / 1e6, 1),

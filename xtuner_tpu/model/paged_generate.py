@@ -30,6 +30,7 @@ dense engine) — `generate_auto` picks per config.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -111,21 +112,24 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
     q_lat = jnp.einsum("bcnd,rnd->bcnr", q_nope.astype(jnp.float32),
                        w_uk.astype(jnp.float32))
 
+    # pool dtype (bf16) end-to-end; contractions accumulate f32 on the MXU
     lat = pool_k[layer][block_table]  # (B, MB, BS, 1, rank[+di])
     rop = pool_v[layer][block_table]
     b_, mb, bs = lat.shape[:3]
-    lat = lat.reshape(b_, mb * bs, -1).astype(jnp.float32)
+    lat = lat.reshape(b_, mb * bs, -1)
     lat, idxk = lat[..., :rank], lat[..., rank:]
-    rop = rop.reshape(b_, mb * bs, dr).astype(jnp.float32)
+    rop = rop.reshape(b_, mb * bs, dr)
     slot = jnp.arange(mb * bs)[None, None, :]
     qpos = seq_lens[:, None, None] + jnp.arange(c)[None, :, None]
     valid = slot <= qpos  # (B, C, S)
     if is_dsa:
         hi, di = attn.index_n_heads, attn.index_head_dim
-        q_idx = (h3 @ p["idx_q_proj"]["w"]).reshape(b, c, hi, di).astype(jnp.float32)
+        q_idx = (h3 @ p["idx_q_proj"]["w"]).reshape(b, c, hi, di).astype(idxk.dtype)
         w_idx = (h3 @ p["idx_w_proj"]["w"]).astype(jnp.float32)  # (B, C, Hi)
         isc = jnp.einsum("bchs,bch->bcs",
-                         jnp.maximum(jnp.einsum("bchd,bsd->bchs", q_idx, idxk), 0.0),
+                         jnp.maximum(jnp.einsum("bchd,bsd->bchs", q_idx, idxk,
+                                                preferred_element_type=jnp.float32),
+                                     0.0),
                          w_idx)
         isc = jnp.where(valid, isc, -jnp.inf)
         kk = min(attn.index_top_k, mb * bs)
@@ -135,11 +139,14 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
             sel].set(True)
         valid = valid & sel_mask
     scale = mla_softmax_scale(attn, rope_scaling)
-    logits = (jnp.einsum("bcnr,bsr->bncs", q_lat, lat)
-              + jnp.einsum("bcnd,bsd->bncs", q_rope.astype(jnp.float32), rop)) * scale
+    logits = (jnp.einsum("bcnr,bsr->bncs", q_lat.astype(lat.dtype), lat,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bcnd,bsd->bncs", q_rope.astype(rop.dtype), rop,
+                           preferred_element_type=jnp.float32)) * scale
     logits = jnp.where(valid[:, None], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
-    o_lat = jnp.einsum("bncs,bsr->bcnr", probs, lat)  # (B, C, nh, rank)
+    o_lat = jnp.einsum("bncs,bsr->bcnr", probs.astype(lat.dtype), lat,
+                       preferred_element_type=jnp.float32)  # (B, C, nh, rank)
     o = jnp.einsum("bcnr,rnd->bcnd", o_lat, w_uv.astype(jnp.float32))
     o = o.reshape(b, c, nh * dv).astype(h.dtype)
     return o @ p["o_proj"]["w"], pool_k, pool_v
@@ -194,19 +201,45 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
         pool_k = paged_write(pool_k, layer, block_table, seq_lens + i, k[:, i])
         pool_v = paged_write(pool_v, layer, block_table, seq_lens + i, v[:, i])
 
-    # gather-based paged attention; chunk token i sees slots <= seq_lens+i
+    from ..ops.attention.paged_decode import (paged_decode_attn,
+                                              paged_decode_eligible)
+
+    if (os.environ.get("XTUNER_PAGED_DECODE_KERNEL", "0") == "1"
+            and paged_decode_eligible(pool_k, pool_v, attn.head_dim,
+                                      pool_k.shape[2])):
+        # Opt-in experiment, measured SLOWER than the gather path on v5e at
+        # every bench shape (docs/kernels.md "Paged decode throughput"):
+        # per-grid-step fixed cost dominates the tiny per-block compute, and
+        # a paged block table defeats multi-block BlockSpec fetches.
+        sinks = p["sinks"].astype(jnp.float32) if attn.with_sinks else None
+        o = paged_decode_attn(q, pool_k, pool_v, layer, block_table,
+                              seq_lens, scale=attn.head_dim ** -0.5,
+                              window=window, sinks=sinks)
+        o = o.reshape(b, c, -1).astype(compute_dtype)
+        if gate is not None:
+            o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(
+                o.dtype).reshape(b, c, -1)
+        o = lora_linear(o, p["o_proj"], 1.0)
+        x = x + o
+        h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps, zc)
+        return _paged_mlp(lp, cfg, x, h, compute_dtype, pool_k, pool_v)
+
+    # gather-based paged attention; chunk token i sees slots <= seq_lens+i.
+    # KV stays in pool dtype (bf16) end-to-end — logits/PV contract on the
+    # MXU with f32 accumulation; the old path's f32 casts + 4x GQA
+    # jnp.repeat materialized ~1.2 GB/layer of transients at batch 64
+    # (docs/kernels.md "Paged decode throughput").
     kk = pool_k[layer][block_table]  # (B, MB, BS, Hkv, D)
     vv = pool_v[layer][block_table]
     b_, mb, bs, hkv, d = kk.shape
     kk = kk.reshape(b_, mb * bs, hkv, d)
     vv = vv.reshape(b_, mb * bs, hkv, d)
     rep = attn.num_attention_heads // attn.num_key_value_heads
-    if rep > 1:
-        kk = jnp.repeat(kk, rep, axis=2)
-        vv = jnp.repeat(vv, rep, axis=2)
     scale = attn.head_dim ** -0.5
-    logits = jnp.einsum("bchd,bshd->bhcs", q.astype(jnp.float32),
-                        kk.astype(jnp.float32)) * scale
+    qg = q.reshape(b, c, hkv, rep, d).astype(kk.dtype)
+    logits = jnp.einsum("bcgrd,bsgd->bgrcs", qg, kk,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits.reshape(b, hkv * rep, c, mb * bs)
     slot = jnp.arange(mb * bs)[None, None, :]
     qpos = seq_lens[:, None, None] + jnp.arange(c)[None, :, None]
     valid = slot <= qpos  # (B, C, S)
@@ -227,7 +260,9 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
                          + jnp.exp(sink - m))
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-    o = jnp.einsum("bhcs,bshd->bchd", probs, vv.astype(jnp.float32))
+    pg_ = probs.reshape(b, hkv, rep, c, mb * bs).astype(vv.dtype)
+    o = jnp.einsum("bgrcs,bsgd->bcgrd", pg_, vv,
+                   preferred_element_type=jnp.float32)
     o = o.reshape(b, c, -1).astype(compute_dtype)
     if gate is not None:
         o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype).reshape(
