@@ -159,8 +159,6 @@ def mha_cached_forward(p: dict, cfg: MHAConfig, x, cos, sin, cache_k, cache_v,
     cache_k/v: (B, S_max, Hkv, D); cache_len: scalar int32 — tokens already
     in the cache. Returns (out (B, C, H), new_cache_k, new_cache_v).
     """
-    from ..ops.attention.reference import repeat_kv
-
     def _linear(x, proj):
         return lora_linear(x, proj, lora_scaling)
 
@@ -183,12 +181,17 @@ def mha_cached_forward(p: dict, cfg: MHAConfig, x, cos, sin, cache_k, cache_v,
     cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
 
+    # KV stays in cache dtype; GQA head groups contract directly with f32
+    # accumulation on the MXU — no f32 cast of the (B, S, Hkv, D) cache and
+    # no rep-x jnp.repeat materialization (same rework as the paged engine,
+    # docs/kernels.md "Paged decode throughput").
     rep = cfg.num_attention_heads // cfg.num_key_value_heads
-    k_all = repeat_kv(cache_k, rep)
-    v_all = repeat_kv(cache_v, rep)
+    hkv = cfg.num_key_value_heads
     scale = cfg.head_dim ** -0.5
-    logits = jnp.einsum("bchd,bshd->bhcs", q.astype(jnp.float32),
-                        k_all.astype(jnp.float32)) * scale
+    qg = q.reshape(b, c, hkv, rep, cfg.head_dim).astype(cache_k.dtype)
+    logits = jnp.einsum("bcgrd,bsgd->bgrcs", qg, cache_k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits.reshape(b, hkv * rep, c, s_max)
     kpos = jnp.arange(s_max)[None, :]
     qpos = cache_len + jnp.arange(c)[:, None]
     mask = kpos <= qpos  # causal over the cache
@@ -210,7 +213,9 @@ def mha_cached_forward(p: dict, cfg: MHAConfig, x, cos, sin, cache_k, cache_v,
         probs = probs / denom
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-    o = jnp.einsum("bhcs,bshd->bchd", probs, v_all.astype(jnp.float32)).astype(x.dtype)
+    pg = probs.reshape(b, hkv, rep, c, s_max).astype(cache_v.dtype)
+    o = jnp.einsum("bgrcs,bsgd->bcgrd", pg, cache_v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
     o = o.reshape(b, c, cfg.q_dim())
     if gate is not None:
         o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(o.dtype).reshape(
