@@ -50,6 +50,10 @@ def _shrink_model(mc):
             upd[f] = v
     if "first_k_dense_replace" in fields:  # keep 0 where the family has none
         upd["first_k_dense_replace"] = min(mc.first_k_dense_replace, 1)
+    if "router" in fields and getattr(mc.router, "n_group", 1) > 1:
+        # group-limited noaux routing must divide the shrunk expert count
+        upd["router"] = mc.router.model_copy(update={"n_group": 2,
+                                                     "topk_group": 1})
     if "layer_types_pattern" in fields:
         upd["layer_types_pattern"] = ["linear", "full"]
         upd["num_hidden_layers"] = 2
@@ -114,4 +118,148 @@ def test_sft_example_runs_real_steps(name, tmp_path):
     recs = [json.loads(x) for x in tracker.read_text().splitlines()]
     assert len(recs) >= 2
     import math
+    assert math.isfinite(recs[-1]["reduced_llm_loss"])
+
+
+def _fake_pref_dataset(tmp_path: Path, n: int = 16) -> str:
+    p = tmp_path / "pref.jsonl"
+    with open(p, "w") as f:
+        for i in range(n):
+            user = {"role": "user", "content": f"pick a number near {i}"}
+            f.write(json.dumps({
+                "chosen": [user,
+                           {"role": "assistant", "content": f"about {i}."}],
+                "rejected": [user,
+                             {"role": "assistant", "content": "no idea!!"}],
+            }) + "\n")
+    return str(p)
+
+
+@pytest.mark.slow
+def test_dpo_example_runs_real_steps(tmp_path):
+    """examples/v1/dpo_qwen3_8b.py executes 2 real preference steps."""
+    import math
+
+    from xtuner_tpu.parallel.mesh import MeshConfig
+
+    cfg = Config.fromfile(str(EXAMPLES / "dpo_qwen3_8b.py"))["trainer"]
+    cfg = cfg.model_copy(update={
+        "model_cfg": _shrink_model(cfg.model_cfg),
+        "data_path": _fake_pref_dataset(tmp_path),
+        "mesh_cfg": MeshConfig(fsdp_size=-1, param_dtype="float32"),
+        "pairs_per_step": 4, "max_length": 256, "total_steps": 2,
+        "load_from": None, "tokenizer_path": None,
+        "work_dir": str(tmp_path / "work"), "exp_name": "smoke_dpo",
+    })
+    trainer = cfg.build()
+    trainer.fit()
+    tracker = Path(cfg.work_dir) / cfg.exp_name / "tracker.jsonl"
+    recs = [json.loads(x) for x in tracker.read_text().splitlines()]
+    assert len(recs) >= 2
+    assert math.isfinite(recs[-1]["total_loss"])
+    assert "reward_acc" in recs[-1]
+
+
+@pytest.mark.slow
+def test_rl_example_runs_real_steps(tmp_path):
+    """examples/v1/rl_deepseek_v3_grpo.py (DeepSeek-V3 MLA MoE + GRPO)
+    executes 2 real rollout+train steps through RLColocateTrainer."""
+    import math
+
+    from xtuner_tpu.parallel.mesh import MeshConfig
+
+    prompts = tmp_path / "prompts.jsonl"
+    with open(prompts, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"prompt": f"What is {i} plus {i}?",
+                                "label": f"#### {2 * i}"}) + "\n")
+
+    cfg = Config.fromfile(str(EXAMPLES / "rl_deepseek_v3_grpo.py"))["trainer"]
+    cfg = cfg.model_copy(update={
+        "model_cfg": _shrink_model(cfg.model_cfg),
+        "prompts_path": str(prompts),
+        "mesh_cfg": MeshConfig(fsdp_size=-1, param_dtype="float32"),
+        "gen_cfg": cfg.gen_cfg.model_copy(update={
+            "max_new_tokens": 8, "eos_token_id": 258}),
+        "group_size": 4, "prompts_per_step": 2, "total_steps": 2,
+        "max_prompt_length": 56,
+        "load_from": None, "tokenizer_path": None, "eval_cfg": None,
+        "work_dir": str(tmp_path / "work"), "exp_name": "smoke_rl",
+    })
+    trainer = cfg.build()
+    trainer.fit()
+    tracker = Path(cfg.work_dir) / cfg.exp_name / "tracker.jsonl"
+    recs = [json.loads(x) for x in tracker.read_text().splitlines()]
+    assert len(recs) >= 2
+    assert math.isfinite(recs[-1]["total_loss"])
+
+
+@pytest.mark.slow
+def test_vlm_example_runs_real_steps(tmp_path, monkeypatch):
+    """examples/v1/sft_internvl_8b_vlm.py (Compose VLM + internvl tiling
+    dataset) executes 2 real train steps with image inputs."""
+    import math
+
+    import numpy as np
+
+    from xtuner_tpu.model.vision import ViTConfig
+    from xtuner_tpu.parallel.mesh import MeshConfig
+    from xtuner_tpu.train import trainer as trainer_mod
+    from xtuner_tpu.train.toy_tokenizer import UTF8ByteTokenizer
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    data = tmp_path / "vlm.jsonl"
+    with open(data, "w") as f:
+        for i in range(16):
+            img_path = img_dir / f"{i}.npy"
+            np.save(img_path,
+                    rng.integers(0, 255, (56, 28, 3)).astype(np.uint8))
+            f.write(json.dumps({"messages": [
+                {"role": "user", "content": [
+                    {"type": "image", "image": str(img_path)},
+                    {"type": "text", "text": f"describe image {i}"},
+                ]},
+                {"role": "assistant", "content": f"image {i} shows noise"},
+            ]}) + "\n")
+
+    monkeypatch.setattr(
+        trainer_mod.Trainer, "_build_tokenizer",
+        lambda self: UTF8ByteTokenizer(
+            extra_specials=["<img>", "</img>", "<IMG_CONTEXT>"]))
+
+    cfg = Config.fromfile(str(EXAMPLES / "sft_internvl_8b_vlm.py"))["trainer"]
+    mc = cfg.model_cfg
+    text = _shrink_model(mc.text_cfg).model_copy(update={"vocab_size": 262})
+    mc = mc.model_copy(update={
+        "vision_cfg": ViTConfig(image_size=28, patch_size=7, hidden_size=16,
+                                intermediate_size=32, num_hidden_layers=2,
+                                num_attention_heads=2, downsample_ratio=0.5),
+        "text_cfg": text,
+        "image_context_token_id": 261,
+    })
+    dl = cfg.dataloader_cfg
+    dl = dl.model_copy(update={
+        "datasets": [dl.datasets[0].model_copy(update={
+            "anno_path": str(data)})],
+        "pack_max_length": 256, "num_workers": 0, "cache_dir": None,
+        "max_tiles": 48, "tokens_per_tile": 4, "image_size": 28,
+        "image_max_num": 2,
+    })
+    cfg = cfg.model_copy(update={
+        "model_cfg": mc, "dataloader_cfg": dl,
+        "mesh_cfg": MeshConfig(fsdp_size=-1, param_dtype="float32"),
+        "global_batch_rows": 8, "micro_batch_rows": 8,
+        "total_steps": 2, "epochs": 1.0,
+        "load_from": None, "tokenizer_path": None,
+        "checkpoint_interval": None, "snapshot_interval": None,
+        "hf_interval": None,
+        "work_dir": str(tmp_path / "work"), "exp_name": "smoke_vlm",
+    })
+    trainer = cfg.build()
+    trainer.fit()
+    tracker = Path(cfg.work_dir) / cfg.exp_name / "tracker.jsonl"
+    recs = [json.loads(x) for x in tracker.read_text().splitlines()]
+    assert len(recs) >= 2
     assert math.isfinite(recs[-1]["reduced_llm_loss"])

@@ -115,8 +115,8 @@ def _stacks(model, params):
     return out
 
 
-def _layer_windows(cfg, stack_name: str, n_layers: int):
-    """(n_layers,) int32 per-layer sliding window; 0 = full attention.
+def _layer_windows_py(cfg, stack_name: str, n_layers: int) -> list:
+    """Per-layer sliding window as python ints; 0 = full attention.
 
     GPT-OSS-style `layer_window_pattern` (moe.py:207-224) alternates
     sliding/full across the MoE stack; training honors it, so decode must
@@ -124,10 +124,14 @@ def _layer_windows(cfg, stack_name: str, n_layers: int):
     soon as the context exceeds the window."""
     pattern = getattr(cfg, "layer_window_pattern", None)
     if stack_name == "moe_layers" and pattern:
-        vals = [(pattern[i % len(pattern)] or 0) for i in range(n_layers)]
-        return jnp.asarray(vals, jnp.int32)
+        return [int(pattern[i % len(pattern)] or 0) for i in range(n_layers)]
     w = cfg.sliding_window if cfg.use_sliding_window else None
-    return jnp.full((n_layers,), 0 if w is None else int(w), jnp.int32)
+    return [0 if w is None else int(w)] * n_layers
+
+
+def _layer_windows(cfg, stack_name: str, n_layers: int):
+    """(n_layers,) int32 version of `_layer_windows_py` (scan xs)."""
+    return jnp.asarray(_layer_windows_py(cfg, stack_name, n_layers), jnp.int32)
 
 
 def init_cache(model, batch_size: int, max_length: int, dtype=jnp.bfloat16):

@@ -45,7 +45,8 @@ from ..module.params import cast_tree
 from ..module.rope import _rope_dim, rope_cos_sin
 from ..ops.rms_norm import rms_norm
 from .generate import (GenerateConfig, _filter_logits, _forward_cached,
-                       _layer_cached, _layer_windows, _sample, _stacks,
+                       _layer_cached, _layer_windows, _layer_windows_py,
+                       _sample, _stacks,
                        init_cache)
 
 
@@ -64,6 +65,20 @@ def paged_eligible(model_cfg) -> bool:
 
 
 # ------------------------------------------------------------------ layers
+
+def _pool_gather(pool, layer, block_table):
+    """Gather each sequence's blocks for one layer: (B, MB, BS, H, D).
+
+    Indexes the pool FLATTENED over (L, NB) with `table + layer*NB` so a
+    traced `layer` costs index arithmetic, not a dynamic-slice of the whole
+    (NB, BS, H, D) layer slab — the slab slice materialized a full-pool-
+    sized transient per layer inside the decode scan (~22% of step time at
+    batch 64, tools/profile_decode.py)."""
+    nl, nb = pool.shape[:2]
+    flat = pool.reshape((nl * nb,) + pool.shape[2:])
+    return flat[block_table + layer * nb]
+
+
 def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
                     seq_lens, rope_scaling=None):
     """Compressed-KV paged decode (the paged analog of mla_cached_forward,
@@ -113,8 +128,8 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
                        w_uk.astype(jnp.float32))
 
     # pool dtype (bf16) end-to-end; contractions accumulate f32 on the MXU
-    lat = pool_k[layer][block_table]  # (B, MB, BS, 1, rank[+di])
-    rop = pool_v[layer][block_table]
+    lat = _pool_gather(pool_k, layer, block_table)  # (B, MB, BS, 1, rank[+di])
+    rop = _pool_gather(pool_v, layer, block_table)
     b_, mb, bs = lat.shape[:3]
     lat = lat.reshape(b_, mb * bs, -1)
     lat, idxk = lat[..., :rank], lat[..., rank:]
@@ -229,8 +244,8 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
     # MXU with f32 accumulation; the old path's f32 casts + 4x GQA
     # jnp.repeat materialized ~1.2 GB/layer of transients at batch 64
     # (docs/kernels.md "Paged decode throughput").
-    kk = pool_k[layer][block_table]  # (B, MB, BS, Hkv, D)
-    vv = pool_v[layer][block_table]
+    kk = _pool_gather(pool_k, layer, block_table)  # (B, MB, BS, Hkv, D)
+    vv = _pool_gather(pool_v, layer, block_table)
     b_, mb, bs, hkv, d = kk.shape
     kk = kk.reshape(b_, mb * bs, hkv, d)
     vv = vv.reshape(b_, mb * bs, hkv, d)
@@ -475,6 +490,14 @@ class PagedGenerator:
         stacks; x: (B, C, H) decode chunk."""
         model, cfg, dtype = self.model, self.model.cfg, self.compute_dtype
 
+        # The scan-carried pools are read only via _pool_gather (flat index
+        # arithmetic, no per-layer slab dynamic-slice) and written only via
+        # paged_write scatters, so XLA keeps the donated carry in place.
+        # Fully UNROLLING the layer loop (static indices) is available via
+        # XTUNER_PAGED_UNROLL_MAX but compiles pathologically over the
+        # remote tunnel (>12 min for 12 layers vs ~1 min scan) — default 0.
+        unroll_max = int(os.environ.get("XTUNER_PAGED_UNROLL_MAX", 0))
+
         def trunk_dense(params, pool_k, pool_v, gdn_state, x, cos, sin,
                         seq_lens, block_table):
             layer0 = 0
@@ -483,6 +506,23 @@ class PagedGenerator:
                 has_moe = isinstance(stack, dict) and "experts" in stack
                 n = jax.tree.leaves(
                     stack, is_leaf=lambda a: hasattr(a, "shape"))[0].shape[0]
+                if n <= unroll_max:
+                    wins = _layer_windows_py(cfg, name, n)
+                    ys_list = []
+                    for i in range(n):
+                        lp = jax.tree.map(lambda a, _i=i: a[_i], stack)
+                        w = wins[i]
+                        x, pool_k, pool_v, routing = _paged_layer_decode(
+                            lp, cfg, x, cos, sin, pool_k, pool_v, layer0 + i,
+                            block_table, seq_lens, dtype,
+                            w if w > 0 else None)
+                        if record and has_moe:
+                            ys_list.append(routing)
+                    layer0 += n
+                    if record and has_moe:
+                        routings.append(jnp.stack(ys_list, 0))  # (nL, B, C, K)
+                    continue
+
                 windows = _layer_windows(cfg, name, n)
 
                 def body(carry, xs, _moe=has_moe):
@@ -510,9 +550,7 @@ class PagedGenerator:
             window = cfg.sliding_window if cfg.use_sliding_window else None
             has_moe = hasattr(cfg, "n_routed_experts")
 
-            def body(carry, xs):
-                x, pk, pv = carry
-                lp_tuple, states, j = xs
+            def sublayers(x, pk, pv, lp_tuple, states, j):
                 new_states, routs = {}, []
                 for i, kind in enumerate(pattern):
                     lp = lp_tuple[f"p{i}"]
@@ -524,14 +562,37 @@ class PagedGenerator:
                             lp, cfg, x, cos, sin, pk, pv, full_base[i] + j,
                             block_table, seq_lens, dtype, window)
                     routs.append(r)
-                ys_r = (jnp.stack(routs, 0) if (record and has_moe)
-                        else jnp.int32(0))
-                return (x, pk, pv), (new_states, ys_r)
+                return x, pk, pv, new_states, routs
 
             n_periods = self._n_periods
-            (x, pool_k, pool_v), (gdn_state, ys) = jax.lax.scan(
-                body, (x, pool_k, pool_v),
-                (params["pattern"], gdn_state, jnp.arange(n_periods)))
+            if n_periods * len(pattern) <= unroll_max:
+                # unrolled (see trunk_dense note): static pool slab indices
+                ns_list, ys_list = [], []
+                for j in range(n_periods):
+                    lp_tuple = jax.tree.map(lambda a, _j=j: a[_j],
+                                            params["pattern"])
+                    states = jax.tree.map(lambda a, _j=j: a[_j], gdn_state)
+                    x, pool_k, pool_v, new_states, routs = sublayers(
+                        x, pool_k, pool_v, lp_tuple, states, j)
+                    ns_list.append(new_states)
+                    if record and has_moe:
+                        ys_list.append(jnp.stack(routs, 0))
+                gdn_state = jax.tree.map(lambda *a: jnp.stack(a, 0), *ns_list)
+                ys = (jnp.stack(ys_list, 0) if (record and has_moe)
+                      else jnp.int32(0))
+            else:
+                def body(carry, xs):
+                    x, pk, pv = carry
+                    lp_tuple, states, j = xs
+                    x, pk, pv, new_states, routs = sublayers(
+                        x, pk, pv, lp_tuple, states, j)
+                    ys_r = (jnp.stack(routs, 0) if (record and has_moe)
+                            else jnp.int32(0))
+                    return (x, pk, pv), (new_states, ys_r)
+
+                (x, pool_k, pool_v), (gdn_state, ys) = jax.lax.scan(
+                    body, (x, pool_k, pool_v),
+                    (params["pattern"], gdn_state, jnp.arange(n_periods)))
             if record and has_moe:
                 # (n_periods, period, B, C, K) -> (B, n_periods*period, K) at
                 # the last chunk pos; HF layer order = period_idx*period + pos
