@@ -49,6 +49,10 @@ class GenerateConfig(BaseModel):
     engine: str = "auto"  # auto | dense | paged
     paged_max_batch: int = 8  # decode slots (compiled once)
     paged_block_size: int = 128
+    # "int8": quantized paged KV (per-token-per-head absmax scales packed
+    # into the pool rows, kv_cache.py pack_kv_int8) — ~2x cache capacity and
+    # half the pool-read bandwidth; paged engine only
+    kv_cache_dtype: str = "bf16"  # bf16 | int8
     # MTP self-speculative decode (paged engine, mtp_num_layers >= 1 models):
     # the MTP head drafts token t+2, the next step verifies draft+commits up
     # to 2 tokens — exact (greedy: argmax match; sampling: Leviathan

@@ -127,25 +127,41 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
     q_lat = jnp.einsum("bcnd,rnd->bcnr", q_nope.astype(jnp.float32),
                        w_uk.astype(jnp.float32))
 
-    # pool dtype (bf16) end-to-end; contractions accumulate f32 on the MXU
+    # pool dtype (bf16/int8) end-to-end; contractions accumulate f32 on the
+    # MXU. int8 pools carry a packed f32 per-token scale (kv_cache.py
+    # pack_kv_int8) that folds into logits/probs — it is positive, so it
+    # even commutes with the DSA indexer's relu.
     lat = _pool_gather(pool_k, layer, block_table)  # (B, MB, BS, 1, rank[+di])
     rop = _pool_gather(pool_v, layer, block_table)
+    quant = pool_k.dtype == jnp.int8
     b_, mb, bs = lat.shape[:3]
     lat = lat.reshape(b_, mb * bs, -1)
+    rop = rop.reshape(b_, mb * bs, -1)
+    lat_s = rop_s = None
+    if quant:
+        from ..module.kv_cache import KV_SCALE_BYTES
+
+        nsb = KV_SCALE_BYTES
+        lat, lat_s = lat[..., :-nsb], jax.lax.bitcast_convert_type(
+            lat[..., -nsb:], jnp.float32)  # (B, S)
+        rop, rop_s = rop[..., :-nsb], jax.lax.bitcast_convert_type(
+            rop[..., -nsb:], jnp.float32)
     lat, idxk = lat[..., :rank], lat[..., rank:]
-    rop = rop.reshape(b_, mb * bs, dr)
+    cdt = h.dtype if quant else lat.dtype  # compute dtype when int8
     slot = jnp.arange(mb * bs)[None, None, :]
     qpos = seq_lens[:, None, None] + jnp.arange(c)[None, :, None]
     valid = slot <= qpos  # (B, C, S)
     if is_dsa:
         hi, di = attn.index_n_heads, attn.index_head_dim
-        q_idx = (h3 @ p["idx_q_proj"]["w"]).reshape(b, c, hi, di).astype(idxk.dtype)
+        q_idx = (h3 @ p["idx_q_proj"]["w"]).reshape(b, c, hi, di).astype(cdt)
         w_idx = (h3 @ p["idx_w_proj"]["w"]).astype(jnp.float32)  # (B, C, Hi)
-        isc = jnp.einsum("bchs,bch->bcs",
-                         jnp.maximum(jnp.einsum("bchd,bsd->bchs", q_idx, idxk,
-                                                preferred_element_type=jnp.float32),
-                                     0.0),
-                         w_idx)
+        inner = jnp.maximum(jnp.einsum("bchd,bsd->bchs", q_idx,
+                                       idxk.astype(cdt),
+                                       preferred_element_type=jnp.float32),
+                            0.0)
+        if quant:
+            inner = inner * lat_s[:, None, None, :]
+        isc = jnp.einsum("bchs,bch->bcs", inner, w_idx)
         isc = jnp.where(valid, isc, -jnp.inf)
         kk = min(attn.index_top_k, mb * bs)
         _, sel = jax.lax.top_k(isc, kk)  # (B, C, K)
@@ -154,13 +170,18 @@ def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
             sel].set(True)
         valid = valid & sel_mask
     scale = mla_softmax_scale(attn, rope_scaling)
-    logits = (jnp.einsum("bcnr,bsr->bncs", q_lat.astype(lat.dtype), lat,
-                         preferred_element_type=jnp.float32)
-              + jnp.einsum("bcnd,bsd->bncs", q_rope.astype(rop.dtype), rop,
-                           preferred_element_type=jnp.float32)) * scale
+    lg_lat = jnp.einsum("bcnr,bsr->bncs", q_lat.astype(cdt), lat.astype(cdt),
+                        preferred_element_type=jnp.float32)
+    lg_rop = jnp.einsum("bcnd,bsd->bncs", q_rope.astype(cdt), rop.astype(cdt),
+                        preferred_element_type=jnp.float32)
+    if quant:
+        lg_lat = lg_lat * lat_s[:, None, None, :]
+        lg_rop = lg_rop * rop_s[:, None, None, :]
+    logits = (lg_lat + lg_rop) * scale
     logits = jnp.where(valid[:, None], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
-    o_lat = jnp.einsum("bncs,bsr->bcnr", probs.astype(lat.dtype), lat,
+    pv = probs * lat_s[:, None, None, :] if quant else probs
+    o_lat = jnp.einsum("bncs,bsr->bcnr", pv.astype(cdt), lat.astype(cdt),
                        preferred_element_type=jnp.float32)  # (B, C, nh, rank)
     o = jnp.einsum("bcnr,rnd->bcnd", o_lat, w_uv.astype(jnp.float32))
     o = o.reshape(b, c, nh * dv).astype(h.dtype)
@@ -244,16 +265,31 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
     # MXU with f32 accumulation; the old path's f32 casts + 4x GQA
     # jnp.repeat materialized ~1.2 GB/layer of transients at batch 64
     # (docs/kernels.md "Paged decode throughput").
-    kk = _pool_gather(pool_k, layer, block_table)  # (B, MB, BS, Hkv, D)
+    kk = _pool_gather(pool_k, layer, block_table)  # (B, MB, BS, Hkv, D[+4])
     vv = _pool_gather(pool_v, layer, block_table)
+    quant = pool_k.dtype == jnp.int8
+    ks = vs = None
+    if quant:
+        # int8 cache: codes contract on the MXU; the positive per-(token,
+        # head) scale folds into the logits (k) / probs (v) instead of ever
+        # dequantizing K/V to bf16 in HBM (kv_cache.py pack_kv_int8)
+        from ..module.kv_cache import unpack_kv_int8
+
+        kk, ks = unpack_kv_int8(kk)  # (B, MB, BS, Hkv, D), (B, MB, BS, Hkv)
+        vv, vs = unpack_kv_int8(vv)
     b_, mb, bs, hkv, d = kk.shape
     kk = kk.reshape(b_, mb * bs, hkv, d)
     vv = vv.reshape(b_, mb * bs, hkv, d)
     rep = attn.num_attention_heads // attn.num_key_value_heads
     scale = attn.head_dim ** -0.5
-    qg = q.reshape(b, c, hkv, rep, d).astype(kk.dtype)
-    logits = jnp.einsum("bcgrd,bsgd->bgrcs", qg, kk,
+    cdt = q.dtype if quant else kk.dtype  # compute dtype when int8
+    qg = q.reshape(b, c, hkv, rep, d).astype(cdt)
+    logits = jnp.einsum("bcgrd,bsgd->bgrcs", qg, kk.astype(cdt),
                         preferred_element_type=jnp.float32) * scale
+    if quant:
+        ks = ks.reshape(b_, mb * bs, hkv).transpose(0, 2, 1)  # (B, G, S)
+        vs = vs.reshape(b_, mb * bs, hkv).transpose(0, 2, 1)
+        logits = logits * ks[:, :, None, None, :]
     logits = logits.reshape(b, hkv * rep, c, mb * bs)
     slot = jnp.arange(mb * bs)[None, None, :]
     qpos = seq_lens[:, None, None] + jnp.arange(c)[None, :, None]
@@ -275,8 +311,11 @@ def _paged_layer_decode(lp, cfg, x, cos, sin, pool_k, pool_v, layer,
                          + jnp.exp(sink - m))
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-    pg_ = probs.reshape(b, hkv, rep, c, mb * bs).astype(vv.dtype)
-    o = jnp.einsum("bgrcs,bsgd->bcgrd", pg_, vv,
+    pg_ = probs.reshape(b, hkv, rep, c, mb * bs)
+    if quant:
+        pg_ = pg_ * vs[:, :, None, None, :]
+    pg_ = pg_.astype(q.dtype if quant else vv.dtype)
+    o = jnp.einsum("bgrcs,bsgd->bcgrd", pg_, vv.astype(pg_.dtype),
                    preferred_element_type=jnp.float32)
     o = o.reshape(b, c, -1).astype(compute_dtype)
     if gate is not None:
@@ -457,21 +496,23 @@ class PagedGenerator:
             self._spec_fn = None
         from ..module.mla import MLAConfig
 
+        from ..module.dsa import DSAConfig
+
+        kv_dtype = (jnp.int8 if gen_cfg.kv_cache_dtype == "int8"
+                    else compute_dtype)
         if isinstance(attn, MLAConfig):
             # compressed MLA cache: latent pool + shared-rope-key pool
             # (mirrors model/generate.init_cache's MLA branch); DSA packs
             # the indexer key into the latent pool
-            from ..module.dsa import DSAConfig
-
             extra = attn.index_head_dim if isinstance(attn, DSAConfig) else 0
             self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,
                                       1, attn.kv_lora_rank + extra,
-                                      dtype=compute_dtype,
+                                      dtype=kv_dtype,
                                       head_dim_v=attn.qk_rope_head_dim)
         else:
             self.cache = PagedKVCache(n_layers_total, num_blocks, block_size,
                                       attn.num_key_value_heads, attn.head_dim,
-                                      dtype=compute_dtype)
+                                      dtype=kv_dtype)
         # block 0 is the TRASH block: inactive decode slots have all-zero
         # block tables, so their (masked-out) writes land here instead of a
         # live sequence's block; never handed out by the allocator
@@ -1072,7 +1113,12 @@ class PagedGenerator:
 
 
 def _scatter_blocks(pool, layer0: int, block_table, values):
-    """values: (n_layers, MB, BS, H, D) -> pool[layer0+l, block_table[m]]."""
+    """values: (n_layers, MB, BS, H, D) -> pool[layer0+l, block_table[m]].
+    An int8 (quantized) pool packs values via pack_kv_int8 first."""
+    if pool.dtype == jnp.int8 and values.dtype != jnp.int8:
+        from ..module.kv_cache import pack_kv_int8
+
+        values = pack_kv_int8(values)
     n = values.shape[0]
     layers = layer0 + jnp.arange(n)[:, None]
     blocks = jnp.broadcast_to(block_table[None, :], (n, block_table.shape[0]))

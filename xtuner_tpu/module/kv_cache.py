@@ -67,13 +67,19 @@ class PagedKVCache:
                  head_dim_v: Optional[int] = None):
         """head_dim_v: v-pool head dim when it differs from k's — MLA's
         compressed cache stores the kv_lora_rank latent in pool_k and the
-        shared qk_rope_head_dim rope key in pool_v (mla.py:83-123)."""
+        shared qk_rope_head_dim rope key in pool_v (mla.py:83-123).
+
+        dtype int8 = quantized cache: each row stores head_dim int8 codes
+        + a packed f32 per-(token, head) scale (see pack_kv_int8)."""
         self.block_size = block_size
         self.allocator = PagedAllocator(num_blocks, block_size)
-        self.pool_k = jnp.zeros((n_layers, num_blocks, block_size, num_kv_heads, head_dim), dtype)
+        self.quantized = jnp.dtype(dtype) == jnp.int8
+        kd, vd = head_dim, head_dim_v or head_dim
+        if self.quantized:
+            kd, vd = quant_dim(kd), quant_dim(vd)
+        self.pool_k = jnp.zeros((n_layers, num_blocks, block_size, num_kv_heads, kd), dtype)
         self.pool_v = jnp.zeros(
-            (n_layers, num_blocks, block_size, num_kv_heads, head_dim_v or head_dim),
-            dtype)
+            (n_layers, num_blocks, block_size, num_kv_heads, vd), dtype)
         self.tables: dict[int, list[int]] = {}  # seq id -> block ids
         self.seq_lens: dict[int, int] = {}
 
@@ -120,12 +126,50 @@ class PagedKVCache:
 
 
 # ---------------- device ops (pure, jittable) ----------------
+# int8 KV quantization (the paged analog of LMDeploy/vLLM KV-int8 serving —
+# reference rollouts delegate to those engines, rl/rollout/worker.py:510).
+# Layout: each pool row packs `D` int8 codes + 4 bytes that ARE the f32
+# per-(token, head) absmax scale (bitcast), so the pool stays ONE array and
+# every caller's plumbing is unchanged. The scale never multiplies K/V back
+# to bf16 in HBM: it is positive, so it folds out of the attention algebra —
+# logits(s) *= scale_k(s) after the QK dot, probs(s) *= scale_v(s) before
+# the PV dot, and even DSA's relu(q . k) * w indexer commutes with it.
+KV_SCALE_BYTES = 4
+
+
+def quant_dim(head_dim: int) -> int:
+    """Packed pool row width for an int8 pool holding `head_dim` values."""
+    return head_dim + KV_SCALE_BYTES
+
+
+def pack_kv_int8(values):
+    """(..., H, D) float -> (..., H, D+4) int8: per-(token, head) absmax
+    quantization, f32 scale bitcast into the trailing 4 bytes."""
+    scale = jnp.maximum(jnp.max(jnp.abs(values.astype(jnp.float32)), -1),
+                        1e-6) / 127.0  # (..., H)
+    q = jnp.round(values.astype(jnp.float32) / scale[..., None])
+    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    sb = jax.lax.bitcast_convert_type(scale, jnp.int8)  # (..., H, 4)
+    return jnp.concatenate([q, sb], axis=-1)
+
+
+def unpack_kv_int8(packed):
+    """(..., H, D+4) int8 -> (int8 codes (..., H, D), f32 scale (..., H))."""
+    q = packed[..., :-KV_SCALE_BYTES]
+    s = jax.lax.bitcast_convert_type(packed[..., -KV_SCALE_BYTES:],
+                                     jnp.float32)
+    return q, s
+
+
 def paged_write(pool, layer: int, block_table, positions, values):
     """Scatter one token per sequence into the pool.
 
     pool: (L, NB, BS, H, D); block_table (B, MB) int32; positions (B,) int32
-    token position within each sequence; values (B, H, D)."""
+    token position within each sequence; values (B, H, D). An int8 pool
+    (quantized cache) packs values via pack_kv_int8."""
     bs = pool.shape[2]
+    if pool.dtype == jnp.int8 and values.dtype != jnp.int8:
+        values = pack_kv_int8(values)
     blk = jnp.take_along_axis(block_table, (positions // bs)[:, None], axis=1)[:, 0]
     off = positions % bs
     return pool.at[layer, blk, off].set(values.astype(pool.dtype))
@@ -136,6 +180,8 @@ def paged_write_prefill(pool, layer: int, block_table, values, start: int = 0):
     start..start+P (host-static P)."""
     b, p_len = values.shape[:2]
     bs = pool.shape[2]
+    if pool.dtype == jnp.int8 and values.dtype != jnp.int8:
+        values = pack_kv_int8(values)
     pos = start + jnp.arange(p_len)
     blk = block_table[:, :]  # (B, MB)
     blk_idx = jnp.take_along_axis(
