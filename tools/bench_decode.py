@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(batch: int, ctx: int, layers: int, kv_heads: int,
-          block_size: int = 128):
+          block_size: int = 128, kv_dtype: str = "bf16"):
     from xtuner_tpu.loss.ce_loss import CELossConfig
     from xtuner_tpu.model.dense import DenseConfig
     from xtuner_tpu.model.generate import GenerateConfig
@@ -47,7 +47,8 @@ def build(batch: int, ctx: int, layers: int, kv_heads: int,
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     g = GenerateConfig(max_new_tokens=64, do_sample=False, temperature=0.0,
                        eos_token_id=2, max_length=ctx + 128,
-                       paged_max_batch=batch, paged_block_size=block_size)
+                       paged_max_batch=batch, paged_block_size=block_size,
+                       kv_cache_dtype=kv_dtype)
     pg = PagedGenerator(model, params, g, max_batch=batch,
                         block_size=block_size,
                         compute_dtype=jnp.bfloat16, pad_token_id=0)
@@ -90,9 +91,10 @@ def main():
     layers = int(os.environ.get("DEC_LAYERS", 12))
     kv_heads = int(os.environ.get("DEC_KV", 2))
     block_size = int(os.environ.get("DEC_BLOCK", 128))
+    kv_dtype = os.environ.get("DEC_KV_DTYPE", "bf16")
     n_short, n_long = 8, 72
     cfg, model, params, pg, n_params = build(batch, ctx, layers, kv_heads,
-                                             block_size)
+                                             block_size, kv_dtype)
 
     # warmup / compile
     np.asarray(chain_steps(pg, batch, ctx, 2))
@@ -108,11 +110,14 @@ def main():
 
     # HBM traffic floor: params once + KV window per step
     attn = cfg.attention
-    kv_bytes = (2 * layers * batch * ctx * kv_heads * attn.head_dim * 2)
+    kv_item = 1 if kv_dtype == "int8" else 2  # int8 rows: D+4 bytes
+    kv_dim = attn.head_dim + (4 if kv_dtype == "int8" else 0)
+    kv_bytes = (2 * layers * batch * ctx * kv_heads * kv_dim * kv_item)
     out = {
         "decode_tok_s": round(tok_s, 1),
         "step_ms": round(step_s * 1e3, 3),
         "batch": batch, "ctx": ctx, "layers": layers, "block": block_size,
+        "kv_dtype": kv_dtype,
         "params_m": round(n_params / 1e6, 1),
         "param_bytes_gb": round(n_params * 2 / 1e9, 3),
         "kv_read_mb_per_step": round(kv_bytes / 1e6, 1),
