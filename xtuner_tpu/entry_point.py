@@ -11,6 +11,7 @@ MODES = {
     "sft": "xtuner_tpu.train.cli.sft",
     "rl": "xtuner_tpu.train.cli.rl",
     "chat": "xtuner_tpu.train.cli.chat",
+    "serve": "xtuner_tpu.train.cli.serve",
     "convert": "xtuner_tpu.train.cli.convert",
     "mmbench": "xtuner_tpu.train.cli.mmbench",
     "preprocess": "xtuner_tpu.train.cli.preprocess",
@@ -28,6 +29,7 @@ modes:
   train | sft     supervised fine-tuning / pretraining (see --help)
   rl              GRPO reinforcement learning
   chat            interactive chat REPL against an HF checkpoint
+  serve           OpenAI-compatible inference server (paged engine)
   convert         orbax training checkpoint -> HF safetensors export
   mmbench         MMBench VLM evaluation over a TSV benchmark
   preprocess      dataset converters (alpaca/sharegpt/arxiv/refcoco) + count

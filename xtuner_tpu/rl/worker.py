@@ -42,11 +42,13 @@ class RolloutWorker:
                  gen_cfg: Optional[GenerateConfig] = None,
                  host: str = "127.0.0.1", port: int = 0,
                  compute_dtype=jnp.bfloat16, pad_token_id: int = 0,
-                 param_store: Optional[ParamStore] = None):
+                 param_store: Optional[ParamStore] = None,
+                 chat_template: Optional[str] = None):
         self.model_cfg = model_cfg
         self.model = model_cfg.build()
         self.store = param_store if param_store is not None else ParamStore(params)
         self.tokenizer = tokenizer
+        self.chat_template = chat_template  # template name for /v1/chat/*
         self.gen_defaults = gen_cfg or GenerateConfig()
         self.compute_dtype = compute_dtype
         self.pad_token_id = pad_token_id
@@ -103,6 +105,38 @@ class RolloutWorker:
         raise ValueError("update_weights needs `path` or `version`")
 
     # ------------------------------------------------------------------
+    def chat_complete(self, req: dict[str, Any]) -> dict[str, Any]:
+        """OpenAI /v1/chat/completions: render `messages` through the
+        worker's chat template, decode choices back to text (the standalone
+        `xtuner-tpu serve` surface; the reference points users at lmdeploy/
+        vLLM servers for this)."""
+        if self.tokenizer is None or self.chat_template is None:
+            raise ValueError("/v1/chat/completions needs a tokenizer and a "
+                             "chat_template on the worker")
+        from ..data_proto.templates import get_chat_template
+
+        t = get_chat_template(self.chat_template)
+        text = ""
+        sys_msgs = [m for m in req.get("messages", []) if m.get("role") == "system"]
+        if sys_msgs:
+            text += t.system.format(system=sys_msgs[0]["content"])
+        elif t.default_system:
+            text += t.system.format(system=t.default_system)
+        for m in req.get("messages", []):
+            if m["role"] == "user":
+                text += t.user.format(user=m["content"])
+            elif m["role"] == "assistant":
+                text += t.assistant.format(assistant=m["content"])
+        out = self.complete({**req, "prompt": text})
+        end_marker = t.assistant.format(assistant="").strip()  # e.g. <|im_end|>
+        for ch in out["choices"]:
+            raw = self.tokenizer.decode(ch.pop("token_ids"))
+            if end_marker:
+                raw = raw.split(end_marker)[0]
+            ch["message"] = {"role": "assistant", "content": raw}
+        out["object"] = "chat.completion"
+        return out
+
     def complete(self, req: dict[str, Any]) -> dict[str, Any]:
         """One /v1/completions request (token-ids native; text via tokenizer)."""
         if self.paused:
@@ -279,6 +313,8 @@ def _make_handler(worker: RolloutWorker):
             try:
                 if self.path == "/v1/completions":
                     self._send(200, worker.complete(req))
+                elif self.path == "/v1/chat/completions":
+                    self._send(200, worker.chat_complete(req))
                 elif self.path == "/pause":
                     worker.paused = True
                     self._send(200, {"status": "paused"})
