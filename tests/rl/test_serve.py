@@ -98,3 +98,28 @@ def test_serve_cli_args_parse():
 
     with pytest.raises(SystemExit):
         serve_mod.main(["--help"])
+
+
+def test_concurrent_http_completions_share_engine(worker):
+    """Two simultaneous HTTP completions ride the async paged engine —
+    both finish, greedy results identical to a sequential run."""
+    import threading
+
+    payloads = [{"prompt_ids": [[10, 11, 12]], "max_tokens": 6,
+                 "temperature": 0.0},
+                {"prompt_ids": [[13, 14]], "max_tokens": 6,
+                 "temperature": 0.0}]
+    seq = [_post(worker.base_url, "/v1/completions", p)["choices"][0]
+           for p in payloads]
+    got = [None, None]
+
+    def run(i):
+        got[i] = _post(worker.base_url, "/v1/completions",
+                       payloads[i])["choices"][0]
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    for i in range(2):
+        assert got[i] is not None
+        assert got[i]["token_ids"] == seq[i]["token_ids"]

@@ -992,76 +992,88 @@ class PagedGenerator:
         slot.req, slot.done, slot.seq_id = None, True, -1
         return out
 
+    @property
+    def eos_id(self) -> int:
+        return (self.gen_cfg.eos_token_id
+                if self.gen_cfg.eos_token_id is not None
+                else self.model.cfg.eos_token_id)
+
+    def has_live_slots(self) -> bool:
+        return any(not s.done for s in self.slots)
+
     def generate(self, requests: list[dict]) -> list[dict]:
         """Run all requests to completion with continuous batching; returns
         outputs in request order."""
-        eos = (self.gen_cfg.eos_token_id if self.gen_cfg.eos_token_id is not None
-               else self.model.cfg.eos_token_id)
         queue = [dict(r, _idx=i) for i, r in enumerate(requests)]
         results: dict[int, dict] = {}
+        while queue or self.has_live_slots():
+            self.tick(queue, results)
+        return [results[i] for i in range(len(requests))]
+
+    def tick(self, queue: list[dict], results: dict[int, dict]) -> None:
+        """One continuous-batching round: admit queued requests into free
+        slots, harvest finished slots into `results` (keyed by the request's
+        `_idx`), run ONE decode step over the live slots. The sync
+        `generate` loops this to exhaustion; `model/async_engine.py` loops
+        it forever against a concurrently-fed queue."""
+        eos = self.eos_id
+        # admission: fill every free slot (leader-first within a group so
+        # siblings can share its prompt blocks)
+        for i, s in enumerate(self.slots):
+            if s.done and queue:
+                self._admit(i, queue.pop(0))
+        active_idx = [i for i, s in enumerate(self.slots) if not s.done]
+        # finish slots that hit eos at admission or ran out of budget
+        for i in list(active_idx):
+            s = self.slots[i]
+            if s.tokens and s.tokens[-1] == eos:
+                ridx = s.req["_idx"]
+                results[ridx] = self._finish(s, "stop")
+            elif s.remaining <= 0:
+                ridx = s.req["_idx"]
+                results[ridx] = self._finish(s, "length")
+        active_idx = [i for i, s in enumerate(self.slots) if not s.done]
+        if not active_idx:
+            return
+        if self.speculative:
+            self._spec_step(active_idx, eos)
+            return
         step_fn = self._decode()
 
-        def live_slots():
-            return [s for s in self.slots if not s.done]
+        b = self.max_batch
+        tok = np.full((b,), self.pad_token_id, np.int32)
+        lens = np.zeros((b,), np.int32)
+        table = np.zeros((b, self.max_blocks), np.int32)
+        active = np.zeros((b,), bool)
+        for i in active_idx:
+            s = self.slots[i]
+            tok[i] = s.tokens[-1]
+            lens[i] = self.cache.seq_lens[s.seq_id]
+            ids = self.cache.tables[s.seq_id]
+            table[i, :len(ids)] = ids
+            active[i] = True
+            # allocate room for the token this step will write
+            self.cache.extend(s.seq_id, 1)
+            ids = self.cache.tables[s.seq_id]
+            table[i, :len(ids)] = ids
 
-        while queue or live_slots():
-            # admission: fill every free slot (leader-first within a group so
-            # siblings can share its prompt blocks)
-            for i, s in enumerate(self.slots):
-                if s.done and queue:
-                    self._admit(i, queue.pop(0))
-            active_idx = [i for i, s in enumerate(self.slots) if not s.done]
-            # finish slots that hit eos at admission or ran out of budget
-            for i in list(active_idx):
-                s = self.slots[i]
-                if s.tokens and s.tokens[-1] == eos:
-                    ridx = s.req["_idx"]
-                    results[ridx] = self._finish(s, "stop")
-                elif s.remaining <= 0:
-                    ridx = s.req["_idx"]
-                    results[ridx] = self._finish(s, "length")
-            active_idx = [i for i, s in enumerate(self.slots) if not s.done]
-            if not active_idx:
-                continue
-            if self.speculative:
-                self._spec_step(active_idx, eos)
-                continue
+        self._rng, r = jax.random.split(self._rng)
+        (new_tok, lp, new_lens, self.cache.pool_k, self.cache.pool_v,
+         self.gdn_state, rout) = step_fn(
+            self.params, self.cache.pool_k, self.cache.pool_v,
+            self.gdn_state, jnp.asarray(tok), jnp.asarray(lens),
+            jnp.asarray(table), jnp.asarray(active), r)
+        new_tok = np.asarray(new_tok)
+        lp = np.asarray(lp)
+        rout = np.asarray(rout)
+        for i in active_idx:
+            s = self.slots[i]
+            s.tokens.append(int(new_tok[i]))
+            s.logprobs.append(float(lp[i]))
+            if self.record_routing and rout.size:
+                s.routings.append(rout[i])
+            s.remaining -= 1
 
-            b = self.max_batch
-            tok = np.full((b,), self.pad_token_id, np.int32)
-            lens = np.zeros((b,), np.int32)
-            table = np.zeros((b, self.max_blocks), np.int32)
-            active = np.zeros((b,), bool)
-            for i in active_idx:
-                s = self.slots[i]
-                tok[i] = s.tokens[-1]
-                lens[i] = self.cache.seq_lens[s.seq_id]
-                ids = self.cache.tables[s.seq_id]
-                table[i, :len(ids)] = ids
-                active[i] = True
-                # allocate room for the token this step will write
-                self.cache.extend(s.seq_id, 1)
-                ids = self.cache.tables[s.seq_id]
-                table[i, :len(ids)] = ids
-
-            self._rng, r = jax.random.split(self._rng)
-            (new_tok, lp, new_lens, self.cache.pool_k, self.cache.pool_v,
-             self.gdn_state, rout) = step_fn(
-                self.params, self.cache.pool_k, self.cache.pool_v,
-                self.gdn_state, jnp.asarray(tok), jnp.asarray(lens),
-                jnp.asarray(table), jnp.asarray(active), r)
-            new_tok = np.asarray(new_tok)
-            lp = np.asarray(lp)
-            rout = np.asarray(rout)
-            for i in active_idx:
-                s = self.slots[i]
-                s.tokens.append(int(new_tok[i]))
-                s.logprobs.append(float(lp[i]))
-                if self.record_routing and rout.size:
-                    s.routings.append(rout[i])
-                s.remaining -= 1
-
-        return [results[i] for i in range(len(requests))]
 
     def _spec_step(self, active_idx: list[int], eos: int) -> None:
         """One MTP draft-verify step over the live slots: commits 1 token on

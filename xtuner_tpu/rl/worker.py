@@ -59,7 +59,7 @@ class RolloutWorker:
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self._treedef = None
-        self._paged_engines: dict = {}  # (gen-cfg, routing, max_len) -> PagedGenerator
+        self._paged_engines: dict = {}  # (gen-cfg, routing, max_len) -> AsyncPagedEngine
 
     # ------------------------------------------------------------------
     @property
@@ -76,6 +76,9 @@ class RolloutWorker:
         return self.base_url
 
     def stop(self) -> None:
+        for eng in list(self._paged_engines.values()):
+            eng.stop()
+        self._paged_engines.clear()
         if self._server is not None:
             self._server.shutdown()
             self._server.server_close()
@@ -184,12 +187,18 @@ class RolloutWorker:
         use_paged = plain_sampling and (
             g.engine == "paged"
             or (g.engine == "auto" and paged_eligible(self.model_cfg)))
-        with self._gen_lock, span("rollout.generate", rows=len(rows),
-                                  engine="paged" if use_paged else "dense"):
-            self._rng, rng = jax.random.split(self._rng)
-            if use_paged:
+        if use_paged:
+            # no lock: the async engine loop serializes device access, so
+            # CONCURRENT requests share one batched decode (late arrivals
+            # ride along with in-flight slots — model/async_engine.py)
+            with span("rollout.generate", rows=len(rows), engine="paged"):
+                with self._gen_lock:
+                    self._rng, rng = jax.random.split(self._rng)
                 out = self._complete_paged(params, prompt_lists, n, g, rng, req)
-            else:
+        else:
+            with self._gen_lock, span("rollout.generate", rows=len(rows),
+                                      engine="dense"):
+                self._rng, rng = jax.random.split(self._rng)
                 out = generate(self.model, params, arr, g, rng=rng,
                                compute_dtype=self.compute_dtype,
                                pad_token_id=self.pad_token_id,
@@ -236,6 +245,7 @@ class RolloutWorker:
         """Paged continuous-batching rollout (model/paged_generate.py):
         requests queue into fixed decode slots, same-prompt groups share
         prompt blocks. Returns the dense-engine output dict shape."""
+        from ..model.async_engine import AsyncPagedEngine
         from ..model.paged_generate import PagedGenerator
 
         record = bool(req.get("return_routing"))
@@ -245,19 +255,25 @@ class RolloutWorker:
         bucket = -(-p_max // PagedGenerator.PREFILL_BUCKET) * PagedGenerator.PREFILL_BUCKET
         max_len = -(-(bucket + n_new) // bs) * bs
         key = (g.model_dump_json(), record, max_len)
-        pg = self._paged_engines.get(key)
-        if pg is None:
-            pg = PagedGenerator(
-                self.model, params, g.model_copy(update={"max_length": max_len}),
-                max_batch=g.paged_max_batch, block_size=bs,
-                compute_dtype=self.compute_dtype, pad_token_id=self.pad_token_id,
-                record_routing=record, rng=rng)
-            self._paged_engines[key] = pg
-        pg.params = params
-        pg._rng = rng
-        requests = [{"prompt_ids": p, "group": gi}
+        with self._gen_lock:  # engine creation only; submits are lock-free
+            eng = self._paged_engines.get(key)
+            if eng is None:
+                pg = PagedGenerator(
+                    self.model, params,
+                    g.model_copy(update={"max_length": max_len}),
+                    max_batch=g.paged_max_batch, block_size=bs,
+                    compute_dtype=self.compute_dtype,
+                    pad_token_id=self.pad_token_id,
+                    record_routing=record, rng=rng)
+                eng = AsyncPagedEngine(pg)
+                self._paged_engines[key] = eng
+            eng.pg.params = params
+            # group ids must be unique ACROSS concurrent calls — prefix
+            # sharing must never join two different HTTP requests' groups
+            call_id = self._call_counter = getattr(self, "_call_counter", 0) + 1
+        requests = [{"prompt_ids": p, "group": (call_id, gi)}
                     for gi, p in enumerate(prompt_lists) for _ in range(n)]
-        outs = pg.generate(requests)
+        outs = eng.generate(requests)
 
         eos = (g.eos_token_id if g.eos_token_id is not None
                else self.model_cfg.eos_token_id)
