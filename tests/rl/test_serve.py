@@ -123,3 +123,64 @@ def test_concurrent_http_completions_share_engine(worker):
     for i in range(2):
         assert got[i] is not None
         assert got[i]["token_ids"] == seq[i]["token_ids"]
+
+
+def _sse_events(url, path, payload):
+    req = urllib.request.Request(url.rstrip("/") + path,
+                                 data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        raw = resp.read().decode()
+    events = []
+    for frame in raw.split("\n\n"):
+        if not frame.startswith("data: "):
+            continue
+        body = frame[len("data: "):]
+        if body == "[DONE]":
+            events.append(None)
+        else:
+            events.append(json.loads(body))
+    assert events[-1] is None  # [DONE] terminator
+    return events[:-1]
+
+
+def test_streaming_completions_matches_blocking(worker):
+    payload = {"prompt_ids": [10, 11, 12], "max_tokens": 6,
+               "temperature": 0.0}
+    ref = _post(worker.base_url, "/v1/completions",
+                payload)["choices"][0]
+    events = _sse_events(worker.base_url, "/v1/completions",
+                         {**payload, "stream": True})
+    finish = events[-1]["choices"][0]
+    assert finish["finish_reason"] in ("stop", "length")
+    toks = [e["choices"][0]["token_id"] for e in events[:-1]]
+    ref_toks = ref["token_ids"]
+    if ref_toks and ref_toks[-1] == 258:  # stream never emits eos
+        ref_toks = ref_toks[:-1]
+    assert toks == ref_toks
+
+
+def test_streaming_chat_deltas_concatenate(worker):
+    msgs = [{"role": "user", "content": "hello"}]
+    ref = _post(worker.base_url, "/v1/chat/completions",
+                {"messages": msgs, "max_tokens": 6, "temperature": 0.0})
+    events = _sse_events(worker.base_url, "/v1/chat/completions",
+                         {"messages": msgs, "max_tokens": 6,
+                          "temperature": 0.0, "stream": True})
+    text = "".join(e["choices"][0].get("delta", {}).get("content", "")
+                   for e in events)
+    assert text == ref["choices"][0]["message"]["content"]
+
+
+def test_streaming_rejects_multi_prompt(worker):
+    import urllib.error
+
+    req = urllib.request.Request(
+        worker.base_url + "/v1/completions",
+        data=json.dumps({"prompt_ids": [[1, 2], [3, 4]],
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 500

@@ -33,6 +33,7 @@ class AsyncPagedEngine:
         self._cv = threading.Condition()
         self._queue: list[dict] = []  # requests with engine-assigned _idx
         self._futures: dict[int, Future] = {}
+        self._streams: dict[int, list] = {}  # _idx -> [callback, n_pushed]
         self._next_idx = 0
         self._stop = False
         self._err: Optional[BaseException] = None
@@ -41,9 +42,14 @@ class AsyncPagedEngine:
         self._thread.start()
 
     # ------------------------------------------------------------- client
-    def submit(self, req: dict[str, Any]) -> "Future[dict]":
+    def submit(self, req: dict[str, Any],
+               on_token=None) -> "Future[dict]":
         """Enqueue one request; resolves to the output dict of
-        PagedGenerator._finish (token_ids, logprobs, finish_reason, ...)."""
+        PagedGenerator._finish (token_ids, logprobs, finish_reason, ...).
+
+        on_token: optional callable(token_id, logprob) invoked from the
+        engine thread after each decode step that grew this request — the
+        streaming hook (keep it cheap: it runs between device steps)."""
         fut: Future = Future()
         with self._cv:
             if self._stop:
@@ -54,6 +60,8 @@ class AsyncPagedEngine:
             self._next_idx += 1
             self._queue.append(dict(req, _idx=idx))
             self._futures[idx] = fut
+            if on_token is not None:
+                self._streams[idx] = [on_token, 0]  # callback, pushed count
             self._cv.notify()
         return fut
 
@@ -89,6 +97,8 @@ class AsyncPagedEngine:
                 local = queue_snapshot
                 while local or self.pg.has_live_slots():
                     self.pg.tick(local, results)
+                    if self._streams:
+                        self._push_stream_deltas(results)
                     if results:
                         for idx, out in list(results.items()):
                             fut = self._futures.pop(idx, None)
@@ -109,5 +119,29 @@ class AsyncPagedEngine:
                         if not fut.done():
                             fut.set_exception(e)
                     self._futures.clear()
+                    self._streams.clear()
                     self._queue.clear()
                 return
+
+    def _push_stream_deltas(self, results: dict[int, dict]) -> None:
+        """Invoke streaming callbacks for tokens grown since the last tick
+        (live slots) and for anything left at finish (results)."""
+        for slot in self.pg.slots:
+            if slot.done or slot.req is None:
+                continue
+            st = self._streams.get(slot.req["_idx"])
+            if st is None:
+                continue
+            cb, pushed = st
+            gen, lps = slot.tokens, slot.logprobs  # generated-only lists
+            n = min(len(gen), len(lps))
+            for j in range(pushed, n):
+                cb(int(gen[j]), float(lps[j]))
+            st[1] = n
+        for idx, out in results.items():
+            st = self._streams.pop(idx, None)
+            if st is None:
+                continue
+            cb, pushed = st
+            for j in range(pushed, len(out["token_ids"])):
+                cb(int(out["token_ids"][j]), float(out["logprobs"][j]))

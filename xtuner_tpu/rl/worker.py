@@ -140,31 +140,20 @@ class RolloutWorker:
         out["object"] = "chat.completion"
         return out
 
-    def complete(self, req: dict[str, Any]) -> dict[str, Any]:
-        """One /v1/completions request (token-ids native; text via tokenizer)."""
-        if self.paused:
-            raise PausedError()
-        params, version = self.store.get()
-        if params is None:
-            raise RuntimeError("rollout worker has no weights yet")
-
+    def _resolve_prompts(self, req: dict[str, Any]) -> list[list[int]]:
         if "prompt_ids" in req:
             prompt_lists = req["prompt_ids"]
             if prompt_lists and isinstance(prompt_lists[0], int):
                 prompt_lists = [prompt_lists]
-        else:
-            if self.tokenizer is None:
-                raise ValueError("text prompt requires a tokenizer on the worker")
-            texts = req.get("prompt", "")
-            texts = [texts] if isinstance(texts, str) else texts
-            prompt_lists = [self.tokenizer.encode(t, add_special_tokens=False) for t in texts]
-        n = int(req.get("n", 1))
-        rows = [p for p in prompt_lists for _ in range(n)]
-        p_max = max(len(p) for p in rows)
-        arr = np.full((len(rows), p_max), self.pad_token_id, np.int32)
-        for i, p in enumerate(rows):
-            arr[i, p_max - len(p):] = p  # left padding
+            return prompt_lists
+        if self.tokenizer is None:
+            raise ValueError("text prompt requires a tokenizer on the worker")
+        texts = req.get("prompt", "")
+        texts = [texts] if isinstance(texts, str) else texts
+        return [self.tokenizer.encode(t, add_special_tokens=False)
+                for t in texts]
 
+    def _merge_gen_cfg(self, req: dict[str, Any]):
         # map OpenAI/SampleParams names -> GenerateConfig names
         upd = {}
         if "max_tokens" in req:
@@ -174,7 +163,25 @@ class RolloutWorker:
                   "stop_token_ids", "top_logprobs"):
             if k in req:
                 upd[k] = req[k]
-        g = self.gen_defaults.model_copy(update=upd)
+        return self.gen_defaults.model_copy(update=upd)
+
+    def complete(self, req: dict[str, Any]) -> dict[str, Any]:
+        """One /v1/completions request (token-ids native; text via tokenizer)."""
+        if self.paused:
+            raise PausedError()
+        params, version = self.store.get()
+        if params is None:
+            raise RuntimeError("rollout worker has no weights yet")
+
+        prompt_lists = self._resolve_prompts(req)
+        n = int(req.get("n", 1))
+        rows = [p for p in prompt_lists for _ in range(n)]
+        p_max = max(len(p) for p in rows)
+        arr = np.full((len(rows), p_max), self.pad_token_id, np.int32)
+        for i, p in enumerate(rows):
+            arr[i, p_max - len(p):] = p  # left padding
+
+        g = self._merge_gen_cfg(req)
 
         from ..model.generate import penalties_active
         from ..model.paged_generate import paged_eligible
@@ -241,14 +248,13 @@ class RolloutWorker:
 
 
     # ------------------------------------------------------------------
-    def _complete_paged(self, params, prompt_lists, n: int, g, rng, req) -> dict:
-        """Paged continuous-batching rollout (model/paged_generate.py):
-        requests queue into fixed decode slots, same-prompt groups share
-        prompt blocks. Returns the dense-engine output dict shape."""
+    def _get_paged_engine(self, params, prompt_lists, g, rng, record: bool):
+        """Resolve (or build) the AsyncPagedEngine for this gen-cfg/shape
+        and return it with a call id that keeps prefix-sharing groups
+        unique across concurrent HTTP calls."""
         from ..model.async_engine import AsyncPagedEngine
         from ..model.paged_generate import PagedGenerator
 
-        record = bool(req.get("return_routing"))
         n_new = g.max_new_tokens
         p_max = max((len(p) for p in prompt_lists), default=1)
         bs = g.paged_block_size
@@ -268,9 +274,78 @@ class RolloutWorker:
                 eng = AsyncPagedEngine(pg)
                 self._paged_engines[key] = eng
             eng.pg.params = params
-            # group ids must be unique ACROSS concurrent calls — prefix
-            # sharing must never join two different HTTP requests' groups
             call_id = self._call_counter = getattr(self, "_call_counter", 0) + 1
+        return eng, call_id
+
+    def stream_complete(self, req: dict[str, Any], chat: bool = False):
+        """Streaming completion: yields OpenAI-style SSE `data:` payload
+        dicts per token, then a final finish event (handler adds the SSE
+        framing + [DONE]). Single prompt, n=1, paged engine only."""
+        if self.paused:
+            raise PausedError()
+        params, _ = self.store.get()
+        if params is None:
+            raise RuntimeError("rollout worker has no weights yet")
+        prompt_lists = self._resolve_prompts(req)
+        if len(prompt_lists) != 1 or int(req.get("n", 1)) != 1:
+            raise ValueError("stream=true supports a single prompt with n=1")
+        g = self._merge_gen_cfg(req)
+
+        from ..model.generate import penalties_active
+        from ..model.paged_generate import paged_eligible
+
+        if (penalties_active(g) or g.min_tokens > 0 or g.top_logprobs > 0
+                or not paged_eligible(self.model_cfg)):
+            raise ValueError("stream=true requires plain sampling on a "
+                             "paged-eligible model")
+        with self._gen_lock:
+            self._rng, rng = jax.random.split(self._rng)
+        eng, call_id = self._get_paged_engine(params, prompt_lists, g, rng,
+                                              record=False)
+        import queue as _queue
+
+        q: "_queue.Queue" = _queue.Queue()
+        fut = eng.submit({"prompt_ids": prompt_lists[0],
+                          "group": (call_id, 0)},
+                         on_token=lambda t, lp: q.put((t, lp)))
+        fut.add_done_callback(lambda f: q.put(None))
+        eos = (g.eos_token_id if g.eos_token_id is not None
+               else self.model_cfg.eos_token_id)
+        emitted_text = ""
+        toks: list[int] = []
+        while True:
+            item = q.get(timeout=600)
+            if item is None:
+                break
+            t, lp = item
+            if t == eos:
+                continue  # eos never surfaces as content
+            toks.append(t)
+            ev: dict[str, Any] = {"index": 0, "logprob": lp}
+            if self.tokenizer is not None:
+                # suffix-diff decode: BPE pieces only become text once the
+                # boundary resolves, so decode-all-and-diff
+                full = self.tokenizer.decode(toks)
+                delta, emitted_text = full[len(emitted_text):], full
+                if chat:
+                    ev["delta"] = {"content": delta}
+                else:
+                    ev["text"] = delta
+            ev["token_id"] = t
+            yield ev
+        out = fut.result()  # re-raise engine errors
+        finish = "stop" if eos in out["token_ids"] else "length"
+        yield {"index": 0, "finish_reason": finish,
+               **({"delta": {}} if chat else {"text": ""})}
+
+    def _complete_paged(self, params, prompt_lists, n: int, g, rng, req) -> dict:
+        """Paged continuous-batching rollout (model/paged_generate.py):
+        requests queue into fixed decode slots, same-prompt groups share
+        prompt blocks. Returns the dense-engine output dict shape."""
+        record = bool(req.get("return_routing"))
+        n_new = g.max_new_tokens
+        eng, call_id = self._get_paged_engine(params, prompt_lists, g, rng,
+                                              record=record)
         requests = [{"prompt_ids": p, "group": (call_id, gi)}
                     for gi, p in enumerate(prompt_lists) for _ in range(n)]
         outs = eng.generate(requests)
@@ -316,6 +391,43 @@ def _make_handler(worker: RolloutWorker):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_sse(self, events) -> None:
+            """OpenAI-style SSE stream: one `data: {json}` frame per event,
+            then `data: [DONE]`. Connection: close (no chunked framing
+            needed on HTTP/1.1 with an explicit close)."""
+            # prime the generator BEFORE sending headers so validation
+            # errors (bad params, paused) surface as real HTTP errors
+            it = iter(events)
+            try:
+                first = next(it)
+            except StopIteration:
+                first = None
+
+            def _chain():
+                if first is not None:
+                    yield first
+                yield from it
+
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for ev in _chain():
+                    self.wfile.write(
+                        b"data: " + json.dumps({"choices": [ev]}).encode()
+                        + b"\n\n")
+                    self.wfile.flush()
+            except Exception as e:  # headers already sent: error as a frame
+                logger.error(f"stream error: {e!r}")
+                self.wfile.write(
+                    b"data: " + json.dumps({"error": repr(e)}).encode()
+                    + b"\n\n")
+            finally:
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "paused" if worker.paused else "ok",
@@ -327,8 +439,30 @@ def _make_handler(worker: RolloutWorker):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
             try:
-                if self.path == "/v1/completions":
+                if self.path == "/v1/completions" and req.get("stream"):
+                    self._send_sse(worker.stream_complete(req, chat=False))
+                elif self.path == "/v1/completions":
                     self._send(200, worker.complete(req))
+                elif self.path == "/v1/chat/completions" and req.get("stream"):
+                    from ..data_proto.templates import get_chat_template
+
+                    if worker.chat_template is None:
+                        raise ValueError("streaming chat needs chat_template")
+                    t = get_chat_template(worker.chat_template)
+                    text = ""
+                    msgs = req.get("messages", [])
+                    sys_msgs = [m for m in msgs if m.get("role") == "system"]
+                    if sys_msgs:
+                        text += t.system.format(system=sys_msgs[0]["content"])
+                    elif t.default_system:
+                        text += t.system.format(system=t.default_system)
+                    for m in msgs:
+                        if m["role"] == "user":
+                            text += t.user.format(user=m["content"])
+                        elif m["role"] == "assistant":
+                            text += t.assistant.format(assistant=m["content"])
+                    self._send_sse(worker.stream_complete(
+                        {**req, "prompt": text}, chat=True))
                 elif self.path == "/v1/chat/completions":
                     self._send(200, worker.chat_complete(req))
                 elif self.path == "/pause":
