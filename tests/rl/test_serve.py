@@ -184,3 +184,25 @@ def test_streaming_rejects_multi_prompt(worker):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=60)
     assert exc.value.code == 500
+
+
+def test_logit_bias_forces_token(worker):
+    # +100 bias on one token makes greedy decoding pick it every step
+    out = _post(worker.base_url, "/v1/completions",
+                {"prompt_ids": [5, 6, 7], "max_tokens": 4,
+                 "temperature": 0.0, "logit_bias": {"42": 100.0}})
+    assert out["choices"][0]["token_ids"] == [42, 42, 42, 42]
+
+
+def test_stop_strings_halt_generation(worker):
+    # force a repeating token via logit_bias, stop on its text
+    tok = worker.tokenizer
+    stop_txt = tok.decode([65])  # byte 'A' in the toy UTF8 tokenizer
+    out = _post(worker.base_url, "/v1/completions",
+                {"prompt_ids": [5, 6, 7], "max_tokens": 8,
+                 "temperature": 0.0, "logit_bias": {"65": 100.0},
+                 "stop": [stop_txt]})
+    ch = out["choices"][0]
+    assert ch["finish_reason"] == "stop"
+    assert len(ch["token_ids"]) == 1  # halted at the first stop match
+    assert ch["text"] == ""  # stop string truncated from the wire text

@@ -43,6 +43,7 @@ class GenerateConfig(BaseModel):
     frequency_penalty: float = 0.0  # additive, scales with occurrence count
     min_tokens: int = 0  # suppress eos/stop ids for the first N new tokens
     stop_token_ids: list[int] = []  # extra terminators beyond eos
+    logit_bias: dict[int, float] = {}  # OpenAI logit_bias: token id -> bias
     top_logprobs: int = 0  # also return the top-K alternatives per position
     # rollout engine: "auto" = paged continuous batching when the attention
     # variant supports it (model/paged_generate.py), else the dense cache
@@ -244,6 +245,10 @@ def _suppress_stops(logits, gen_cfg: GenerateConfig, n_generated, eos):
 def _sample(logits, rng, gen_cfg: GenerateConfig, seen=None, gen_counts=None,
             n_generated=None, eos=None):
     """logits (B, V) fp32 -> token ids (B,)."""
+    if gen_cfg.logit_bias:
+        ids = jnp.asarray(list(gen_cfg.logit_bias.keys()), jnp.int32)
+        vals = jnp.asarray(list(gen_cfg.logit_bias.values()), logits.dtype)
+        logits = logits.at[:, ids].add(vals)
     logits = _apply_penalties(logits, gen_cfg, seen, gen_counts)
     if n_generated is not None and eos is not None:
         logits = _suppress_stops(logits, gen_cfg, n_generated, eos)

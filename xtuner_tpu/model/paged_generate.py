@@ -1029,6 +1029,14 @@ class PagedGenerator:
             if s.tokens and s.tokens[-1] == eos:
                 ridx = s.req["_idx"]
                 results[ridx] = self._finish(s, "stop")
+            elif s.tokens and any(
+                    len(s.tokens) >= len(seq) and s.tokens[-len(seq):] == seq
+                    for seq in s.req.get("_stop_seqs", ())):
+                # multi-token stop sequences (worker maps OpenAI `stop`
+                # strings to id sequences); token-level match — the worker
+                # additionally truncates the decoded text
+                ridx = s.req["_idx"]
+                results[ridx] = self._finish(s, "stop")
             elif s.remaining <= 0:
                 ridx = s.req["_idx"]
                 results[ridx] = self._finish(s, "length")

@@ -163,7 +163,23 @@ class RolloutWorker:
                   "stop_token_ids", "top_logprobs"):
             if k in req:
                 upd[k] = req[k]
+        if "logit_bias" in req:  # JSON object keys arrive as strings
+            upd["logit_bias"] = {int(k): float(v)
+                                 for k, v in req["logit_bias"].items()}
         return self.gen_defaults.model_copy(update=upd)
+
+    def _stop_seqs(self, req: dict[str, Any]) -> list[list[int]]:
+        """OpenAI `stop` strings -> token-id sequences (paged early stop)."""
+        stops = req.get("stop")
+        if not stops or self.tokenizer is None:
+            return []
+        stops = [stops] if isinstance(stops, str) else list(stops)
+        out = []
+        for t in stops:
+            ids = self.tokenizer.encode(t, add_special_tokens=False)
+            if ids:
+                out.append(list(ids))
+        return out
 
     def complete(self, req: dict[str, Any]) -> dict[str, Any]:
         """One /v1/completions request (token-ids native; text via tokenizer)."""
@@ -215,7 +231,10 @@ class RolloutWorker:
         choices = []
         for i in range(len(rows)):
             toks = out["generated"][i].tolist()
-            if eos in toks:
+            if "n_resp" in out:  # paged engine reports truth directly
+                n_resp = out["n_resp"][i]
+                finish = out["finish"][i]
+            elif eos in toks:
                 n_resp = toks.index(eos) + 1
                 finish = "stop"
             else:
@@ -236,9 +255,15 @@ class RolloutWorker:
                         for j in range(n_resp)]
             if self.tokenizer is not None:
                 stripped = toks[:n_resp]
-                if finish == "stop":
+                if finish == "stop" and stripped and stripped[-1] == eos:
                     stripped = stripped[:-1]
-                choice["text"] = self.tokenizer.decode(stripped)
+                text = self.tokenizer.decode(stripped)
+                stops = req.get("stop")
+                for st in ([stops] if isinstance(stops, str) else stops or []):
+                    cut = text.find(st)
+                    if cut >= 0:
+                        text = text[:cut]
+                choice["text"] = text
             if "routed_experts" in out and req.get("return_routing"):
                 choice["routed_experts"] = np.asarray(
                     out["routed_experts"][i][:n_resp]).tolist()
@@ -346,7 +371,9 @@ class RolloutWorker:
         n_new = g.max_new_tokens
         eng, call_id = self._get_paged_engine(params, prompt_lists, g, rng,
                                               record=record)
-        requests = [{"prompt_ids": p, "group": (call_id, gi)}
+        stop_seqs = self._stop_seqs(req)
+        requests = [{"prompt_ids": p, "group": (call_id, gi),
+                     **({"_stop_seqs": stop_seqs} if stop_seqs else {})}
                     for gi, p in enumerate(prompt_lists) for _ in range(n)]
         outs = eng.generate(requests)
 
@@ -367,6 +394,10 @@ class RolloutWorker:
                     routed = np.zeros((b, n_new, *r.shape[1:]), np.int32)
                 routed[i, :r.shape[0]] = r[:n_new]
         out["generated"] = generated
+        # true per-row lengths + reasons: eos-padding alone cannot recover
+        # them (a stop-sequence finish has no real eos)
+        out["n_resp"] = [min(len(o["token_ids"]), n_new) for o in outs]
+        out["finish"] = [o["finish_reason"] for o in outs]
         if req.get("logprobs", True):
             out["logprobs"] = lps
         if routed is not None:
