@@ -413,6 +413,8 @@ class _Slot:
     tokens: list = field(default_factory=list)
     logprobs: list = field(default_factory=list)
     routings: list = field(default_factory=list)
+    top_ids: list = field(default_factory=list)  # per-step top-K alt ids
+    top_lps: list = field(default_factory=list)
     done: bool = True  # free
     spec_steps: int = 0  # MTP verify steps taken / drafts accepted
     spec_accepted: int = 0
@@ -484,9 +486,11 @@ class PagedGenerator:
             if record_routing:
                 raise ValueError("mtp_speculative does not support "
                                  "record_routing (use plain paged decode)")
-            if penalties_active(gen_cfg) or gen_cfg.min_tokens > 0:
+            if penalties_active(gen_cfg) or gen_cfg.min_tokens > 0 \
+                    or gen_cfg.top_logprobs > 0:
                 raise ValueError("mtp_speculative is incompatible with "
-                                 "repetition penalties / min_tokens")
+                                 "repetition penalties / min_tokens / "
+                                 "top_logprobs")
             # the MTP layer's KV rides the same pool, one extra layer slot
             self._mtp_layer = n_layers_total
             n_layers_total += 1
@@ -518,6 +522,19 @@ class PagedGenerator:
         # live sequence's block; never handed out by the allocator
         self.cache.allocator.refcount[0] = 1
         self.slots = [_Slot() for _ in range(max_batch)]
+        # sampling-state features (dense-engine parity, generate.py:340-391):
+        # penalties keep device-resident (B, V) seen/count state updated
+        # in-step; min_tokens feeds per-slot generated-counts; top_logprobs
+        # returns per-step top-K alternatives
+        from .generate import penalties_active
+
+        self.penalized = penalties_active(gen_cfg)
+        self.use_min = gen_cfg.min_tokens > 0
+        self.top_k_lp = int(gen_cfg.top_logprobs)
+        if self.penalized:
+            v = cfg.vocab_size
+            self._seen = jnp.zeros((max_batch, v), bool)
+            self._counts = jnp.zeros((max_batch, v), jnp.int32)
         self._next_seq = 0
         self._rng = rng if rng is not None else jax.random.key(0)
         self._prefill_fns: dict[int, Any] = {}
@@ -653,8 +670,11 @@ class PagedGenerator:
         gen_cfg = self.gen_cfg
         trunk = self._make_trunk(self.record_routing)
 
+        use_pen, use_min, k_lp = self.penalized, self.use_min, self.top_k_lp
+        eos = self.eos_id
+
         def step(params, pool_k, pool_v, gdn_state, tok, seq_lens, block_table,
-                 active, rng):
+                 active, rng, seen, counts, n_gen):
             x = jnp.take(params["embed"]["w"], tok[:, None], axis=0).astype(dtype)
             cos, sin = rope_cos_sin(seq_lens[:, None], _rope_dim(cfg.attention),
                                     cfg.rope_theta, cfg.rope_scaling_cfg,
@@ -666,14 +686,29 @@ class PagedGenerator:
                          cfg.rms_norm_eps, cfg.rms_norm_type == "zero_centered")[:, -1]
             logits = jnp.dot(x.astype(dtype), model.lm_head_weight(params).astype(dtype),
                              preferred_element_type=jnp.float32)
-            new_tok = _sample(logits, rng, gen_cfg)
-            lp = jax.nn.log_softmax(logits, axis=-1)
-            lp = jnp.take_along_axis(lp, new_tok[:, None], axis=-1)[:, 0]
+            if use_pen:
+                # dense-parity update order (generate.py:375-379): the fed
+                # token joins seen/counts BEFORE sampling its successor
+                rows = jnp.arange(tok.shape[0])
+                counts = counts.at[rows, tok].add(active.astype(jnp.int32))
+                seen = seen | (jnp.zeros_like(seen).at[rows, tok].set(True)
+                               & active[:, None])
+            new_tok = _sample(logits, rng, gen_cfg,
+                              seen if use_pen else None,
+                              counts if use_pen else None,
+                              n_generated=n_gen[:, None] if use_min else None,
+                              eos=eos if use_min else None)
+            lps_full = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(lps_full, new_tok[:, None], axis=-1)[:, 0]
+            top = (jax.lax.top_k(lps_full, k_lp) if k_lp > 0
+                   else (jnp.zeros((tok.shape[0], 0), jnp.float32),
+                         jnp.zeros((tok.shape[0], 0), jnp.int32)))
             new_tok = jnp.where(active, new_tok, self.pad_token_id)
             new_lens = jnp.where(active, seq_lens + 1, seq_lens)
-            return new_tok, lp, new_lens, pool_k, pool_v, gdn_state, rout
+            return (new_tok, lp, new_lens, pool_k, pool_v, gdn_state, rout,
+                    seen, counts, top[0], top[1])
 
-        self._decode_fn = jax.jit(step, donate_argnums=(1, 2, 3))
+        self._decode_fn = jax.jit(step, donate_argnums=(1, 2, 3, 9, 10))
         return self._decode_fn
 
     def _spec_decode(self):
@@ -824,7 +859,17 @@ class PagedGenerator:
                     li += ck.shape[0]
             r_tok, r_draft = jax.random.split(rng)
             last = jnp.take(logits, last_idx[None], axis=1)[:, 0]
-            tok = _sample(last, r_tok, gen_cfg)
+            seen0 = counts0 = None
+            if self.penalized:
+                v = cfg.vocab_size
+                seen0 = (jnp.zeros((1, v), jnp.float32).at[
+                    jnp.zeros_like(prompt), prompt].add(
+                        kv_mask.astype(jnp.float32)) > 0)
+                counts0 = jnp.zeros((1, v), jnp.int32)
+            tok = _sample(last, r_tok, gen_cfg, seen0, counts0,
+                          n_generated=(jnp.zeros((1, 1), jnp.int32)
+                                       if self.use_min else None),
+                          eos=self.eos_id if self.use_min else None)
             lp = jax.nn.log_softmax(last, axis=-1)
             lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
             rout = (jnp.take(routing, last_idx[None], axis=1)[:, 0]
@@ -918,7 +963,16 @@ class PagedGenerator:
             # sibling samples its OWN first token from the leader's cached
             # last-position logits (no re-prefill)
             self._rng, r = jax.random.split(self._rng)
-            tok_a = _sample(leader_logits, r, self.gen_cfg)
+            seen0 = counts0 = None
+            if self.penalized:
+                v = self.model.cfg.vocab_size
+                seen0 = jnp.zeros((1, v), bool).at[
+                    0, jnp.asarray(prompt, jnp.int32)].set(True)
+                counts0 = jnp.zeros((1, v), jnp.int32)
+            tok_a = _sample(leader_logits, r, self.gen_cfg, seen0, counts0,
+                            n_generated=(jnp.zeros((1, 1), jnp.int32)
+                                         if self.use_min else None),
+                            eos=self.eos_id if self.use_min else None)
             lp_a = jax.nn.log_softmax(leader_logits, axis=-1)
             lp_a = jnp.take_along_axis(lp_a, tok_a[:, None], axis=-1)[:, 0]
             tok, lp = int(tok_a[0]), float(lp_a[0])
@@ -967,6 +1021,23 @@ class PagedGenerator:
         slot.tokens = [tok]
         slot.logprobs = [lp]
         slot.routings = [rout] if (rout is not None and self.record_routing) else []
+        slot.top_ids, slot.top_lps = [], []
+        if self.top_k_lp > 0:
+            row = leader_logits if shared else last  # (1, V) last-pos logits
+            tv, ti = jax.lax.top_k(jax.nn.log_softmax(row, axis=-1),
+                                   self.top_k_lp)
+            slot.top_ids = [np.asarray(ti[0])]
+            slot.top_lps = [np.asarray(tv[0])]
+        if self.penalized:
+            # reset this slot's device-resident penalty state: prompt tokens
+            # are "seen"; generated counts start at zero (the first decode
+            # step folds the first sampled token in, generate.py parity)
+            v = self.model.cfg.vocab_size
+            srow = jnp.zeros((v,), bool).at[
+                jnp.asarray(prompt, jnp.int32)].set(True)
+            self._seen = self._seen.at[slot_idx].set(srow)
+            self._counts = self._counts.at[slot_idx].set(
+                jnp.zeros((v,), jnp.int32))
         slot.spec_steps = slot.spec_accepted = 0
         slot.done = False
         slot.remaining -= 1
@@ -981,6 +1052,9 @@ class PagedGenerator:
         }
         if self.record_routing and slot.routings:
             out["routed_experts"] = np.stack(slot.routings)  # (N, nL, K)
+        if slot.top_ids:
+            out["top_logprob_ids"] = np.stack(slot.top_ids)  # (N, K)
+            out["top_logprobs"] = np.stack(slot.top_lps)
         if self.speculative:
             out["spec_steps"] = slot.spec_steps
             out["spec_accepted"] = slot.spec_accepted
@@ -1026,7 +1100,8 @@ class PagedGenerator:
         # finish slots that hit eos at admission or ran out of budget
         for i in list(active_idx):
             s = self.slots[i]
-            if s.tokens and s.tokens[-1] == eos:
+            if s.tokens and (s.tokens[-1] == eos
+                             or s.tokens[-1] in self.gen_cfg.stop_token_ids):
                 ridx = s.req["_idx"]
                 results[ridx] = self._finish(s, "stop")
             elif s.tokens and any(
@@ -1065,19 +1140,35 @@ class PagedGenerator:
             ids = self.cache.tables[s.seq_id]
             table[i, :len(ids)] = ids
 
+        n_gen = np.zeros((b,), np.int32)
+        for i in active_idx:
+            n_gen[i] = len(self.slots[i].tokens)
+        if self.penalized:
+            seen, counts = self._seen, self._counts
+        else:
+            seen = jnp.zeros((b, 0), bool)
+            counts = jnp.zeros((b, 0), jnp.int32)
         self._rng, r = jax.random.split(self._rng)
         (new_tok, lp, new_lens, self.cache.pool_k, self.cache.pool_v,
-         self.gdn_state, rout) = step_fn(
+         self.gdn_state, rout, seen, counts, top_lp, top_ids) = step_fn(
             self.params, self.cache.pool_k, self.cache.pool_v,
             self.gdn_state, jnp.asarray(tok), jnp.asarray(lens),
-            jnp.asarray(table), jnp.asarray(active), r)
+            jnp.asarray(table), jnp.asarray(active), r, seen, counts,
+            jnp.asarray(n_gen))
+        if self.penalized:
+            self._seen, self._counts = seen, counts
         new_tok = np.asarray(new_tok)
         lp = np.asarray(lp)
         rout = np.asarray(rout)
+        if self.top_k_lp > 0:
+            top_lp, top_ids = np.asarray(top_lp), np.asarray(top_ids)
         for i in active_idx:
             s = self.slots[i]
             s.tokens.append(int(new_tok[i]))
             s.logprobs.append(float(lp[i]))
+            if self.top_k_lp > 0:
+                s.top_ids.append(top_ids[i])
+                s.top_lps.append(top_lp[i])
             if self.record_routing and rout.size:
                 s.routings.append(rout[i])
             s.remaining -= 1

@@ -199,17 +199,15 @@ class RolloutWorker:
 
         g = self._merge_gen_cfg(req)
 
-        from ..model.generate import penalties_active
         from ..model.paged_generate import paged_eligible
         from .spans import span
 
-        # penalty/min-token/top-logprob sampling state is implemented on the
-        # dense engine's loop; fall back when configured
-        plain_sampling = (not penalties_active(g) and g.min_tokens <= 0
-                          and g.top_logprobs <= 0)
-        use_paged = plain_sampling and (
-            g.engine == "paged"
-            or (g.engine == "auto" and paged_eligible(self.model_cfg)))
+        # the paged engine carries the full sampling-state surface
+        # (penalties via device-resident seen/count rows, min_tokens,
+        # top_logprobs, stop ids/sequences, logit_bias)
+        use_paged = (g.engine == "paged"
+                     or (g.engine == "auto"
+                         and paged_eligible(self.model_cfg)))
         if use_paged:
             # no lock: the async engine loop serializes device access, so
             # CONCURRENT requests share one batched decode (late arrivals
@@ -319,9 +317,8 @@ class RolloutWorker:
         from ..model.generate import penalties_active
         from ..model.paged_generate import paged_eligible
 
-        if (penalties_active(g) or g.min_tokens > 0 or g.top_logprobs > 0
-                or not paged_eligible(self.model_cfg)):
-            raise ValueError("stream=true requires plain sampling on a "
+        if g.top_logprobs > 0 or not paged_eligible(self.model_cfg):
+            raise ValueError("stream=true requires top_logprobs=0 and a "
                              "paged-eligible model")
         with self._gen_lock:
             self._rng, rng = jax.random.split(self._rng)
@@ -398,6 +395,16 @@ class RolloutWorker:
         # them (a stop-sequence finish has no real eos)
         out["n_resp"] = [min(len(o["token_ids"]), n_new) for o in outs]
         out["finish"] = [o["finish_reason"] for o in outs]
+        if g.top_logprobs > 0 and outs and "top_logprob_ids" in outs[0]:
+            k = g.top_logprobs
+            tids = np.zeros((b, n_new, k), np.int32)
+            tlps = np.zeros((b, n_new, k), np.float32)
+            for i, o in enumerate(outs):
+                m = min(len(o["top_logprob_ids"]), n_new)
+                tids[i, :m] = o["top_logprob_ids"][:m]
+                tlps[i, :m] = o["top_logprobs"][:m]
+            out["top_logprob_ids"] = tids
+            out["top_logprobs"] = tlps
         if req.get("logprobs", True):
             out["logprobs"] = lps
         if routed is not None:
