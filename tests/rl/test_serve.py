@@ -206,3 +206,18 @@ def test_stop_strings_halt_generation(worker):
     assert ch["finish_reason"] == "stop"
     assert len(ch["token_ids"]) == 1  # halted at the first stop match
     assert ch["text"] == ""  # stop string truncated from the wire text
+
+
+def test_sampling_param_change_reuses_engine(worker):
+    """Different temperature/top_p/penalties must NOT build a new paged
+    engine (per-request values ride as traced rows in one program — a
+    remote recompile costs minutes on TPU)."""
+    worker._paged_engines.clear()
+    base = {"prompt_ids": [5, 6, 7], "max_tokens": 4}
+    _post(worker.base_url, "/v1/completions", {**base, "temperature": 0.7})
+    _post(worker.base_url, "/v1/completions", {**base, "temperature": 1.3})
+    _post(worker.base_url, "/v1/completions",
+          {**base, "temperature": 0.9, "repetition_penalty": 1.2,
+           "presence_penalty": 0.5})
+    # temp changes share one engine; penalties flip a class bit -> second
+    assert len(worker._paged_engines) == 2

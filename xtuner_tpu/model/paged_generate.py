@@ -64,6 +64,88 @@ def paged_eligible(model_cfg) -> bool:
     return isinstance(attn, (MHAConfig, MLAConfig))  # DSAConfig ⊂ MLAConfig
 
 
+
+# ---------------------------------------------------------------- sampling
+# Per-request sampling on ONE compiled program. The dense engine bakes
+# sampling params into the jit (fine there: one batch, one config); the
+# serving engine cannot afford a multi-minute remote recompile whenever a
+# request changes temperature, so numeric params ride as traced per-slot
+# rows and only COARSE CLASS BITS (greedy vs sampled, top-k/top-p in use,
+# penalties in use, min_tokens in use) specialize the program — see
+# PagedGenerator._sampling_class.
+
+ROW_PARAM_DEFAULTS = {
+    "temperature": 1.0, "top_p": 1.0, "top_k": 0,
+    "repetition_penalty": 1.0, "presence_penalty": 0.0,
+    "frequency_penalty": 0.0, "min_tokens": 0,
+}
+
+
+def _row_params(gen_cfg, reqs_or_none, b):
+    """(B,)-array dict: per-request overrides falling back to gen_cfg."""
+    out = {}
+    for k, dflt in ROW_PARAM_DEFAULTS.items():
+        base = getattr(gen_cfg, k, dflt)
+        vals = []
+        for r in (reqs_or_none or [None] * b):
+            v = base if r is None else r.get(k, base)
+            vals.append(v)
+        dt = np.int32 if isinstance(dflt, int) else np.float32
+        out[k] = np.asarray(vals, dt)
+    return out
+
+
+def _sample_rows(logits, rng, row, cls, gen_cfg, seen, counts, n_gen, eos):
+    """Row-wise _sample: logits (B, V) f32 -> (B,) ids.
+
+    row: dict of (B,) arrays (ROW_PARAM_DEFAULTS keys); cls: static class
+    bits (do_sample, use_filter, use_pen, use_min). logit_bias stays
+    compile-time (engine-keyed)."""
+    if gen_cfg.logit_bias:
+        ids = jnp.asarray(list(gen_cfg.logit_bias.keys()), jnp.int32)
+        vals = jnp.asarray(list(gen_cfg.logit_bias.values()), logits.dtype)
+        logits = logits.at[:, ids].add(vals)
+    if cls["use_pen"]:
+        rp = row["repetition_penalty"][:, None]
+        pen = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(seen & (rp != 1.0), pen, logits)
+        c = counts.astype(jnp.float32)
+        logits = (logits
+                  - row["presence_penalty"][:, None] * (c > 0)
+                  - row["frequency_penalty"][:, None] * c)
+    if cls["use_min"]:
+        ids = [eos] + [t for t in gen_cfg.stop_token_ids if t != eos]
+        blocked = jnp.zeros((logits.shape[-1],), bool)
+        for t in ids:
+            if t is not None:
+                blocked = blocked.at[t].set(True)
+        logits = jnp.where(
+            blocked[None, :] & (n_gen[:, None] < row["min_tokens"][:, None]),
+            -jnp.inf, logits)
+    if not cls["do_sample"]:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp = jnp.maximum(row["temperature"], 1e-6)[:, None]
+    filt = logits / temp
+    if cls["use_filter"]:
+        srt = jnp.sort(filt, axis=-1)[:, ::-1]  # (B, V) descending
+        v = filt.shape[-1]
+        # traced top-k: rows with top_k<=0 keep everything
+        k_idx = jnp.clip(jnp.where(row["top_k"] > 0, row["top_k"], v) - 1,
+                         0, v - 1)
+        kth = jnp.take_along_axis(srt, k_idx[:, None], axis=-1)
+        filt = jnp.where(filt < kth, -jnp.inf, filt)
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < row["top_p"][:, None], axis=-1)
+        cutoff = jnp.take_along_axis(srt, cutoff_idx[:, None], axis=-1)
+        filt = jnp.where(filt < cutoff, -jnp.inf, filt)
+    sampled = jax.random.categorical(rng, filt).astype(jnp.int32)
+    # per-row greedy: temperature 0 rows argmax the UNSCALED logits
+    return jnp.where(row["temperature"] <= 0.0, greedy, sampled)
+
+
+
 # ------------------------------------------------------------------ layers
 
 def _pool_gather(pool, layer, block_table):
@@ -528,8 +610,18 @@ class PagedGenerator:
         # returns per-step top-K alternatives
         from .generate import penalties_active
 
-        self.penalized = penalties_active(gen_cfg)
-        self.use_min = gen_cfg.min_tokens > 0
+        # coarse sampling CLASS BITS specialize the compiled program;
+        # numeric values ride as per-slot traced rows (_sample_rows) so a
+        # request changing temperature/top_p/penalty strengths never
+        # recompiles (remote compiles cost minutes on the tunnel)
+        self.cls = {
+            "do_sample": bool(gen_cfg.do_sample and gen_cfg.temperature != 0.0),
+            "use_filter": gen_cfg.top_k > 0 or gen_cfg.top_p < 1.0,
+            "use_pen": penalties_active(gen_cfg),
+            "use_min": gen_cfg.min_tokens > 0,
+        }
+        self.penalized = self.cls["use_pen"]
+        self.use_min = self.cls["use_min"]
         self.top_k_lp = int(gen_cfg.top_logprobs)
         if self.penalized:
             v = cfg.vocab_size
@@ -674,7 +766,7 @@ class PagedGenerator:
         eos = self.eos_id
 
         def step(params, pool_k, pool_v, gdn_state, tok, seq_lens, block_table,
-                 active, rng, seen, counts, n_gen):
+                 active, rng, seen, counts, n_gen, row):
             x = jnp.take(params["embed"]["w"], tok[:, None], axis=0).astype(dtype)
             cos, sin = rope_cos_sin(seq_lens[:, None], _rope_dim(cfg.attention),
                                     cfg.rope_theta, cfg.rope_scaling_cfg,
@@ -693,11 +785,8 @@ class PagedGenerator:
                 counts = counts.at[rows, tok].add(active.astype(jnp.int32))
                 seen = seen | (jnp.zeros_like(seen).at[rows, tok].set(True)
                                & active[:, None])
-            new_tok = _sample(logits, rng, gen_cfg,
-                              seen if use_pen else None,
-                              counts if use_pen else None,
-                              n_generated=n_gen[:, None] if use_min else None,
-                              eos=eos if use_min else None)
+            new_tok = _sample_rows(logits, rng, row, self.cls, gen_cfg,
+                                   seen, counts, n_gen, eos)
             lps_full = jax.nn.log_softmax(logits, axis=-1)
             lp = jnp.take_along_axis(lps_full, new_tok[:, None], axis=-1)[:, 0]
             top = (jax.lax.top_k(lps_full, k_lp) if k_lp > 0
@@ -809,7 +898,7 @@ class PagedGenerator:
             return cp.reshape(n, n_blocks, bs, *c.shape[3:])
 
         def run(params, pool_k, pool_v, gdn_state, slot, prompt, positions,
-                kv_mask, block_table, last_idx, rng):
+                kv_mask, block_table, last_idx, rng, row):
             pad = n_blocks * bs - p_bucket
             snap: dict = {}
             if self.is_hybrid:
@@ -859,17 +948,18 @@ class PagedGenerator:
                     li += ck.shape[0]
             r_tok, r_draft = jax.random.split(rng)
             last = jnp.take(logits, last_idx[None], axis=1)[:, 0]
-            seen0 = counts0 = None
             if self.penalized:
                 v = cfg.vocab_size
                 seen0 = (jnp.zeros((1, v), jnp.float32).at[
                     jnp.zeros_like(prompt), prompt].add(
                         kv_mask.astype(jnp.float32)) > 0)
                 counts0 = jnp.zeros((1, v), jnp.int32)
-            tok = _sample(last, r_tok, gen_cfg, seen0, counts0,
-                          n_generated=(jnp.zeros((1, 1), jnp.int32)
-                                       if self.use_min else None),
-                          eos=self.eos_id if self.use_min else None)
+            else:
+                seen0 = jnp.zeros((1, 0), bool)
+                counts0 = jnp.zeros((1, 0), jnp.int32)
+            tok = _sample_rows(last, r_tok, row, self.cls, gen_cfg, seen0,
+                               counts0, jnp.zeros((1,), jnp.int32),
+                               self.eos_id)
             lp = jax.nn.log_softmax(last, axis=-1)
             lp = jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
             rout = (jnp.take(routing, last_idx[None], axis=1)[:, 0]
@@ -963,16 +1053,18 @@ class PagedGenerator:
             # sibling samples its OWN first token from the leader's cached
             # last-position logits (no re-prefill)
             self._rng, r = jax.random.split(self._rng)
-            seen0 = counts0 = None
             if self.penalized:
                 v = self.model.cfg.vocab_size
                 seen0 = jnp.zeros((1, v), bool).at[
                     0, jnp.asarray(prompt, jnp.int32)].set(True)
                 counts0 = jnp.zeros((1, v), jnp.int32)
-            tok_a = _sample(leader_logits, r, self.gen_cfg, seen0, counts0,
-                            n_generated=(jnp.zeros((1, 1), jnp.int32)
-                                         if self.use_min else None),
-                            eos=self.eos_id if self.use_min else None)
+            else:
+                seen0 = jnp.zeros((1, 0), bool)
+                counts0 = jnp.zeros((1, 0), jnp.int32)
+            row1 = _row_params(self.gen_cfg, [req], 1)
+            tok_a = _sample_rows(leader_logits, r, row1, self.cls,
+                                 self.gen_cfg, seen0, counts0,
+                                 jnp.zeros((1,), jnp.int32), self.eos_id)
             lp_a = jax.nn.log_softmax(leader_logits, axis=-1)
             lp_a = jnp.take_along_axis(lp_a, tok_a[:, None], axis=-1)[:, 0]
             tok, lp = int(tok_a[0]), float(lp_a[0])
@@ -993,6 +1085,10 @@ class PagedGenerator:
             positions = jnp.minimum(jnp.arange(pb, dtype=jnp.int32), p_len - 1)[None]
             kv_mask = (jnp.arange(pb) < p_len)[None]
             self._rng, r = jax.random.split(self._rng)
+            # spec mode ignores per-request overrides: the verify step's
+            # accept/reject distribution is compiled from gen_cfg
+            row1 = _row_params(self.gen_cfg,
+                               None if self.speculative else [req], 1)
             if self.speculative:
                 (tok_a, lp_a, self.cache.pool_k, self.cache.pool_v,
                  self.gdn_state, snap, rout, last, draft_a, d_logits) = \
@@ -1000,7 +1096,7 @@ class PagedGenerator:
                         self.params, self.cache.pool_k, self.cache.pool_v,
                         self.gdn_state, jnp.int32(slot_idx), prompt_arr,
                         positions, kv_mask, jnp.asarray(table),
-                        jnp.int32(p_len - 1), r)
+                        jnp.int32(p_len - 1), r, row1)
                 self._draft[slot_idx] = int(np.asarray(draft_a)[0])
                 self._draft_logits = self._draft_logits.at[slot_idx].set(
                     d_logits[0])
@@ -1010,7 +1106,7 @@ class PagedGenerator:
                     self.params, self.cache.pool_k, self.cache.pool_v,
                     self.gdn_state, jnp.int32(slot_idx), prompt_arr,
                     positions, kv_mask, jnp.asarray(table),
-                    jnp.int32(p_len - 1), r)
+                    jnp.int32(p_len - 1), r, row1)
             tok, lp = int(tok_a[0]), float(lp_a[0])
             rout = np.asarray(rout[0]) if rout.size else None
             if group is not None:
@@ -1148,13 +1244,15 @@ class PagedGenerator:
         else:
             seen = jnp.zeros((b, 0), bool)
             counts = jnp.zeros((b, 0), jnp.int32)
+        row = _row_params(self.gen_cfg,
+                          [s.req for s in self.slots], b)
         self._rng, r = jax.random.split(self._rng)
         (new_tok, lp, new_lens, self.cache.pool_k, self.cache.pool_v,
          self.gdn_state, rout, seen, counts, top_lp, top_ids) = step_fn(
             self.params, self.cache.pool_k, self.cache.pool_v,
             self.gdn_state, jnp.asarray(tok), jnp.asarray(lens),
             jnp.asarray(table), jnp.asarray(active), r, seen, counts,
-            jnp.asarray(n_gen))
+            jnp.asarray(n_gen), row)
         if self.penalized:
             self._seen, self._counts = seen, counts
         new_tok = np.asarray(new_tok)

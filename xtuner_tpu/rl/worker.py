@@ -283,7 +283,27 @@ class RolloutWorker:
         bs = g.paged_block_size
         bucket = -(-p_max // PagedGenerator.PREFILL_BUCKET) * PagedGenerator.PREFILL_BUCKET
         max_len = -(-(bucket + n_new) // bs) * bs
-        key = (g.model_dump_json(), record, max_len)
+        # STRUCTURAL key only: numeric sampling params ride as traced
+        # per-slot rows inside one compiled program (paged_generate.py
+        # _sample_rows), so temperature/top_p/penalty-strength changes
+        # never fragment the engine cache (a remote recompile costs
+        # minutes); only the coarse class bits specialize
+        from ..model.generate import penalties_active
+        from ..model.paged_generate import ROW_PARAM_DEFAULTS
+
+        cls_bits = (bool(g.do_sample and g.temperature != 0.0),
+                    g.top_k > 0 or g.top_p < 1.0,
+                    penalties_active(g), g.min_tokens > 0)
+        structural = g.model_copy(update={
+            **ROW_PARAM_DEFAULTS, "max_new_tokens": 0,
+            # re-encode the class a normalized cfg must compile for
+            "do_sample": cls_bits[0],
+            "temperature": 1.0 if cls_bits[0] else 0.0,
+            "top_k": 2 if cls_bits[1] else 0,
+            "repetition_penalty": 2.0 if cls_bits[2] else 1.0,
+            "min_tokens": 1 if cls_bits[3] else 0,
+        }).model_dump_json()
+        key = (structural, record, max_len)
         with self._gen_lock:  # engine creation only; submits are lock-free
             eng = self._paged_engines.get(key)
             if eng is None:
@@ -326,9 +346,15 @@ class RolloutWorker:
                                               record=False)
         import queue as _queue
 
+        from ..model.paged_generate import ROW_PARAM_DEFAULTS
+
         q: "_queue.Queue" = _queue.Queue()
+        stop_seqs = self._stop_seqs(req)
         fut = eng.submit({"prompt_ids": prompt_lists[0],
-                          "group": (call_id, 0)},
+                          "group": (call_id, 0),
+                          "max_new_tokens": g.max_new_tokens,
+                          **{k: getattr(g, k) for k in ROW_PARAM_DEFAULTS},
+                          **({"_stop_seqs": stop_seqs} if stop_seqs else {})},
                          on_token=lambda t, lp: q.put((t, lp)))
         fut.add_done_callback(lambda f: q.put(None))
         eos = (g.eos_token_id if g.eos_token_id is not None
@@ -368,8 +394,12 @@ class RolloutWorker:
         n_new = g.max_new_tokens
         eng, call_id = self._get_paged_engine(params, prompt_lists, g, rng,
                                               record=record)
+        from ..model.paged_generate import ROW_PARAM_DEFAULTS
+
         stop_seqs = self._stop_seqs(req)
+        row_vals = {k: getattr(g, k) for k in ROW_PARAM_DEFAULTS}
         requests = [{"prompt_ids": p, "group": (call_id, gi),
+                     "max_new_tokens": n_new, **row_vals,
                      **({"_stop_seqs": stop_seqs} if stop_seqs else {})}
                     for gi, p in enumerate(prompt_lists) for _ in range(n)]
         outs = eng.generate(requests)
