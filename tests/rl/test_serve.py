@@ -221,3 +221,14 @@ def test_sampling_param_change_reuses_engine(worker):
            "presence_penalty": 0.5})
     # temp changes share one engine; penalties flip a class bit -> second
     assert len(worker._paged_engines) == 2
+
+
+def test_metrics_endpoint(worker):
+    _post(worker.base_url, "/v1/completions",
+          {"prompt_ids": [1, 2, 3], "max_tokens": 3, "temperature": 0.0})
+    with urllib.request.urlopen(worker.base_url + "/metrics",
+                                timeout=30) as r:
+        text = r.read().decode()
+    assert "xtuner_requests" in text
+    assert "xtuner_generated_tokens" in text
+    assert 'xtuner_engine_slots_total{engine="0"}' in text

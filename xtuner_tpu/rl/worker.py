@@ -60,6 +60,8 @@ class RolloutWorker:
         self._thread: Optional[threading.Thread] = None
         self._treedef = None
         self._paged_engines: dict = {}  # (gen-cfg, routing, max_len) -> AsyncPagedEngine
+        self._metrics = {"requests": 0, "generated_tokens": 0,
+                         "prompt_tokens": 0, "stream_requests": 0}
 
     # ------------------------------------------------------------------
     @property
@@ -191,6 +193,8 @@ class RolloutWorker:
 
         prompt_lists = self._resolve_prompts(req)
         n = int(req.get("n", 1))
+        self._metrics["requests"] += 1
+        self._metrics["prompt_tokens"] += sum(len(p) for p in prompt_lists)
         rows = [p for p in prompt_lists for _ in range(n)]
         p_max = max(len(p) for p in rows)
         arr = np.full((len(rows), p_max), self.pad_token_id, np.int32)
@@ -238,6 +242,7 @@ class RolloutWorker:
             else:
                 n_resp = len(toks)
                 finish = "length"
+            self._metrics["generated_tokens"] += n_resp
             choice: dict[str, Any] = {
                 "index": i,
                 "token_ids": toks[:n_resp],
@@ -330,6 +335,7 @@ class RolloutWorker:
         if params is None:
             raise RuntimeError("rollout worker has no weights yet")
         prompt_lists = self._resolve_prompts(req)
+        self._metrics["stream_requests"] += 1
         if len(prompt_lists) != 1 or int(req.get("n", 1)) != 1:
             raise ValueError("stream=true supports a single prompt with n=1")
         g = self._merge_gen_cfg(req)
@@ -500,6 +506,33 @@ def _make_handler(worker: RolloutWorker):
             if self.path == "/health":
                 self._send(200, {"status": "paused" if worker.paused else "ok",
                                  "version": worker.store.version})
+            elif self.path == "/metrics":
+                # Prometheus text format: serving counters + live engine
+                # state (slot occupancy, queue depth, cache blocks free)
+                m = dict(worker._metrics)
+                lines = [f"xtuner_{k} {v}" for k, v in m.items()]
+                for i, (key, eng) in enumerate(worker._paged_engines.items()):
+                    pg = eng.pg
+                    live = sum(not s.done for s in pg.slots)
+                    with eng._cv:
+                        qd = len(eng._queue) + len(eng._futures) - live
+                    lines.append(
+                        f'xtuner_engine_slots_live{{engine="{i}"}} {live}')
+                    lines.append(
+                        f'xtuner_engine_slots_total{{engine="{i}"}} '
+                        f"{len(pg.slots)}")
+                    lines.append(
+                        f'xtuner_engine_queue_depth{{engine="{i}"}} '
+                        f"{max(qd, 0)}")
+                    lines.append(
+                        f'xtuner_engine_blocks_free{{engine="{i}"}} '
+                        f"{pg.cache.allocator.free_blocks}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
