@@ -232,3 +232,18 @@ def test_metrics_endpoint(worker):
     assert "xtuner_requests" in text
     assert "xtuner_generated_tokens" in text
     assert 'xtuner_engine_slots_total{engine="0"}' in text
+
+
+def test_rollout_client_chat_and_stream(worker):
+    from xtuner_tpu.rl.rollout_client import (RolloutClient,
+                                              RolloutClientConfig)
+
+    client = RolloutClient(RolloutClientConfig(base_url=worker.base_url))
+    msgs = [{"role": "user", "content": "hey"}]
+    out = client.chat(msgs, max_tokens=4, temperature=0.0)
+    assert out[0]["message"]["role"] == "assistant"
+
+    events = list(client.stream(messages=msgs, max_tokens=4,
+                                temperature=0.0))
+    text = "".join(e.get("delta", {}).get("content", "") for e in events)
+    assert text == out[0]["message"]["content"]

@@ -108,3 +108,61 @@ class RolloutClient:
                 item["tokens"] = lp.get("tokens")
             out.append(item)
         return out
+
+    def chat(self, messages: list[dict[str, Any]], *, max_tokens: int = 128,
+             temperature: float = 1.0, top_p: float = 1.0,
+             n: int = 1) -> list[dict[str, Any]]:
+        """/v1/chat/completions: -> [{message: {role, content},
+        finish_reason}] of length n (server renders its chat template)."""
+        if self._paused:
+            raise RuntimeError("rollout client is paused")
+        resp = self._post("/v1/chat/completions", {
+            "model": self.cfg.model, "messages": messages,
+            "max_tokens": max_tokens, "temperature": temperature,
+            "top_p": top_p, "n": n,
+        })
+        return [{"message": c.get("message"),
+                 "finish_reason": c.get("finish_reason")}
+                for c in resp.get("choices", [])]
+
+    def stream(self, prompt: Optional[str] = None, *,
+               messages: Optional[list[dict[str, Any]]] = None,
+               max_tokens: int = 128, temperature: float = 1.0,
+               top_p: float = 1.0):
+        """Iterate SSE frames from a streaming completion. Yields the
+        per-event choice dicts ({text|delta, token_id, logprob} then a
+        finish event); raises on transport errors."""
+        if self._paused:
+            raise RuntimeError("rollout client is paused")
+        if (prompt is None) == (messages is None):
+            raise ValueError("stream() needs exactly one of prompt/messages")
+        path = "/v1/completions" if messages is None else "/v1/chat/completions"
+        payload: dict[str, Any] = {
+            "model": self.cfg.model, "max_tokens": max_tokens,
+            "temperature": temperature, "top_p": top_p, "stream": True,
+        }
+        if messages is None:
+            payload["prompt"] = prompt
+        else:
+            payload["messages"] = messages
+        url = self.cfg.base_url.rstrip("/") + path
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.cfg.timeout) as resp:
+            buf = b""
+            while True:
+                chunk = resp.read(1)
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n\n" in buf:
+                    frame, buf = buf.split(b"\n\n", 1)
+                    if not frame.startswith(b"data: "):
+                        continue
+                    body = frame[len(b"data: "):]
+                    if body == b"[DONE]":
+                        return
+                    ev = json.loads(body)
+                    if "choices" in ev:
+                        yield ev["choices"][0]
