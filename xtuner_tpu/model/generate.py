@@ -50,6 +50,11 @@ class GenerateConfig(BaseModel):
     engine: str = "auto"  # auto | dense | paged
     paged_max_batch: int = 8  # decode slots (compiled once)
     paged_block_size: int = 128
+    # chunked prefill (paged engine): process prompts in `prefill_chunk`-
+    # token chunks, one per engine tick, so a long prompt never head-of-
+    # line-blocks in-flight decodes. 0 = whole-bucket prefill. Dense/MoE
+    # non-spec engines only (hybrid/spec/routing-record fall back).
+    prefill_chunk: int = 0
     # "int8": quantized paged KV (per-token-per-head absmax scales packed
     # into the pool rows, kv_cache.py pack_kv_int8) — ~2x cache capacity and
     # half the pool-read bandwidth; paged engine only

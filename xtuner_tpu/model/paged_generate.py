@@ -497,6 +497,8 @@ class _Slot:
     routings: list = field(default_factory=list)
     top_ids: list = field(default_factory=list)  # per-step top-K alt ids
     top_lps: list = field(default_factory=list)
+    prefilling: bool = False  # chunked prefill in progress (not decodable)
+    prefill_state: Optional[dict] = None
     done: bool = True  # free
     spec_steps: int = 0  # MTP verify steps taken / drafts accepted
     spec_accepted: int = 0
@@ -623,6 +625,19 @@ class PagedGenerator:
         self.penalized = self.cls["use_pen"]
         self.use_min = self.cls["use_min"]
         self.top_k_lp = int(gen_cfg.top_logprobs)
+        # chunked prefill: one CP-token chunk per tick keeps in-flight
+        # decodes ticking while long prompts load (vLLM chunked-prefill
+        # analog); chunk programs are per-bucket jits reused across chunks
+        # via traced cache_len
+        cp = int(getattr(gen_cfg, "prefill_chunk", 0) or 0)
+        self.prefill_chunk = -(-cp // self.PREFILL_BUCKET) * \
+            self.PREFILL_BUCKET if cp > 0 else 0
+        self.chunked = (self.prefill_chunk > 0 and not self.is_hybrid
+                        and not getattr(gen_cfg, "mtp_speculative", False)
+                        and not record_routing)
+        self._chunk_fns: dict = {}
+        self._scatter_fns: dict = {}
+        self._chunked_prefills = 0  # observability/testing counter
         if self.penalized:
             v = cfg.vocab_size
             self._seen = jnp.zeros((max_batch, v), bool)
@@ -1008,6 +1023,121 @@ class PagedGenerator:
         return fn
 
     # ---------------- host driver ----------------
+    def _chunk_fn(self, bucket: int, cp: int):
+        """(params, caches, ids (1, CP), positions, cache_len, kv_mask) ->
+        (last-chunk logits (1, CP, V), caches). One program per bucket —
+        cache_len is traced, so every chunk of every prompt in the bucket
+        reuses it."""
+        key = (bucket, cp)
+        if key in self._chunk_fns:
+            return self._chunk_fns[key]
+        model, dtype = self.model, self.compute_dtype
+
+        def run(params, caches, ids, positions, cache_len, kv_mask):
+            logits, caches, _ = _forward_cached(
+                model, params, ids, positions, caches, cache_len, dtype,
+                kv_mask)
+            return logits, caches
+
+        fn = jax.jit(run, donate_argnums=(1,))
+        self._chunk_fns[key] = fn
+        return fn
+
+    def _scatter_fn(self, bucket: int):
+        """(pool_k, pool_v, caches, block_table (n_blocks,)) -> pools with
+        the dense prefill caches paged in."""
+        if bucket in self._scatter_fns:
+            return self._scatter_fns[bucket]
+        bs = self.block_size
+        n_blocks = -(-bucket // bs)
+
+        def run(pool_k, pool_v, caches, block_table):
+            pad = n_blocks * bs - bucket
+
+            def pack(c):
+                n = c.shape[0]
+                cp_ = jnp.pad(c[:, 0], ((0, 0), (0, pad), (0, 0), (0, 0)))
+                return cp_.reshape(n, n_blocks, bs, *c.shape[3:])
+
+            li = 0
+            for ck, cv in caches:
+                pool_k = _scatter_blocks(pool_k, li, block_table, pack(ck))
+                pool_v = _scatter_blocks(pool_v, li, block_table, pack(cv))
+                li += ck.shape[0]
+            return pool_k, pool_v
+
+        fn = jax.jit(run, donate_argnums=(0, 1))
+        self._scatter_fns[bucket] = fn
+        return fn
+
+    def _advance_prefill(self, slot_idx: int) -> None:
+        """Process ONE prefill chunk for a chunk-prefilling slot; on the
+        final chunk, scatter the prompt KV to the pool, sample the first
+        token, and promote the slot to decoding."""
+        slot = self.slots[slot_idx]
+        st = slot.prefill_state
+        cp, bucket = self.prefill_chunk, st["bucket"]
+        off, p_len = st["offset"], st["p_len"]
+        ids = np.full((cp,), self.pad_token_id, np.int32)
+        real = min(cp, p_len - off)
+        ids[:real] = st["prompt"][off:off + real]
+        positions = jnp.minimum(off + jnp.arange(cp, dtype=jnp.int32),
+                                p_len - 1)[None]
+        kv_mask = (jnp.arange(bucket) < p_len)[None]
+        logits, st["caches"] = self._chunk_fn(bucket, cp)(
+            self.params, st["caches"], jnp.asarray(ids[None]), positions,
+            jnp.int32(off), kv_mask)
+        st["offset"] = off + cp
+        self._chunked_prefills += 1
+        if st["offset"] < p_len:
+            return
+        # ---- final chunk: page the KV, sample token 1, promote ----
+        table = st["table"]
+        n_blocks = -(-bucket // self.block_size)
+        self.cache.pool_k, self.cache.pool_v = self._scatter_fn(bucket)(
+            self.cache.pool_k, self.cache.pool_v, st["caches"],
+            jnp.asarray(table[:n_blocks]))
+        last = logits[:, p_len - 1 - off]  # (1, V)
+        req = slot.req
+        self._rng, r = jax.random.split(self._rng)
+        if self.penalized:
+            v = self.model.cfg.vocab_size
+            seen0 = jnp.zeros((1, v), bool).at[
+                0, jnp.asarray(st["prompt"], jnp.int32)].set(True)
+            counts0 = jnp.zeros((1, v), jnp.int32)
+        else:
+            seen0 = jnp.zeros((1, 0), bool)
+            counts0 = jnp.zeros((1, 0), jnp.int32)
+        row1 = _row_params(self.gen_cfg, [req], 1)
+        tok_a = _sample_rows(last, r, row1, self.cls, self.gen_cfg, seen0,
+                             counts0, jnp.zeros((1,), jnp.int32),
+                             self.eos_id)
+        lp_a = jax.nn.log_softmax(last, axis=-1)
+        lp_a = jnp.take_along_axis(lp_a, tok_a[:, None], axis=-1)[:, 0]
+        slot.tokens = [int(tok_a[0])]
+        slot.logprobs = [float(lp_a[0])]
+        slot.top_ids, slot.top_lps = [], []
+        if self.top_k_lp > 0:
+            tv, ti = jax.lax.top_k(jax.nn.log_softmax(last, axis=-1),
+                                   self.top_k_lp)
+            slot.top_ids = [np.asarray(ti[0])]
+            slot.top_lps = [np.asarray(tv[0])]
+        if self.penalized:
+            v = self.model.cfg.vocab_size
+            srow = jnp.zeros((v,), bool).at[
+                jnp.asarray(st["prompt"], jnp.int32)].set(True)
+            self._seen = self._seen.at[slot_idx].set(srow)
+            self._counts = self._counts.at[slot_idx].set(
+                jnp.zeros((v,), jnp.int32))
+        group = req.get("group")
+        if group is not None:
+            # leadership registers only now: siblings admitted earlier
+            # prefilled themselves; later ones share the finished prompt
+            self._group_leader[group] = (slot.seq_id, last, None, {})
+        slot.remaining -= 1  # the sampled first token
+        slot.prefilling = False
+        slot.prefill_state = None
+
     def _admit(self, slot_idx: int, req: dict) -> None:
         """Prefill one request into a free slot (prefix-shared if its group
         leader already cached the prompt)."""
@@ -1079,6 +1209,26 @@ class PagedGenerator:
             table = np.zeros((self.max_blocks,), np.int32)
             ids = self.cache.tables[seq_id]
             table[:len(ids)] = ids
+            if self.chunked and p_len > self.prefill_chunk:
+                # initiate resumable chunked prefill: the engine tick
+                # advances one chunk at a time (_advance_prefill) so live
+                # slots keep decoding under this prompt's load
+                slot.req = req
+                slot.seq_id = seq_id
+                slot.remaining = int(req.get("max_new_tokens",
+                                             self.gen_cfg.max_new_tokens))
+                slot.tokens, slot.logprobs = [], []
+                slot.routings, slot.top_ids, slot.top_lps = [], [], []
+                slot.spec_steps = slot.spec_accepted = 0
+                slot.prefilling = True
+                slot.prefill_state = {
+                    "caches": init_cache(self.model, 1, pb,
+                                         self.compute_dtype),
+                    "offset": 0, "p_len": p_len, "bucket": pb,
+                    "prompt": list(prompt), "table": table,
+                }
+                slot.done = False
+                return
             padded = np.full((pb,), self.pad_token_id, np.int32)
             padded[:p_len] = prompt
             prompt_arr = jnp.asarray(padded[None])
@@ -1192,7 +1342,11 @@ class PagedGenerator:
         for i, s in enumerate(self.slots):
             if s.done and queue:
                 self._admit(i, queue.pop(0))
-        active_idx = [i for i, s in enumerate(self.slots) if not s.done]
+        pre = [i for i, s in enumerate(self.slots) if s.prefilling]
+        if pre:  # round-robin across prefilling slots (no starvation)
+            self._advance_prefill(pre[self._chunked_prefills % len(pre)])
+        active_idx = [i for i, s in enumerate(self.slots)
+                      if not s.done and not s.prefilling]
         # finish slots that hit eos at admission or ran out of budget
         for i in list(active_idx):
             s = self.slots[i]
@@ -1211,7 +1365,8 @@ class PagedGenerator:
             elif s.remaining <= 0:
                 ridx = s.req["_idx"]
                 results[ridx] = self._finish(s, "length")
-        active_idx = [i for i, s in enumerate(self.slots) if not s.done]
+        active_idx = [i for i, s in enumerate(self.slots)
+                      if not s.done and not s.prefilling]
         if not active_idx:
             return
         if self.speculative:

@@ -57,6 +57,7 @@ def build_worker(args):
         paged_max_batch=args.max_batch,
         paged_block_size=args.block_size,
         kv_cache_dtype=args.kv_cache_dtype,
+        prefill_chunk=args.prefill_chunk,
     )
     return RolloutWorker(cfg, params=params, tokenizer=tokenizer,
                          gen_cfg=gen_cfg, host=args.host, port=args.port,
@@ -79,6 +80,9 @@ def main(argv: Optional[list[str]] = None) -> None:
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--prefill-chunk", type=int, default=2048,
+                   help="chunked prefill granularity; 0 = whole prompt at "
+                        "once (long prompts then block in-flight decodes)")
     p.add_argument("--kv-cache-dtype", default="bf16",
                    choices=("bf16", "int8"),
                    help="int8 = quantized paged KV, ~2x cache capacity")
