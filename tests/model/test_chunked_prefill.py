@@ -53,6 +53,21 @@ def test_chunked_matches_whole_bucket_greedy():
     assert pg.cache.allocator.refcount.sum() == 1
 
 
+def test_chunk_size_not_dividing_bucket():
+    """Regression: a chunk size that does not divide the prompt bucket used
+    to clamp the final chunk's dynamic_update_slice start, silently
+    overwriting earlier prefix KV (prompt 150, chunk 128 -> bucket 192; the
+    second chunk's write start clamped from 128 to 64)."""
+    model, params = _model()
+    ref = PagedGenerator(model, params, _gen(0), max_batch=4, block_size=16,
+                         compute_dtype=jnp.float32, pad_token_id=0)
+    out_ref = ref.generate([{"prompt_ids": LONG}])
+    pg = PagedGenerator(model, params, _gen(128), max_batch=4, block_size=16,
+                        compute_dtype=jnp.float32, pad_token_id=0)
+    out = pg.generate([{"prompt_ids": LONG}])
+    assert out[0]["token_ids"] == out_ref[0]["token_ids"]
+
+
 def test_short_prompts_skip_chunking():
     model, params = _model()
     pg = PagedGenerator(model, params, _gen(64), max_batch=2, block_size=16,

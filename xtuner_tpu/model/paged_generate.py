@@ -1076,8 +1076,16 @@ class PagedGenerator:
         token, and promote the slot to decoding."""
         slot = self.slots[slot_idx]
         st = slot.prefill_state
-        cp, bucket = self.prefill_chunk, st["bucket"]
-        off, p_len = st["offset"], st["p_len"]
+        cp, bucket = st.get("cp") or self.prefill_chunk, st["bucket"]
+        p_len = st["p_len"]
+        # Clamp the chunk start so its cache write stays inside the bucket:
+        # dynamic_update_slice CLAMPS an out-of-range start, which would
+        # silently shift the write over earlier prefix positions (latent
+        # corruption whenever cp does not divide the bucket, and for any
+        # prefix-cache resume at an arbitrary offset). A clamped chunk
+        # recomputes its overlap with the previous one — identical tokens at
+        # identical positions produce identical KV, so the rewrite is a no-op.
+        off = max(0, min(st["offset"], bucket - cp))
         ids = np.full((cp,), self.pad_token_id, np.int32)
         real = min(cp, p_len - off)
         ids[:real] = st["prompt"][off:off + real]

@@ -33,6 +33,10 @@ class PagedAllocator:
 
     def __post_init__(self):
         self.refcount = np.zeros(self.num_blocks, np.int32)
+        # optional shortfall hook: called with the deficit before alloc
+        # gives up, so a prefix cache (module/prefix_cache.py) can evict
+        # retained blocks on demand
+        self.reclaim = None
 
     @property
     def free_blocks(self) -> int:
@@ -40,6 +44,9 @@ class PagedAllocator:
 
     def alloc(self, n: int) -> list[int]:
         free = np.where(self.refcount == 0)[0]
+        if len(free) < n and self.reclaim is not None:
+            self.reclaim(n - len(free))
+            free = np.where(self.refcount == 0)[0]
         if len(free) < n:
             raise MemoryError(f"paged KV pool exhausted: need {n}, free {len(free)}")
         ids = free[:n].tolist()
