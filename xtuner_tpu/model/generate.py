@@ -48,6 +48,12 @@ class GenerateConfig(BaseModel):
     # rollout engine: "auto" = paged continuous batching when the attention
     # variant supports it (model/paged_generate.py), else the dense cache
     engine: str = "auto"  # auto | dense | paged
+    # automatic prefix caching (paged engine): finished sequences retain
+    # their block-aligned KV under content hashes; new prompts sharing that
+    # prefix (multi-turn chat, common system prompts) skip its prefill
+    # FLOPs. Exact reuse — KV depends only on (params, tokens, positions).
+    # Auto-disabled for hybrid-GDN / MTP-speculative / DSA / routing-record.
+    prefix_cache: bool = True
     paged_max_batch: int = 8  # decode slots (compiled once)
     paged_block_size: int = 128
     # chunked prefill (paged engine): process prompts in `prefill_chunk`-

@@ -647,6 +647,22 @@ class PagedGenerator:
         self._prefill_fns: dict[int, Any] = {}
         self._decode_fn = None
         self._group_leader: dict[Any, int] = {}  # group -> seq_id of leader
+        # automatic prefix caching (module/prefix_cache.py): finished
+        # sequences retain their block-aligned KV under content hashes; a
+        # new prompt sharing that prefix skips its prefill FLOPs (vLLM APC /
+        # SGLang radix-cache analog — multi-turn chats re-use the previous
+        # turn's KV). Hybrid-GDN carries unpaged recurrent state, MTP-spec
+        # KV encodes sampled tokens, and routing-replay wants prompt
+        # routings — those modes keep APC off.
+        self.prefix_cache = None
+        if (getattr(gen_cfg, "prefix_cache", True) and not self.is_hybrid
+                and not self.speculative and not record_routing
+                and not isinstance(attn, DSAConfig)):
+            from ..module.prefix_cache import PrefixCache
+
+            self.prefix_cache = PrefixCache(self.cache.allocator, block_size)
+        self._flush_requested = False  # set cross-thread on weight updates
+        self._gather_fns: dict = {}
 
     # ---------------- jitted programs ----------------
     def _make_trunk(self, record: bool):
@@ -1070,6 +1086,41 @@ class PagedGenerator:
         self._scatter_fns[bucket] = fn
         return fn
 
+    def _gather_fn(self, bucket: int):
+        """(pool_k, pool_v, block_table (n_blocks,)) -> dense prefill caches
+        shaped like init_cache(model, 1, bucket): the inverse of _scatter_fn.
+        Restores a prefix-cache hit's KV so chunked prefill can resume at
+        the cached offset (garbage in the not-yet-written tail blocks is
+        masked off by the chunk programs' causal cache_len masking, exactly
+        like the zeros of a fresh dense cache)."""
+        if bucket in self._gather_fns:
+            return self._gather_fns[bucket]
+        bs = self.block_size
+        n_blocks = -(-bucket // bs)
+        model, dtype = self.model, self.compute_dtype
+
+        def run(pool_k, pool_v, block_table):
+            def restore(pool, li, n):
+                g = pool[li + jnp.arange(n)[:, None], block_table[None, :]]
+                if pool.dtype == jnp.int8:
+                    from ..module.kv_cache import unpack_kv_int8
+
+                    q, s = unpack_kv_int8(g)
+                    g = q.astype(jnp.float32) * s[..., None]
+                g = g.reshape(n, n_blocks * bs, *g.shape[3:])
+                return g[:, None, :bucket].astype(dtype)
+
+            out, li = [], 0
+            for zk, _zv in init_cache(model, 1, bucket, dtype):
+                n = zk.shape[0]
+                out.append((restore(pool_k, li, n), restore(pool_v, li, n)))
+                li += n
+            return out
+
+        fn = jax.jit(run)
+        self._gather_fns[bucket] = fn
+        return fn
+
     def _advance_prefill(self, slot_idx: int) -> None:
         """Process ONE prefill chunk for a chunk-prefilling slot; on the
         final chunk, scatter the prompt KV to the pool, sample the first
@@ -1209,6 +1260,53 @@ class PagedGenerator:
             rout = leader_rout
         else:
             pb = -(-p_len // self.PREFILL_BUCKET) * self.PREFILL_BUCKET
+            cached, hit = 0, []
+            if self.prefix_cache is not None:
+                # content-addressed reuse: longest cached block-chain prefix
+                # (capped at p_len-1 so at least one tail token is left to
+                # produce last-position logits)
+                hit = self.prefix_cache.lookup(prompt, p_len - 1)
+                cached = len(hit) * self.block_size
+            if cached:
+                # adopt the shared prefix blocks (lookup took our refs),
+                # allocate tail blocks for the bucket, restore the dense
+                # prefix KV from the pool, and resume chunked prefill at
+                # offset `cached` — prefix FLOPs are skipped entirely
+                self.cache.tables[seq_id] = hit
+                self.cache.seq_lens[seq_id] = cached
+                self.cache.extend(seq_id, pb - cached)
+                self.cache.seq_lens[seq_id] = p_len
+                table = np.zeros((self.max_blocks,), np.int32)
+                ids = self.cache.tables[seq_id]
+                table[:len(ids)] = ids
+                if self.chunked and p_len - cached > self.prefill_chunk:
+                    cp = self.prefill_chunk  # keep anti-HOL-blocking ticks
+                else:
+                    # single-tick resume: pow2-of-64 tail ladder keeps the
+                    # compiled (bucket, cp) program set small
+                    cp = 64
+                    while cp < min(pb, p_len - cached):
+                        cp *= 2
+                    cp = min(cp, pb)
+                n_blocks = -(-pb // self.block_size)
+                caches = self._gather_fn(pb)(
+                    self.cache.pool_k, self.cache.pool_v,
+                    jnp.asarray(table[:n_blocks]))
+                slot.req = req
+                slot.seq_id = seq_id
+                slot.remaining = int(req.get("max_new_tokens",
+                                             self.gen_cfg.max_new_tokens))
+                slot.tokens, slot.logprobs = [], []
+                slot.routings, slot.top_ids, slot.top_lps = [], [], []
+                slot.spec_steps = slot.spec_accepted = 0
+                slot.prefilling = True
+                slot.prefill_state = {
+                    "caches": caches, "offset": cached, "p_len": p_len,
+                    "bucket": pb, "prompt": list(prompt), "table": table,
+                    "cp": cp,
+                }
+                slot.done = False
+                return
             # reserve blocks for the BUCKET (right-pad garbage is overwritten
             # by the first decoded tokens and never attended), then trim the
             # book-kept length back to the true prompt length
@@ -1312,6 +1410,13 @@ class PagedGenerator:
         if self.speculative:
             out["spec_steps"] = slot.spec_steps
             out["spec_accepted"] = slot.spec_accepted
+        if self.prefix_cache is not None and req is not None:
+            # retain this sequence's written KV (prompt + generated) under
+            # content hashes — the next turn of a multi-turn conversation
+            # prompts with exactly this prefix
+            written = self.cache.seq_lens[slot.seq_id]
+            toks = (list(req["prompt_ids"]) + slot.tokens)[:written]
+            self.prefix_cache.insert(toks, self.cache.tables[slot.seq_id])
         self.cache.release(slot.seq_id)
         group = (req or {}).get("group")
         leader = self._group_leader.get(group) if group is not None else None
@@ -1329,6 +1434,12 @@ class PagedGenerator:
     def has_live_slots(self) -> bool:
         return any(not s.done for s in self.slots)
 
+    def request_prefix_flush(self) -> None:
+        """Invalidate the prefix cache (weight update: cached KV is stale).
+        Safe from any thread; applied at the next tick on the engine
+        thread."""
+        self._flush_requested = True
+
     def generate(self, requests: list[dict]) -> list[dict]:
         """Run all requests to completion with continuous batching; returns
         outputs in request order."""
@@ -1344,6 +1455,12 @@ class PagedGenerator:
         `_idx`), run ONE decode step over the live slots. The sync
         `generate` loops this to exhaustion; `model/async_engine.py` loops
         it forever against a concurrently-fed queue."""
+        if self._flush_requested:
+            # drained on the engine thread — the only thread that may touch
+            # allocator/table state (set via request_prefix_flush)
+            if self.prefix_cache is not None:
+                self.prefix_cache.flush()
+            self._flush_requested = False
         eos = self.eos_id
         # admission: fill every free slot (leader-first within a group so
         # siblings can share its prompt blocks)

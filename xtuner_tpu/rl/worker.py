@@ -103,11 +103,18 @@ class RolloutWorker:
                 self._treedef = jax.tree.structure(params)
             params, ver = FilesystemTransport(path).fetch(self._treedef)
             self.store.set(params, ver)
+            self._flush_prefix_caches()
             return ver
         if version is not None:
             # colocate: params were swapped in the shared store by the trainer
+            self._flush_prefix_caches()
             return self.store.version
         raise ValueError("update_weights needs `path` or `version`")
+
+    def _flush_prefix_caches(self) -> None:
+        """New weights invalidate every engine's retained prefix KV."""
+        for eng in self._paged_engines.values():
+            eng.pg.request_prefix_flush()
 
     # ------------------------------------------------------------------
     def chat_complete(self, req: dict[str, Any]) -> dict[str, Any]:
@@ -308,20 +315,41 @@ class RolloutWorker:
             "repetition_penalty": 2.0 if cls_bits[2] else 1.0,
             "min_tokens": 1 if cls_bits[3] else 0,
         }).model_dump_json()
-        key = (structural, record, max_len)
         with self._gen_lock:  # engine creation only; submits are lock-free
-            eng = self._paged_engines.get(key)
+            # Reuse the smallest engine that fits (same structural config,
+            # capacity >= needed): per-exact-length engines would fragment
+            # compile caches, duplicate KV pools, AND split the prefix cache
+            # across pools (a multi-turn chat's growing prompt would land on
+            # a fresh engine each turn and never hit). New engines snap to a
+            # power-of-two length ladder so turn-over-turn growth stays on
+            # one engine.
+            eng = None
+            for (s, r, ml), cand in self._paged_engines.items():
+                if s == structural and r == record and ml >= max_len:
+                    if eng is None or ml < eng[0]:
+                        eng = (ml, cand)
+            eng = eng[1] if eng is not None else None
             if eng is None:
+                ladder = 256
+                while ladder < max_len:
+                    ladder *= 2
+                ladder = -(-ladder // bs) * bs
                 pg = PagedGenerator(
                     self.model, params,
-                    g.model_copy(update={"max_length": max_len}),
+                    g.model_copy(update={"max_length": ladder}),
                     max_batch=g.paged_max_batch, block_size=bs,
                     compute_dtype=self.compute_dtype,
                     pad_token_id=self.pad_token_id,
                     record_routing=record, rng=rng)
                 eng = AsyncPagedEngine(pg)
-                self._paged_engines[key] = eng
+                eng._params_version = self.store.version
+                self._paged_engines[(structural, record, ladder)] = eng
             eng.pg.params = params
+            # backstop for colocate swaps that skip /update_weights: a store
+            # version change means the engine's retained prefix KV is stale
+            if getattr(eng, "_params_version", None) != self.store.version:
+                eng.pg.request_prefix_flush()
+                eng._params_version = self.store.version
             call_id = self._call_counter = getattr(self, "_call_counter", 0) + 1
         return eng, call_id
 
@@ -527,6 +555,15 @@ def _make_handler(worker: RolloutWorker):
                     lines.append(
                         f'xtuner_engine_blocks_free{{engine="{i}"}} '
                         f"{pg.cache.allocator.free_blocks}")
+                    if pg.prefix_cache is not None:
+                        pc = pg.prefix_cache
+                        for k, v in (("lookups", pc.lookups),
+                                     ("hits", pc.hits),
+                                     ("cached_tokens", pc.cached_tokens),
+                                     ("blocks", len(pc))):
+                            lines.append(
+                                f'xtuner_prefix_cache_{k}{{engine="{i}"}} '
+                                f"{v}")
                 body = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")
