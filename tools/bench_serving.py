@@ -6,10 +6,17 @@ generated tokens) at the paged async engine, so concurrent requests share
 the continuous-batching decode. Reports aggregate generated-token
 throughput, request latency percentiles, and streaming TTFT.
 
+Multi-turn mode (SRV_TURNS>1): each client runs a CONVERSATION — every
+turn's prompt is the previous prompt + generated tokens + a fresh user
+suffix — so per-turn prefill grows linearly. With automatic prefix caching
+(default) the cached turns are restored instead of recomputed; SRV_APC=0
+measures the same workload without it.
+
 Usage (TPU backend for real numbers; CPU works for smoke):
     python tools/bench_serving.py
     SRV_CONC=16 SRV_REQS=4 SRV_NEW=128 python tools/bench_serving.py
     SRV_KV_DTYPE=int8 SRV_STREAM=1 python tools/bench_serving.py
+    SRV_TURNS=6 SRV_APC=0 python tools/bench_serving.py   # APC ablation
 
 Prints one JSON line.
 """
@@ -44,6 +51,8 @@ def main() -> None:
     layers = int(os.environ.get("SRV_LAYERS", 12))
     kv_dtype = os.environ.get("SRV_KV_DTYPE", "bf16")
     stream = os.environ.get("SRV_STREAM", "0") == "1"
+    turns = int(os.environ.get("SRV_TURNS", 1))
+    apc = os.environ.get("SRV_APC", "1") == "1"
 
     cfg = DenseConfig(
         vocab_size=32768, num_hidden_layers=layers, hidden_size=1024,
@@ -55,10 +64,13 @@ def main() -> None:
     model = cfg.build()
     params = init_params(model.param_specs(), jax.random.key(0))
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    # multi-turn conversations grow: size the pool for the final turn
+    max_len = (p_len + (n_new + 32) * turns + 256)
     g = GenerateConfig(max_new_tokens=n_new, temperature=1.0, top_p=0.95,
-                       eos_token_id=2, max_length=p_len + n_new + 256,
-                       paged_max_batch=conc, paged_block_size=128,
-                       kv_cache_dtype=kv_dtype,
+                       eos_token_id=2, max_length=max_len,
+                       paged_max_batch=conc,
+                       paged_block_size=int(os.environ.get("SRV_BLOCK", 128)),
+                       kv_cache_dtype=kv_dtype, prefix_cache=apc,
                        prefill_chunk=int(os.environ.get("SRV_CHUNK", 0)))
     w = RolloutWorker(cfg, params=params, gen_cfg=g,
                       compute_dtype=jnp.bfloat16)
@@ -79,9 +91,31 @@ def main() -> None:
     tokens = [0]
     lock = threading.Lock()
 
+    def run_convo(c):
+        """One multi-turn conversation; returns per-turn latencies."""
+        convo = _prompt()
+        lats = []
+        for t in range(turns):
+            t0 = time.time()
+            out = c._post("/v1/completions",
+                          {"prompt_ids": convo, "max_tokens": n_new})
+            lats.append(time.time() - t0)
+            ch = out["choices"][0]
+            convo = convo + ch["token_ids"] + rng.integers(
+                10, 30000, (32,)).tolist()  # next user turn
+            with lock:
+                tokens[0] += len(ch["token_ids"])
+        return lats
+
     def run_client():
         c = RolloutClient(RolloutClientConfig(base_url=w.base_url,
                                               timeout=3600))
+        if turns > 1:
+            for _ in range(reqs):
+                ls = run_convo(c)
+                with lock:
+                    lat.extend(ls)
+            return
         for _ in range(reqs):
             t0 = time.time()
             if stream:
@@ -129,6 +163,13 @@ def main() -> None:
     for t in threads:
         t.join()
     wall = time.time() - t_start
+    apc_stats = {"apc_hits": 0, "apc_cached_tokens": 0, "apc_lookups": 0}
+    for eng in w._paged_engines.values():
+        pc = eng.pg.prefix_cache
+        if pc is not None:
+            apc_stats["apc_hits"] += pc.hits
+            apc_stats["apc_cached_tokens"] += pc.cached_tokens
+            apc_stats["apc_lookups"] += pc.lookups
     w.stop()
 
     lat_s = sorted(lat)
@@ -145,6 +186,10 @@ def main() -> None:
         "prompt_len": p_len, "max_new": n_new, "kv_dtype": kv_dtype,
         "stream": stream,
     }
+    if turns > 1:
+        out["turns"] = turns
+        out["prefix_cache"] = apc
+        out.update(apc_stats)
     if ttft:
         tt = sorted(ttft)
         out["ttft_p50_s"] = round(tt[len(tt) // 2], 3)
