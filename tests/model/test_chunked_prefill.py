@@ -49,8 +49,9 @@ def test_chunked_matches_whole_bucket_greedy():
     for r, o in zip(out_ref, out):
         assert o["token_ids"] == r["token_ids"]
         assert o["finish_reason"] == r["finish_reason"]
-    # all blocks released
-    assert pg.cache.allocator.refcount.sum() == 1
+    # no leaks: every ref is the trash block or a prefix-cache entry
+    pg.check_block_conservation()
+    assert not pg.cache.tables  # no live sequences leak blocks
 
 
 def test_chunk_size_not_dividing_bucket():
@@ -106,4 +107,5 @@ def test_chunked_group_joins_after_leader_completes():
     outs = pg.generate([{"prompt_ids": LONG, "group": "g"}
                         for _ in range(3)])
     assert outs[0]["token_ids"] == outs[1]["token_ids"] == outs[2]["token_ids"]
-    assert pg.cache.allocator.refcount.sum() == 1
+    pg.check_block_conservation()
+    assert not pg.cache.tables  # no live sequences leak blocks

@@ -94,4 +94,6 @@ def test_paged_dsa_matches_dense_greedy():
             d = d[: d.index(150) + 1]
         p = outs[i]["token_ids"]
         assert p[: len(d)] == d, (i, p, d)
-    assert pg.cache.allocator.refcount.sum() == 1
+    pg.check_block_conservation()
+    assert not pg.cache.tables  # no live sequences leak blocks
+    assert pg.cache.allocator.refcount.sum() == 1  # DSA: APC off, all released

@@ -184,7 +184,8 @@ def test_int8_prefix_sharing_group():
                         for _ in range(3)])
     assert len(outs) == 3
     assert outs[0]["token_ids"] == outs[1]["token_ids"] == outs[2]["token_ids"]
-    assert pg.cache.allocator.refcount.sum() == 1  # all released
+    pg.check_block_conservation()
+    assert not pg.cache.tables  # no live sequences leak blocks
 
     # capacity: int8 pool rows are head_dim+4 bytes vs head_dim*itemsize
     b16 = PagedGenerator(model, params,

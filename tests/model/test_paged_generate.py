@@ -73,8 +73,9 @@ def test_continuous_batching_more_requests_than_slots():
         assert 1 <= len(o["token_ids"]) <= 6
         assert len(o["logprobs"]) == len(o["token_ids"])
         assert o["finish_reason"] in ("stop", "length")
-    # all blocks released afterwards (only the trash block stays pinned)
-    assert pg.cache.allocator.refcount.sum() == 1
+    # no leaks afterwards (trash block + prefix-cache retained blocks only)
+    pg.check_block_conservation()
+    assert not pg.cache.tables  # no live sequences leak blocks
     # results keyed to request order: same prompt -> same greedy tokens
     outs2 = pg.generate([reqs[0]])
     assert outs2[0]["token_ids"] == outs[0]["token_ids"]
@@ -89,11 +90,13 @@ def test_group_prefix_sharing_allocates_once():
     reqs = [{"prompt_ids": prompt, "group": "g0"} for _ in range(4)]
     before = pg.cache.allocator.free_blocks
     outs = pg.generate(reqs)
-    assert pg.cache.allocator.refcount.sum() == 1  # all released
+    pg.check_block_conservation()
+    assert not pg.cache.tables  # no live sequences leak blocks
     # same prompt + greedy -> identical continuations across the group
     toks = {tuple(o["token_ids"]) for o in outs}
     assert len(toks) == 1
-    assert before == pg.cache.allocator.free_blocks
+    # every non-free block is retained by the prefix cache, not leaked
+    assert before == pg.cache.allocator.free_blocks + len(pg.prefix_cache)
 
 
 def test_paged_moe_with_routing_record():
@@ -331,7 +334,8 @@ def test_paged_hybrid_continuous_batching_and_groups():
     assert len(toks) == 1
     solo = pg.generate([{"prompt_ids": prompt}])
     assert solo[0]["token_ids"] == outs[0]["token_ids"]
-    assert pg.cache.allocator.refcount.sum() == 1  # only the trash block
+    pg.check_block_conservation()
+    assert not pg.cache.tables  # no live sequences leak blocks
 
 
 # ------------------------------------------------------------- MTP speculative
@@ -413,7 +417,8 @@ def test_mtp_speculative_matches_plain_paged_greedy(mla):
         assert 0 <= o["spec_accepted"] <= o["spec_steps"]
         # tokens == steps + accepted_bonuses (up to eos/budget discards)
         assert len(o["token_ids"]) <= 1 + o["spec_steps"] + o["spec_accepted"]
-    assert spec.cache.allocator.refcount.sum() == 1  # all blocks released
+    spec.check_block_conservation()
+    assert not spec.cache.tables  # no live sequences leak blocks
 
 
 def test_mtp_speculative_sampling_runs():

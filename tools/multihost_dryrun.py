@@ -4,22 +4,35 @@ Each process hosts one CPU device; together they form a 2-device global mesh
 and run ONE full jitted MoE train step with fsdp=2 — exercising the
 multihost bootstrap (utils/dist.maybe_init_distributed), cross-process
 global-array construction (engine.put_batch's make_array_from_callback
-path), and Gloo-backed collectives.
+path), and Gloo-backed collectives. Then the step's state is saved with the
+orbax layer, restored SHARDED onto the same 2-process mesh (no host
+full-array round trip, checkpoint/orbax_io.py), one more step runs from the
+restored state, and a multihost-safe HF export (checkpoint/hf.py save_hf)
+writes safetensors from process 0 — the reference's DCP + HF-export
+discipline (ref xtuner/v1/engine/train_engine.py:478-536,
+xtuner/v1/model/base.py:1902-2029).
 
-Run as the worker:  python tools/multihost_dryrun.py <process_id>
+Run as the worker:  python tools/multihost_dryrun.py <process_id> <port>
 Run as the driver:  python tools/multihost_dryrun.py   (spawns both)
 """
 
 from __future__ import annotations
 
 import os
+import socket
 import subprocess
 import sys
 
-PORT = int(os.environ.get("XT_MH_PORT", "19755"))
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
 
 
-def worker(process_id: int) -> None:
+def worker(process_id: int, port: int) -> None:
     import jax
     import jax.extend.backend
 
@@ -27,7 +40,7 @@ def worker(process_id: int) -> None:
     # interpreter start; distributed init must come before any backend touch
     jax.extend.backend.clear_backends()
     jax.config.update("jax_platforms", "cpu")
-    os.environ["XTUNER_COORDINATOR"] = f"127.0.0.1:{PORT}"
+    os.environ["XTUNER_COORDINATOR"] = f"127.0.0.1:{port}"
     os.environ["XTUNER_NUM_PROCESSES"] = "2"
     os.environ["XTUNER_PROCESS_ID"] = str(process_id)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -35,8 +48,13 @@ def worker(process_id: int) -> None:
     from xtuner_tpu.utils.dist import is_main_process, maybe_init_distributed
 
     rank = maybe_init_distributed()
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+    assert jax.process_count() == 2, (
+        f"expected 2 jax processes after distributed init, got "
+        f"{jax.process_count()} (rank={rank}, coordinator port {port})")
+    assert len(jax.devices()) == 2, (
+        f"expected 2 global devices, got {len(jax.devices())}")
+    assert len(jax.local_devices()) == 1, (
+        f"expected 1 local device per process, got {len(jax.local_devices())}")
 
     import numpy as np
 
@@ -62,36 +80,93 @@ def worker(process_id: int) -> None:
     batch = {k: v.reshape(1, 2, 256) for k, v in flat.items()}
     metrics = engine.train_step(batch, step=1)
     loss = float(metrics["reduced_llm_loss"])
-    assert np.isfinite(loss), loss
+    assert np.isfinite(loss), f"non-finite step-1 loss {loss}"
+
+    # ---- sharded checkpoint round trip across BOTH processes (save →
+    # restore-to-NamedSharding → one more step from the restored state) ----
+    ckpt_dir = os.environ.get("XT_MH_CKPT")
+    if ckpt_dir:
+        from xtuner_tpu.checkpoint.orbax_io import TrainCheckpointManager
+
+        mgr = TrainCheckpointManager(ckpt_dir, async_save=False)
+        mgr.save(1, engine.params, engine.opt_state, {"step": 1})
+        restored_params, restored_opt, train_state, _ = mgr.restore(
+            1, engine.params, engine.opt_state)
+        assert train_state["step"] == 1, train_state
+        # restored leaves keep their sharding and only local shards are
+        # addressable per process — no full-host materialization happened
+        leaf = jax.tree_util.tree_leaves(restored_params)[0]
+        assert leaf.sharding == jax.tree_util.tree_leaves(
+            engine.params)[0].sharding, "restore dropped the NamedSharding"
+        engine.params, engine.opt_state = restored_params, restored_opt
+        metrics2 = engine.train_step(batch, step=2)
+        loss2 = float(metrics2["reduced_llm_loss"])
+        assert np.isfinite(loss2), f"non-finite post-restore loss {loss2}"
+
+        # ---- multihost-safe HF export: every process participates in the
+        # gather, process 0 writes safetensors ----
+        hf_dir = os.path.join(ckpt_dir, "hf")
+        engine.save_hf(hf_dir)
+        if is_main_process():
+            import glob
+
+            files = glob.glob(os.path.join(hf_dir, "*.safetensors"))
+            assert files, f"save_hf wrote no safetensors under {hf_dir}"
+
     print(f"MULTIHOST_OK rank={rank} main={is_main_process()} loss={loss:.4f}",
           flush=True)
 
 
 def driver() -> None:
     here = os.path.abspath(__file__)
-    procs = [subprocess.Popen([sys.executable, here, str(i)],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True)
-             for i in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            out, _ = p.communicate()
-        outs.append(out)
-    ok = all("MULTIHOST_OK" in o for o in outs) and all(p.returncode == 0 for p in procs)
+
+    def attempt() -> tuple[bool, list[str]]:
+        import tempfile
+
+        port = int(os.environ.get("XT_MH_PORT", 0)) or _free_port()
+        env = dict(os.environ)
+        with tempfile.TemporaryDirectory(prefix="xt_mh_ckpt_") as ckpt:
+            env["XT_MH_CKPT"] = os.path.join(ckpt, "step")
+            procs = [subprocess.Popen([sys.executable, here, str(i), str(port)],
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True,
+                                      env=env)
+                     for i in range(2)]
+            outs = []
+            for p in procs:
+                try:
+                    out, _ = p.communicate(timeout=420)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    out, _ = p.communicate()
+                    out += "\n<driver: worker timed out after 420s>"
+                outs.append(out)
+        ok = (all("MULTIHOST_OK" in o for o in outs)
+              and all(p.returncode == 0 for p in procs))
+        return ok, outs
+
+    ok, outs = attempt()
+    if not ok:
+        print("multihost dryrun attempt 1 failed; full worker output:")
+        for i, o in enumerate(outs):
+            print(f"----- proc {i} (attempt 1) -----\n{o}")
+        ok, outs = attempt()  # retry once (port/bootstrap races are transient)
     for i, o in enumerate(outs):
         marker = [l for l in o.splitlines() if "MULTIHOST_OK" in l]
-        print(f"proc {i}: {marker[0] if marker else o[-400:]}")
+        if marker:
+            print(f"proc {i}: {marker[0]}")
+        else:
+            print(f"----- proc {i} FAILED; full output -----\n{o}")
     if not ok:
         raise SystemExit("multihost dryrun FAILED")
-    print("multihost_dryrun(2 processes) ok")
+    print("multihost_dryrun(2 processes) ok: step + sharded save/restore + "
+          "step + HF export")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
-        worker(int(sys.argv[1]))
+    if len(sys.argv) > 2:
+        worker(int(sys.argv[1]), int(sys.argv[2]))
+    elif len(sys.argv) > 1:
+        worker(int(sys.argv[1]), int(os.environ.get("XT_MH_PORT", "19755")))
     else:
         driver()

@@ -214,17 +214,61 @@ def load_hf_checkpoint(hf_path: str | Path, specs, key_map, shardings):
 # save
 # ----------------------------------------------------------------------
 
+# Replication-gather jits, cached per mesh (jit caches per input shape
+# underneath): used by the export path to pull one (layer-)slice of a
+# multihost-sharded leaf onto every host via XLA collectives.
+_GATHER_FULL: dict = {}
+_GATHER_SLICE: dict = {}
+
+
+def _fetch(p, li: Optional[int] = None) -> np.ndarray:
+    """Full host copy of `p` (or its layer slice `p[li]`), correct for
+    non-fully-addressable arrays. The reference re-gathers DTensor shards
+    collectively for HF export (ref xtuner/v1/model/base.py:1902-2029); the
+    TPU analog is an XLA replication gather: jit identity /
+    dynamic_index_in_dim with a fully-replicated out_sharding, then read
+    the local replica. EVERY process must call this in the same order
+    (collective). Single-process arrays short-circuit to device_get."""
+    if not isinstance(p, jax.Array) or p.is_fully_addressable:
+        return np.asarray(jax.device_get(p if li is None else p[li]))
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = p.sharding.mesh
+    repl = NamedSharding(mesh, PartitionSpec())
+    if li is None:
+        fn = _GATHER_FULL.get(mesh)
+        if fn is None:
+            fn = jax.jit(lambda x: x, out_shardings=repl)
+            _GATHER_FULL[mesh] = fn
+        out = fn(p)
+    else:
+        fn = _GATHER_SLICE.get(mesh)
+        if fn is None:
+            fn = jax.jit(
+                lambda x, i: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+                out_shardings=repl)
+            _GATHER_SLICE[mesh] = fn
+        out = fn(p, jnp.int32(li))
+    return np.asarray(out.addressable_data(0))
+
+
 class _ChunkedWriter:
     """Accumulate tensors and flush into size-capped safetensors shards
-    (reference `_iter_hf_save_chunks`, base.py:1742)."""
+    (reference `_iter_hf_save_chunks`, base.py:1742). In multihost runs
+    only process 0 buffers/writes; other processes still participate in
+    the collective gathers feeding `add` but drop the host copy here."""
 
     def __init__(self, out_dir: Path):
         self.out_dir = out_dir
+        self.active = jax.process_index() == 0
         self.buffer: dict[str, np.ndarray] = {}
         self.buffer_bytes = 0
         self.files: list[dict[str, np.ndarray]] = []
 
     def add(self, key: str, tensor: np.ndarray) -> None:
+        if not self.active:
+            return
         self.buffer[key] = tensor
         self.buffer_bytes += tensor.nbytes
         if self.buffer_bytes >= MAX_SHARD_BYTES:
@@ -237,6 +281,8 @@ class _ChunkedWriter:
             self.buffer_bytes = 0
 
     def finalize(self) -> None:
+        if not self.active:
+            return
         from safetensors.numpy import save_file
 
         self.flush()
@@ -272,6 +318,23 @@ def async_save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=Non
     base.py:754-918). Returns a handle with .join()."""
     import threading
 
+    if any(isinstance(p, jax.Array) and not p.is_fully_addressable
+           for p in jax.tree.leaves(params)):
+        # multihost: the snapshot would need collective gathers, which must
+        # not run on a background thread (they'd interleave with training
+        # collectives) — fall back to the synchronous collective export
+        logger.warning("async HF export on a multi-process mesh falls back "
+                       "to synchronous export (collective gathers)")
+        save_hf_checkpoint(hf_path, params, key_map, model_cfg)
+
+        class DoneHandle:
+            def join(self, timeout=None):
+                pass
+
+            done = True
+
+        return DoneHandle()
+
     host_params = jax.tree.map(lambda p: np.asarray(jax.device_get(p)), params)
     thread = threading.Thread(
         target=save_hf_checkpoint, args=(hf_path, host_params, key_map, model_cfg),
@@ -306,7 +369,7 @@ def save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None) -> 
             for li in range(n_layers):
                 hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset) \
                     if stacked else key.template
-                half = np.asarray(jax.device_get(p[li] if stacked else p))
+                half = _fetch(p, li) if stacked else _fetch(p)
                 slot = fused_halves.setdefault(hf_key, [None, None])
                 slot[1 if key.transform.endswith("1") else 0] = half
                 if slot[0] is not None and slot[1] is not None:
@@ -316,7 +379,7 @@ def save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None) -> 
             stacked = p.ndim == 4
             n_layers = p.shape[0] if stacked else 1
             for li in range(n_layers):
-                layer_slice = np.asarray(jax.device_get(p[li] if stacked else p))
+                layer_slice = _fetch(p, li) if stacked else _fetch(p)
                 for ei in range(layer_slice.shape[0]):
                     hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset,
                                                  expert=ei)
@@ -324,11 +387,12 @@ def save_hf_checkpoint(hf_path: str | Path, params, key_map, model_cfg=None) -> 
         elif _is_stacked(key):
             for li in range(p.shape[0]):
                 hf_key = key.template.format(layer=li * key.layer_stride + key.layer_offset)
-                writer.add(hf_key, _to_hf_tensor(np.asarray(jax.device_get(p[li])), key.transform))
+                writer.add(hf_key, _to_hf_tensor(_fetch(p, li), key.transform))
         else:
-            writer.add(key.template, _to_hf_tensor(np.asarray(jax.device_get(p)), key.transform))
+            writer.add(key.template, _to_hf_tensor(_fetch(p), key.transform))
     writer.finalize()
-    if model_cfg is not None and getattr(model_cfg, "model_type", None):
+    if (model_cfg is not None and getattr(model_cfg, "model_type", None)
+            and jax.process_index() == 0):
         _write_hf_config(out_dir, model_cfg)
     logger.info(f"saved HF checkpoint -> {out_dir}")
 

@@ -317,6 +317,21 @@ class TrainEngine:
                 out[k] = put(v, replicated)
         return out
 
+    def compiled_step_text(self, batch: dict[str, np.ndarray]) -> str:
+        """Optimized HLO of the jitted train step on this batch's shapes —
+        the collective-regression hook: dryrun_multichip asserts each
+        (mesh, dispatcher) combo lowers to the expected collectives
+        (ragged-all-to-all for the a2a dispatcher, no degraded full
+        allgathers), the analog of the reference *measuring* its EP
+        dispatch (ref xtuner/v1/ops/comm/deepep_op.py)."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step_fn()
+        device_batch = self.put_batch(batch)
+        return (self._step_fn
+                .lower(self.params, self.opt_state, jnp.asarray(1, jnp.int32),
+                       device_batch)
+                .compile().as_text())
+
     def train_step(self, batch: dict[str, np.ndarray], step: int) -> dict[str, float]:
         """One optimizer step over a grad-accum batch of shape (A, B, L)."""
         if self._step_fn is None:

@@ -77,7 +77,7 @@ class Hybrid(Dense):
         zero_c = cfg.rms_norm_type == "zero_centered"
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_c)
         if kind == "linear":
-            h = gdn_forward(lp["attn"], cfg.linear_attention, h, segment_ids)
+            h = gdn_forward(lp["attn"], cfg.linear_attention, h, segment_ids, sc)
         else:
             h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             attn_impl=cfg.attn_impl)
@@ -359,7 +359,7 @@ class HybridMoE(MoE):
         h = sc(rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, zero_c),
                "batch", "seq", None)
         if kind == "linear":
-            h = gdn_forward(lp["attn"], cfg.linear_attention, h, segment_ids)
+            h = gdn_forward(lp["attn"], cfg.linear_attention, h, segment_ids, sc)
         else:
             h = mha_forward(lp["attn"], cfg.attention, h, cos, sin, segment_ids, sc,
                             window=cfg.sliding_window if cfg.use_sliding_window else None,

@@ -1440,6 +1440,23 @@ class PagedGenerator:
         thread."""
         self._flush_requested = True
 
+    def check_block_conservation(self) -> None:
+        """Pool-wide conservation invariant (the vLLM block-manager
+        analog): every reference the allocator holds is owned by exactly
+        one of (a) the reserved trash block 0, (b) a live sequence's block
+        table, (c) one prefix-cache entry. A surplus means leaked blocks;
+        a deficit means a double-free (masked by release()'s clamp-at-0).
+        Cheap host numpy — called at the end of every batch generate()."""
+        tables = sum(len(t) for t in self.cache.tables.values())
+        cached = len(self.prefix_cache) if self.prefix_cache is not None else 0
+        held = 1 + tables + cached
+        total = int(self.cache.allocator.refcount.sum())
+        if total != held:
+            raise AssertionError(
+                f"paged-pool block conservation violated: allocator holds "
+                f"{total} refs but owners account for {held} "
+                f"(trash=1, live tables={tables}, prefix cache={cached})")
+
     def generate(self, requests: list[dict]) -> list[dict]:
         """Run all requests to completion with continuous batching; returns
         outputs in request order."""
@@ -1447,6 +1464,7 @@ class PagedGenerator:
         results: dict[int, dict] = {}
         while queue or self.has_live_slots():
             self.tick(queue, results)
+        self.check_block_conservation()
         return [results[i] for i in range(len(requests))]
 
     def tick(self, queue: list[dict], results: dict[int, dict]) -> None:

@@ -167,8 +167,20 @@ def gdn_cached_forward(p: dict, cfg: GatedDeltaNetConfig, x, state, conv_buf,
     return o @ p["out_proj"]["w"], state, conv_buf
 
 
-def gdn_forward(p: dict, cfg: GatedDeltaNetConfig, x, segment_ids=None):
-    """x: (B, L, H) -> (B, L, H)."""
+def gdn_forward(p: dict, cfg: GatedDeltaNetConfig, x, segment_ids=None,
+                sc=None):
+    """x: (B, L, H) -> (B, L, H).
+
+    Sequence parallelism (`sc`: ShardCtx): the reference ships a dedicated
+    4-all-to-all SP path for GatedDeltaNet (ref gated_deltanet.py:25-43,
+    forward_for_sp :188) because the delta-rule recurrence needs the FULL
+    sequence. TPU redesign: the projections and the causal conv stay
+    seq-sharded (GSPMD partitions the conv's shifted pads with K-1-token
+    halo exchanges automatically); only the recurrence inputs are
+    constraint-flipped seq-sharded -> head-sharded (XLA inserts the
+    all_to_alls — the same Ulysses trick as module/attention.py), so each
+    device runs the full-length recurrence on Hv/sp heads, then the output
+    flips back. No full-seq allgather of activations ever materializes."""
     b, l, _ = x.shape
     hk, hv = cfg.num_k_heads, cfg.num_v_heads
     dk, dv = cfg.head_k_dim, cfg.head_v_dim
@@ -196,7 +208,18 @@ def gdn_forward(p: dict, cfg: GatedDeltaNetConfig, x, segment_ids=None):
         q = jnp.repeat(q, rep, axis=2)
         k = jnp.repeat(k, rep, axis=2)
 
+    if sc is not None:
+        # Ulysses flip: seq-sharded -> head-sharded (all_to_all over sp)
+        q = sc(q, "batch", None, "act_heads", None)
+        k = sc(k, "batch", None, "act_heads", None)
+        v = sc(v, "batch", None, "act_heads", None)
+        alpha = sc(alpha, "batch", None, "act_heads")
+        beta = sc(beta, "batch", None, "act_heads")
+
     o = gated_delta_rule_chunked(q, k, v, alpha, beta, segment_ids, cfg.chunk_size)
+
+    if sc is not None:
+        o = sc(o, "batch", "seq", None, None)  # flip back (reverse a2a)
 
     # gated RMSNorm (FLA FusedRMSNormGated): rms_norm(o) * silu(z), per head
     z = z.reshape(b, l, hv, dv).astype(jnp.float32)
