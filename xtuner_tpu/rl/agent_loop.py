@@ -86,6 +86,12 @@ class ToolAgentLoop:
         no <tool_call> (None = final answer, stop the loop)."""
         return None
 
+    def _early_stop(self, text: str) -> bool:
+        """Hook for subclasses: True terminates the rollout after this turn
+        (e.g. a per-turn judger already scored it — reference sandbox
+        judger.py hook). Checked before tool-call parsing."""
+        return False
+
     def run(self, prompt_ids: list[int]) -> AgentRollout:
         rollout = AgentRollout()
         rollout.segments.append(Segment(list(prompt_ids), generated=False))
@@ -98,6 +104,9 @@ class ToolAgentLoop:
             text = self.tokenizer.decode(gen_ids)
             rollout.final_text += text
             rollout.num_turns = turn + 1
+            if self._early_stop(text):
+                rollout.stop_reason = "judged"
+                return rollout
             call = parse_tool_call(text)
             if call is None:
                 result = self._handle_no_tool_call(text)

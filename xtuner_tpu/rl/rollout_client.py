@@ -109,6 +109,27 @@ class RolloutClient:
             out.append(item)
         return out
 
+    def generate_fn(self, tokenizer, *, max_tokens: int = 128,
+                    temperature: float = 1.0, top_p: float = 1.0):
+        """Adapter for the agent loops: returns `fn(prompt_ids) -> (ids,
+        logprobs)` backed by this worker's /v1/completions. The loop keeps
+        token-level context; the wire carries text (lossless for the byte
+        tokenizers; HF tokenizers round-trip their own detokenization)."""
+
+        def fn(prompt_ids: list[int]) -> tuple[list[int], list[float]]:
+            prompt = tokenizer.decode(list(prompt_ids))
+            choice = self.generate(prompt, max_tokens=max_tokens,
+                                   temperature=temperature, top_p=top_p,
+                                   logprobs=True)[0]
+            ids = tokenizer.encode(choice["text"], add_special_tokens=False)
+            lps = choice.get("logprobs") or []
+            # logprobs are per-generated-token server-side; pad/trim to the
+            # re-tokenized length so Segment stays aligned
+            lps = (list(lps) + [0.0] * len(ids))[: len(ids)]
+            return ids, lps
+
+        return fn
+
     def chat(self, messages: list[dict[str, Any]], *, max_tokens: int = 128,
              temperature: float = 1.0, top_p: float = 1.0,
              n: int = 1) -> list[dict[str, Any]]:
