@@ -132,3 +132,79 @@ def test_freeze_labels():
     labels = model.param_labels(model.param_specs())
     assert all(l == "freeze" for l in jax.tree.leaves(labels["vision"]))
     assert all(l == "train" for l in jax.tree.leaves(labels["language"]))
+
+
+def test_frame_indices_sampling():
+    from xtuner_tpu.datasets.vlm import get_frame_indices
+
+    # middle: deterministic interval centers, sorted, within range
+    mid = get_frame_indices(4, 100, sample="middle")
+    assert len(mid) == 4 and mid == sorted(mid) and all(0 <= i < 100 for i in mid)
+    # rand: seeded -> reproducible; one frame per interval
+    r1 = get_frame_indices(6, 60, sample="rand", seed=7)
+    r2 = get_frame_indices(6, 60, sample="rand", seed=7)
+    assert r1 == r2 and len(r1) == 6
+    assert all(lo <= i < lo + 10 for lo, i in zip(range(0, 60, 10), r1))
+    # short clip pads with the last frame (reference :65-68)
+    short = get_frame_indices(8, 3, sample="middle")
+    assert len(short) == 8 and short[-1] == short[2]
+    # fps mode
+    fps = get_frame_indices(0, 20, sample="fps0.5")
+    assert fps == list(range(0, 20, 2))
+
+
+def test_video_tokenize_synthetic_clip(tmp_path):
+    """Video path parity on a synthetic clip (VERDICT r3 item 8): frame
+    sampling -> per-frame single patch -> 'Frame-k: <img>ctx*N</img>' text
+    expansion, context-token count == frames * tokens_per_tile."""
+    tok = UTF8ByteTokenizer(extra_specials=IMG_SPECIALS)
+    fn = InternVLTokenizeFn(tok, image_size=28, tokens_per_tile=4,
+                            min_num_frames=3, max_num_frames=5)
+    clip = np.random.default_rng(0).integers(0, 255, (12, 40, 64, 3)).astype(np.uint8)
+    np.save(tmp_path / "clip.npy", clip)
+    item = {
+        "messages": [
+            {"role": "user", "content": [
+                {"type": "video", "video": str(tmp_path / "clip.npy")},
+                {"type": "text", "text": "describe the video"},
+            ]},
+            {"role": "assistant", "content": "a clip"},
+        ]
+    }
+    out = fn(item)
+    ctx_id = tok.special_ids["<IMG_CONTEXT>"]
+    n_frames = out["pixel_values"].shape[0]
+    assert 3 <= n_frames <= 5
+    # one patch per frame, NO dynamic tiling for video frames
+    assert out["pixel_values"].shape == (n_frames, 3, 28, 28)
+    n_ctx = sum(1 for t in out["input_ids"] if t == ctx_id)
+    assert n_ctx == n_frames * 4
+    text = tok.decode(out["input_ids"])
+    assert "Frame-1:" in text and f"Frame-{n_frames}:" in text
+    assert f"Frame-{n_frames + 1}:" not in text
+    # deterministic: same item -> same sampling (precompute/load parity)
+    out2 = fn(item)
+    assert np.array_equal(out2["pixel_values"], out["pixel_values"])
+    assert out2["input_ids"] == out["input_ids"]
+    # context tokens are loss-masked
+    assert all(l == -100 for t, l in zip(out["input_ids"], out["labels"]) if t == ctx_id)
+
+
+def test_video_placeholder_and_ndarray_source():
+    from xtuner_tpu.datasets.vlm import VIDEO_TOKEN
+
+    tok = UTF8ByteTokenizer(extra_specials=IMG_SPECIALS)
+    fn = InternVLTokenizeFn(tok, image_size=28, tokens_per_tile=2,
+                            min_num_frames=2, max_num_frames=2)
+    clip = np.random.default_rng(1).integers(0, 255, (6, 28, 28, 3)).astype(np.uint8)
+    item = {
+        "video": clip,
+        "messages": [
+            {"role": "user", "content": f"{VIDEO_TOKEN} what happens?"},
+            {"role": "assistant", "content": "things"},
+        ],
+    }
+    out = fn(item)
+    assert out["pixel_values"].shape == (2, 3, 28, 28)
+    ctx_id = tok.special_ids["<IMG_CONTEXT>"]
+    assert sum(1 for t in out["input_ids"] if t == ctx_id) == 4

@@ -23,6 +23,90 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 IMG_TOKEN = "<image>"
+VIDEO_TOKEN = "<video>"
+
+
+def get_frame_indices(num_frames: int, vlen: int, sample: str = "rand",
+                      seed: Optional[int] = None) -> list[int]:
+    """Sample frame indices from a clip of `vlen` frames (reference
+    intern_s1_vl_utils.py get_frame_indices :41-68): split into uniform
+    intervals, one frame per interval — 'rand' within each (deterministic
+    when seeded), 'middle' at the center; short clips pad with the last
+    frame. 'fpsX' samples at X frames per source frame-rate unit."""
+    if sample.startswith("fps"):
+        step = max(1.0 / float(sample[3:]), 1.0)
+        idx = np.arange(0, vlen, step).astype(int).tolist()
+        return idx if not num_frames else idx[:num_frames]
+    acc = min(num_frames, vlen)
+    intervals = np.linspace(0, vlen, acc + 1).astype(int)
+    rng = np.random.default_rng(seed)
+    indices: list[int] = []
+    for lo, hi in zip(intervals[:-1], intervals[1:]):
+        hi = max(hi - 1, lo + 1)
+        if sample == "rand":
+            indices.append(int(rng.integers(lo, hi)))
+        else:  # middle
+            indices.append(int((lo + hi - 1) // 2))
+    if len(indices) < num_frames:  # padded with last frame
+        indices += [indices[-1]] * (num_frames - len(indices))
+    return indices
+
+
+def _stable_int(key: dict, lo: int, hi: int) -> int:
+    """Deterministic 'random' int in [lo, hi] keyed on the data item
+    (reference generate_random_int_from_dict — sampling must be stable
+    across the token-count precompute pass and the actual load)."""
+    digest = hashlib.sha256(json.dumps(key, sort_keys=True, default=str).encode())
+    return lo + int.from_bytes(digest.digest()[:4], "little") % (hi - lo + 1)
+
+
+def load_video_frames(ref, num_frames: int, sample: str = "rand",
+                      seed: Optional[int] = None,
+                      clip: Optional[tuple[float, float]] = None) -> list[np.ndarray]:
+    """-> list of (H, W, 3) uint8/float frames. Sources (reference
+    read_interns1_vl_video :213-269, minus the OSS/decord backends this
+    image doesn't ship): a (T, H, W, 3) ndarray / .npy clip, a directory of
+    frame images (sorted), or a .gif (PIL). `clip=(start_frac, end_frac)`
+    restricts sampling to a sub-range."""
+    if isinstance(ref, np.ndarray):
+        frames = list(ref)
+    else:
+        path = Path(ref)
+        if path.suffix == ".npy":
+            frames = list(np.load(path))
+        elif path.is_dir():
+            from PIL import Image
+
+            files = sorted(p for p in path.iterdir()
+                           if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".npy"))
+            frames = [np.load(p) if p.suffix == ".npy"
+                      else np.asarray(Image.open(p).convert("RGB")) for p in files]
+        elif path.suffix.lower() == ".gif":
+            from PIL import Image, ImageSequence
+
+            with Image.open(path) as im:
+                frames = [np.asarray(f.convert("RGB"))
+                          for f in ImageSequence.Iterator(im)]
+        else:
+            raise ValueError(
+                f"unsupported video source {ref!r}: use a (T,H,W,3) array, "
+                f".npy clip, frame directory, or .gif (mp4 decode needs a "
+                f"video backend this image doesn't ship)")
+    if clip is not None:
+        lo = int(clip[0] * len(frames))
+        hi = max(int(clip[1] * len(frames)), lo + 1)
+        frames = frames[lo:hi]
+    idx = get_frame_indices(num_frames, len(frames), sample, seed)
+    return [frames[i] for i in idx]
+
+
+def preprocess_frame(frame: np.ndarray, image_size: int = 448) -> np.ndarray:
+    """One video frame -> (1, 3, S, S) normalized tile. Video frames get NO
+    dynamic tiling (reference video_get_item applies the plain transform
+    per frame — one patch each, unlike images)."""
+    resized = _resize(frame, image_size, image_size)[None]
+    out = (resized / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return out.transpose(0, 3, 1, 2).astype(np.float32)
 
 
 def find_closest_aspect_ratio(aspect_ratio: float, target_ratios, width: int, height: int,
@@ -115,7 +199,10 @@ class InternVLTokenizeFn:
                  image_size: int = 448, max_num: int = 12, tokens_per_tile: int = 256,
                  img_start_token: str = "<img>", img_end_token: str = "</img>",
                  img_context_token: str = "<IMG_CONTEXT>",
-                 image_root: Optional[str] = None, max_length: Optional[int] = None):
+                 image_root: Optional[str] = None, max_length: Optional[int] = None,
+                 min_num_frames: int = 4, max_num_frames: int = 24,
+                 video_context_token: Optional[str] = None,
+                 frame_sample: str = "rand"):
         self.tokenizer = tokenizer
         self.chat_template = get_chat_template(chat_template)
         self.image_size = image_size
@@ -126,7 +213,35 @@ class InternVLTokenizeFn:
         self.img_context = img_context_token
         self.image_root = Path(image_root) if image_root else None
         self.max_length = max_length
+        self.min_num_frames = min_num_frames
+        self.max_num_frames = max_num_frames
+        # reference uses a distinct <VIDEO_CONTEXT> placeholder id so the
+        # model can tell frame tokens from image tokens; default to sharing
+        # the image context token for tokenizers without the extra special
+        self.video_context = video_context_token or img_context_token
+        self.frame_sample = frame_sample
         self.img_context_id = tokenizer.encode(img_context_token, add_special_tokens=False)[0]
+
+    def _expand_video(self, ref, item: dict) -> tuple[str, np.ndarray]:
+        """Sample frames deterministically per item, preprocess each to one
+        448 patch, and build the 'Frame-k: <img>ctx*N</img>' text block
+        (reference replace_video_token :37-68 + video_get_item :383-470)."""
+        key = {"item": item.get("id", item.get("messages", "")), "video": str(ref)}
+        n = _stable_int(key, self.min_num_frames, self.max_num_frames)
+        src = ref
+        if not isinstance(src, np.ndarray):
+            path = Path(src)
+            if self.image_root and not path.is_absolute():
+                path = self.image_root / path
+            src = path
+        frames = load_video_frames(src, n, self.frame_sample,
+                                   seed=_stable_int(key, 0, 2**31 - 1),
+                                   clip=item.get("clip"))
+        tiles = np.concatenate([preprocess_frame(f, self.image_size) for f in frames])
+        one = (self.img_start + self.video_context * self.tokens_per_tile
+               + self.img_end)
+        text = "\n".join(f"Frame-{i + 1}: {one}" for i in range(len(frames)))
+        return text, tiles
 
     def _load_image(self, ref) -> np.ndarray:
         if isinstance(ref, np.ndarray):
@@ -155,6 +270,11 @@ class InternVLTokenizeFn:
                         n_ctx = tiles.shape[0] * self.tokens_per_tile
                         text_parts.append(
                             self.img_start + self.img_context * n_ctx + self.img_end)
+                    elif part.get("type") in ("video_url", "video"):
+                        text, tiles = self._expand_video(
+                            part.get("video_url", part.get("video")), item)
+                        pixel_tiles.append(tiles)
+                        text_parts.append(text)
                     else:
                         text_parts.append(part.get("text", ""))
                 content = "".join(text_parts)
@@ -165,6 +285,10 @@ class InternVLTokenizeFn:
                 n_ctx = tiles.shape[0] * self.tokens_per_tile
                 content = content.replace(
                     IMG_TOKEN, self.img_start + self.img_context * n_ctx + self.img_end, 1)
+            elif VIDEO_TOKEN in content and "video" in item:
+                text, tiles = self._expand_video(item["video"], item)
+                pixel_tiles.append(tiles)
+                content = content.replace(VIDEO_TOKEN, text, 1)
             messages.append({**msg, "content": content})
 
         out = ChatMessages(messages=messages).tokenize(self.tokenizer, self.chat_template)
@@ -178,7 +302,9 @@ class InternVLTokenizeFn:
 
     def hash(self) -> str:
         key = json.dumps(["internvl", self.image_size, self.max_num, self.tokens_per_tile,
-                          self.chat_template.model_dump()], sort_keys=True)
+                          self.min_num_frames, self.max_num_frames, self.video_context,
+                          self.frame_sample, self.chat_template.model_dump()],
+                         sort_keys=True)
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
