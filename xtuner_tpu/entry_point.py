@@ -14,6 +14,8 @@ MODES = {
     "serve": "xtuner_tpu.train.cli.serve",
     "convert": "xtuner_tpu.train.cli.convert",
     "mmbench": "xtuner_tpu.train.cli.mmbench",
+    "eval-refcoco": "xtuner_tpu.train.cli.eval_refcoco",
+    "eval_refcoco": "xtuner_tpu.train.cli.eval_refcoco",
     "preprocess": "xtuner_tpu.train.cli.preprocess",
 }
 # dataset/config inspection modes (reference legacy entry_point.py surface)
@@ -32,6 +34,7 @@ modes:
   serve           OpenAI-compatible inference server (paged engine)
   convert         orbax training checkpoint -> HF safetensors export
   mmbench         MMBench VLM evaluation over a TSV benchmark
+  eval-refcoco    RefCOCO referring-expression IoU@0.5 evaluation
   preprocess      dataset converters (alpaca/sharegpt/arxiv/refcoco) + count
   log-dataset     print tokenized samples with their loss masks
   check-custom-dataset  validate a jsonl dataset's schema
