@@ -49,7 +49,9 @@ def _build_cfg(*, layers, moe_inter, experts, topk, hidden=1024):
         router=GreedyRouterConfig(),
         attention=MHAConfig(num_attention_heads=16, num_key_value_heads=8, head_dim=128,
                             qk_norm=True),
-        lm_loss_cfg=CELossConfig(chunk_size=2048, mode="fused"),
+        lm_loss_cfg=CELossConfig(chunk_size=2048,
+                                 mode=os.environ.get("BENCH_CE", "fused")),
+        grouped_gemm_impl=os.environ.get("BENCH_GEMM", "ragged_dot"),
     )
     if os.environ.get("BENCH_FP8"):  # tile-wise fp8 expert + attention GEMMs
         from xtuner_tpu.ops.float8 import Float8Config
@@ -79,7 +81,7 @@ def _run_shape(cfg, seq_len: int, n_steps: int) -> dict:
                          total_steps=100)
     engine.init_random(0)
 
-    rows = n_dev
+    rows = int(os.environ.get("BENCH_ROWS", n_dev))
     flat = fake_collator(rows, seq_len, cfg.vocab_size, seed=0)
     batch = {k: v.reshape(1, rows, seq_len) for k, v in flat.items()}
     tokens_per_step = rows * seq_len

@@ -98,21 +98,23 @@ def summarize(out_dir: str, top: int = 30) -> str:
             and (e.get("pid"), e.get("tid")) in ops_tids]
     lane.sort(key=lambda e: (e["ts"], -e["dur"]))
     excl = collections.Counter()
+    excl_src = collections.Counter()
     src = {}
-    stack = []  # (ts, dur, name, child_time)
+    stack = []  # (ts, dur, name, source, child_time)
 
     def pop():
-        ts, dur, name, child = stack.pop()
+        ts, dur, name, source, child = stack.pop()
         excl[name] += dur - child
+        excl_src[(name, source)] += dur - child
         if stack:
             s = stack[-1]
-            stack[-1] = (s[0], s[1], s[2], s[3] + dur)
+            stack[-1] = (s[0], s[1], s[2], s[3], s[4] + dur)
 
     for e in lane:
         while stack and e["ts"] >= stack[-1][0] + stack[-1][1]:
             pop()
-        stack.append((e["ts"], e["dur"], e["name"], 0))
-        s = e.get("args", {}).get("source")
+        s = e.get("args", {}).get("source") or ""
+        stack.append((e["ts"], e["dur"], e["name"], s, 0))
         if s:
             src.setdefault(re.sub(r"[.\d]+$", "", e["name"]), s)
     while stack:
@@ -126,6 +128,15 @@ def summarize(out_dir: str, top: int = 30) -> str:
     for name, dur in agg.most_common(top):
         lines.append(f"{dur/1e6:9.3f} s  {100*dur/max(total,1):5.1f}%  {name:32s} "
                      f"{src.get(name, '')}")
+    # second table: same exclusive times keyed by (op-kind, source line) so
+    # generic names ("fusion") don't collapse distinct program regions into
+    # one mislabeled bucket
+    agg2 = collections.Counter()
+    for (name, s), d in excl_src.items():
+        agg2[(re.sub(r"[.\d]+$", "", name), s)] += d
+    lines.append("\nby (op, source):")
+    for (name, s), dur in agg2.most_common(top):
+        lines.append(f"{dur/1e6:9.3f} s  {100*dur/max(total,1):5.1f}%  {name:24s} {s}")
     return "\n".join(lines)
 
 

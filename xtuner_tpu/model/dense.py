@@ -49,6 +49,13 @@ def _remat_policy(name: str):
         # expert-GEMM recompute at +H bf16 per token per layer
         return jax.checkpoint_policies.save_only_these_names(
             "attn_res_out", "attn_lse", "moe_out")
+    if name == "save_attn_residuals_moe":
+        # save_attn_residuals + MoE/MLP block outputs: backward re-runs
+        # neither the attention kernels nor the expert GEMMs — the cheapest
+        # backward when memory allows (short-seq / FFN-heavy shapes)
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_q", "attn_k", "attn_v", "attn_res_out", "attn_lse", "attn_out",
+            "moe_out")
     if name == "save_attn_residuals":
         # save the flash kernel's residuals (q/k/v/out/lse): backward reuses
         # them instead of re-running the forward attention kernel; projections

@@ -371,7 +371,8 @@ class HybridMoE(MoE):
             lp["experts"], lp["router"], cfg.router, h,
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
             act=cfg.hidden_act, compute_dtype=compute_dtype,
-            dispatcher=cfg.dispatcher, sc=sc)
+            dispatcher=cfg.dispatcher, sc=sc,
+            gemm_impl=getattr(cfg, "grouped_gemm_impl", "ragged_dot"))
         if "shared_experts" in lp:
             shared = mlp_forward(lp["shared_experts"], h, cfg.hidden_act)
             if "shared_expert_gate" in lp:

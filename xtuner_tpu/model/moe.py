@@ -55,6 +55,10 @@ class MoEConfig(DenseConfig):
     # ragged all-to-all over ep — reference dispatcher: deepep/all2all) |
     # "agrs" (all-gather + reduce-scatter over ep — reference dispatcher/agrs.py)
     dispatcher: str = "gspmd"
+    # expert grouped-GEMM implementation: "ragged_dot" (XLA) | "pallas"
+    # (visit-table megablox kernels, ops/bf16_grouped.py — wins on FFN-heavy
+    # shapes where XLA's ragged lowering underutilizes the MXU)
+    grouped_gemm_impl: str = "ragged_dot"
     # HF expert tensor layout: "per_expert" (one (out,in) tensor per expert,
     # qwen3_moe et al) | "fused_3d" (gate_up_proj (E,H,2F) + down_proj (E,F,H),
     # qwen3_vl_moe Qwen3VLMoeTextExperts)
@@ -159,7 +163,7 @@ class MoE(Dense):
             num_experts=cfg.n_routed_experts, top_k=cfg.num_experts_per_tok,
             act=cfg.hidden_act, compute_dtype=compute_dtype,
             dispatcher=cfg.dispatcher, sc=sc, forced_topk_idx=forced_routing,
-            fp8_cfg=cfg.float8_cfg,
+            fp8_cfg=cfg.float8_cfg, gemm_impl=cfg.grouped_gemm_impl,
         )
         if "shared_experts" in lp:
             moe_out = moe_out + mlp_forward(lp["shared_experts"], h, cfg.hidden_act)

@@ -34,7 +34,8 @@ def expert_mlp_param_specs(hidden_size: int, moe_intermediate_size: int,
 def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
                     x, *, num_experts: int, top_k: int, act: str = "silu",
                     compute_dtype=jnp.bfloat16, dispatcher: str = "gspmd", sc=None,
-                    forced_topk_idx=None, fp8_cfg=None):
+                    forced_topk_idx=None, fp8_cfg=None,
+                    gemm_impl: str = "ragged_dot"):
     """x: (B, L, H) -> (out (B, L, H), RouterOutput, expert_load (E,)).
 
     Dropless: every routed token is computed (no capacity factor).
@@ -48,6 +49,15 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
 
     b, l, h = x.shape
     x2d = x.reshape(b * l, h)
+    if gemm_impl == "auto":
+        # Pallas visit-table kernels on real TPU backends when the GEMM dims
+        # are lane-aligned; XLA ragged_dot otherwise (CPU tests, odd shapes)
+        from ..ops.bf16_grouped import pallas_grouped_ok
+
+        gemm_impl = ("pallas"
+                     if jax.default_backend() in ("tpu", "axon")
+                     and pallas_grouped_ok(h, p["gate_proj"].shape[2])
+                     else "ragged_dot")
     r: RouterOutput = route(router_p, router_cfg, x2d, top_k,
                             forced_idx=forced_topk_idx)
     probe("after_moe_gate", r.logits)
@@ -69,7 +79,29 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
     info = permute(x2d.astype(compute_dtype), r.topk_idx, num_experts,
                    topk_weights=r.topk_weights)
     probe("before_dispatch", info.sorted_tokens)
-    if fp8_cfg is not None and getattr(fp8_cfg, "enabled", False):
+    fp8_on = fp8_cfg is not None and getattr(fp8_cfg, "enabled", False)
+    if gemm_impl == "pallas" and not fp8_on:
+        # visit-table megablox kernels (ops/bf16_grouped.py) with gate|up
+        # FUSED into one grouped GEMM: one sweep over the sorted rows instead
+        # of two (measured 108.7 TF/s fused vs 93.8 separate, docs/kernels.md)
+        from ..ops.bf16_grouped import bf16_grouped_linear
+
+        f = p["gate_proj"].shape[2]
+        w_cat = jnp.concatenate(
+            [p["gate_proj"].astype(compute_dtype),
+             p["up_proj"].astype(compute_dtype)], axis=2)
+        gu = bf16_grouped_linear(info.sorted_tokens, w_cat, info.group_sizes)
+        gate, up = gu[:, :f].astype(jnp.float32), gu[:, f:].astype(jnp.float32)
+        if act == "swiglu_clipped":
+            hidden = swiglu_clipped(gate, up).astype(compute_dtype)
+        else:
+            hidden = (get_act_fn(act)(gate) * up).astype(compute_dtype)
+        out = bf16_grouped_linear(hidden, p["down_proj"].astype(compute_dtype),
+                                  info.group_sizes)
+        combined = unpermute(out, info, b * l)
+        combined = probe("after_combine", combined)
+        return combined.reshape(b, l, h).astype(compute_dtype), r, info.group_sizes
+    if fp8_on:
         # tile-wise fp8 expert GEMMs (reference float8_gmm_tile_wise.py:42-215)
         from ..ops.fp8_grouped import fp8_grouped_linear
 
