@@ -55,9 +55,14 @@ def test_transpose_rhs_matches_reference():
                                rtol=0.05, atol=0.1)
 
 
-def test_dw_matches_loop():
-    m, h, i, e = 1536, 256, 128, 4
-    x, w, gs = _mk(m, h, i, e, sizes=[100, 924, 0, 512])
+@pytest.mark.parametrize("m,h,i,e,sizes", [
+    (1536, 256, 128, 4, [100, 924, 0, 512]),
+    # n=1024 is NOT divisible by the default 768 block cap — exercises the
+    # divisor search (block_n=512), the shape the bench's down-proj wgrad hits
+    (1024, 256, 1024, 4, [256, 256, 256, 256]),
+])
+def test_dw_matches_loop(m, h, i, e, sizes):
+    x, w, gs = _mk(m, h, i, e, sizes=sizes)
     dy = jnp.asarray(np.random.default_rng(2).standard_normal((m, i)), jnp.bfloat16)
     got = grouped_gemm_bf16_dw(x, dy, gs, e, interpret=True)
     starts = np.concatenate([[0], np.cumsum(np.asarray(gs))])

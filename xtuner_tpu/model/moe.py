@@ -55,10 +55,12 @@ class MoEConfig(DenseConfig):
     # ragged all-to-all over ep — reference dispatcher: deepep/all2all) |
     # "agrs" (all-gather + reduce-scatter over ep — reference dispatcher/agrs.py)
     dispatcher: str = "gspmd"
-    # expert grouped-GEMM implementation: "ragged_dot" (XLA) | "pallas"
-    # (visit-table megablox kernels, ops/bf16_grouped.py — wins on FFN-heavy
-    # shapes where XLA's ragged lowering underutilizes the MXU)
-    grouped_gemm_impl: str = "ragged_dot"
+    # expert grouped-GEMM implementation: "auto" (Pallas on TPU backends for
+    # lane-aligned shapes and training-size token counts, XLA ragged_dot
+    # otherwise) | "ragged_dot" | "pallas". The Pallas visit-table kernels
+    # (ops/bf16_grouped.py) measure 94-109 TF/s vs ragged_dot's 67-84 on the
+    # moe_heavy bench geometry (+8.6% whole-step; docs/kernels.md)
+    grouped_gemm_impl: str = "auto"
     # HF expert tensor layout: "per_expert" (one (out,in) tensor per expert,
     # qwen3_moe et al) | "fused_3d" (gate_up_proj (E,H,2F) + down_proj (E,F,H),
     # qwen3_vl_moe Qwen3VLMoeTextExperts)

@@ -51,12 +51,15 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
     x2d = x.reshape(b * l, h)
     if gemm_impl == "auto":
         # Pallas visit-table kernels on real TPU backends when the GEMM dims
-        # are lane-aligned; XLA ragged_dot otherwise (CPU tests, odd shapes)
+        # are lane-aligned and the token count amortizes the 512-row block
+        # padding (training/prefill); XLA ragged_dot otherwise (CPU tests,
+        # odd shapes, small decode batches)
         from ..ops.bf16_grouped import pallas_grouped_ok
 
         gemm_impl = ("pallas"
                      if jax.default_backend() in ("tpu", "axon")
                      and pallas_grouped_ok(h, p["gate_proj"].shape[2])
+                     and b * l * top_k >= 4096
                      else "ragged_dot")
     r: RouterOutput = route(router_p, router_cfg, x2d, top_k,
                             forced_idx=forced_topk_idx)

@@ -111,6 +111,9 @@ def grouped_gemm_bf16(x, w, group_sizes, *, out_dtype=None,
                last=jnp.where(valid, tab["last"], 1))
     t_cap = int(tab["m_block"].shape[0])
     block_n = _pick_block_n(out_n, c, block_m)
+    # Mosaic accepts any block equal to the full dim; otherwise the lane dim
+    # must be a 128-multiple divisor (pallas_grouped_ok gates "auto" on this)
+    assert out_n % block_n == 0, (out_n, block_n)
 
     if transpose_rhs:
         # j blocks w's K rows; contract the full N dim (w dim 2)
@@ -185,12 +188,15 @@ def grouped_gemm_bf16_dw(x, dy, group_sizes, num_experts: int, *,
     m, k = x.shape
     m2, n = dy.shape
     assert m == m2 and m % block_m == 0
-    block_k = min(block_k, k)
-    block_n = min(block_n, n)
-    while k % block_k:
-        block_k //= 2
-    while n % block_n:
-        block_n //= 2
+
+    def _pick(v, cap):
+        for c in (cap, 768, 512, 384, 256, 128):
+            if c <= min(cap, v) and v % c == 0:
+                return c
+        return v  # no aligned divisor: full dim (legal at any size)
+
+    block_k = _pick(k, block_k)
+    block_n = _pick(n, block_n)
     tab = build_visit_table(group_sizes, m, block_m)
     # dump expert slot E for trailing invalid visits (see grouped_gemm_bf16)
     valid = tab["valid"] == 1
