@@ -74,10 +74,18 @@ def chain_steps(pg, batch: int, ctx: int, n_steps: int):
     active = jnp.ones((batch,), bool)
     pool_k, pool_v = pg.cache.pool_k, pg.cache.pool_v
     rng = jax.random.key(1)
+    # greedy bench: empty penalty state, per-row params from gen_cfg defaults
+    from xtuner_tpu.model.paged_generate import _row_params
+
+    seen = jnp.zeros((batch, 0), bool)
+    counts = jnp.zeros((batch, 0), jnp.int32)
+    n_gen = jnp.zeros((batch,), jnp.int32)
+    row = {k: jnp.asarray(v) for k, v in _row_params(pg.gen_cfg, None, batch).items()}
     for _ in range(n_steps):
         rng, r = jax.random.split(rng)
-        tok, lp, lens, pool_k, pool_v, _, _ = step(
-            pg.params, pool_k, pool_v, {}, tok, lens, table_d, active, r)
+        (tok, lp, lens, pool_k, pool_v, _, _, seen, counts, _, _) = step(
+            pg.params, pool_k, pool_v, {}, tok, lens, table_d, active, r,
+            seen, counts, n_gen, row)
     # restore cache arrays so a second chain can rebuild bookkeeping
     for i in range(batch):
         pg.cache.release(1000 + i)

@@ -151,14 +151,14 @@ def _sample_rows(logits, rng, row, cls, gen_cfg, seen, counts, n_gen, eos):
 def _pool_gather(pool, layer, block_table):
     """Gather each sequence's blocks for one layer: (B, MB, BS, H, D).
 
-    Indexes the pool FLATTENED over (L, NB) with `table + layer*NB` so a
-    traced `layer` costs index arithmetic, not a dynamic-slice of the whole
-    (NB, BS, H, D) layer slab — the slab slice materialized a full-pool-
-    sized transient per layer inside the decode scan (~22% of step time at
-    batch 64, tools/profile_decode.py)."""
-    nl, nb = pool.shape[:2]
-    flat = pool.reshape((nl * nb,) + pool.shape[2:])
-    return flat[block_table + layer * nb]
+    ONE gather over the leading (L, NB) dims: `pool[layer, block_table]`
+    broadcasts the traced layer against the table, so XLA emits a single
+    gather of (1, 1, BS, H, D) slices — neither a dynamic-slice of the whole
+    (NB, BS, H, D) layer slab (~22% of step time at batch 64, round 3) nor
+    the round-3 flat-reshape variant, whose reshape of the scan-carried pool
+    materialized a FULL POOL COPY per layer (90% of step time, 5.7x decode
+    regression — tools/profile_decode.py, round 4)."""
+    return pool[layer, block_table]
 
 
 def _mla_paged_attn(p, attn, h, cos, sin, pool_k, pool_v, layer, block_table,
