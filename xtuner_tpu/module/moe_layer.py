@@ -76,7 +76,9 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
             num_experts=num_experts, act=act, mesh=sc.mesh, rules=sc.rules,
             compute_dtype=compute_dtype,
         )
-        load = jnp.bincount(r.topk_idx.reshape(-1), length=num_experts)
+        from ..ops.moe import histogram
+
+        load = histogram(r.topk_idx, num_experts)
         return out2d.reshape(b, l, h).astype(compute_dtype), r, load
 
     info = permute(x2d.astype(compute_dtype), r.topk_idx, num_experts,
