@@ -60,7 +60,7 @@ def main() -> None:
     engine = TrainEngine(cfg, AdamWConfig(lr=1e-5), LRConfig(warmup_steps=2), mesh_cfg,
                         total_steps=100)
     engine.init_random(0)
-    rows = n_dev
+    rows = int(os.environ.get("BENCH_ROWS", n_dev))
     flat = fake_collator(rows, seq_len, cfg.vocab_size, seed=0)
     batch = {k: v.reshape(1, rows, seq_len) for k, v in flat.items()}
 
