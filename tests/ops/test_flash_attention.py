@@ -147,3 +147,40 @@ def test_non_divisible_length_padding():
     np.testing.assert_allclose(
         np.asarray(out_flash)[valid], np.asarray(out_ref)[valid], rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("ratio", [2, 4])
+@pytest.mark.parametrize("bound", [10.0, 1000.0])  # max-free / running-max kernels
+def test_oversized_fwd_k_tile(monkeypatch, ratio, bound):
+    """Pin the forward-only oversized k tile (block_k_fwd = ratio * block_q,
+    sub_k = block_q): both the max-free sub-chain loop and the sub-blocked
+    online-softmax fallback must stay exact across doc boundaries, and grads
+    route through the square-block backward unchanged."""
+    monkeypatch.setenv("XTUNER_FLASH_BLOCK_K", str(64 * ratio))
+    q, k, v, seg = make_inputs(b=1, l=256, seed=12)
+    out_ref = reference_attention(q, k, v, seg)
+    out_flash = flash_attention(q, k, v, seg, max_logit=jnp.float32(bound),
+                                block_q=64, block_k=64, interpret=True)
+    valid = np.asarray(seg != 0)
+    np.testing.assert_allclose(
+        np.asarray(out_flash)[valid], np.asarray(out_ref)[valid], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out_flash)[~valid], 0.0)
+
+    # mask padding rows out of the loss: the kernel zeroes seg==0 rows (and
+    # their grads) by contract, the eager oracle does not
+    vmask = (seg != 0).astype(q.dtype)[..., None, None]
+
+    def loss_ref(q, k, v):
+        return jnp.sum((reference_attention(q, k, v, seg) * vmask) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum((flash_attention(q, k, v, seg, max_logit=jnp.float32(bound),
+                                        block_q=64, block_k=64, interpret=True)
+                        * vmask) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_ref, g_flash, "qkv"):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d{name} mismatch")

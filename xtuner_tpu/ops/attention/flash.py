@@ -133,30 +133,36 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         if max_free:
             compute_max_free(use_mask)
             return
+        # running-max path, sub-blocked the classic online-softmax way so an
+        # oversized k tile (block_k > block_q, see XTUNER_FLASH_BLOCK_K) never
+        # materializes a (block_q, block_k) f32 logits tile in VMEM
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
         qs = q * jnp.asarray(scale * LOG2E, q.dtype)
-        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
         if use_mask:
             qpos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)[:, 0]
-            kpos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)[:, 0]
-            mask = _tile_mask(qpos, kpos, qseg, kseg, causal, window)
-            s = jnp.where(mask, s, NEG_INF)
-        m_prev = m_scr[:, 0]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new[:, None])
-        if use_mask:
-            # fully-masked rows have m_new == NEG_INF -> exp(NaN); zero them
-            p = jnp.where(mask, p, 0.0)
-        l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
+        for t in range(block_k // sub_k):
+            sl = slice(t * sub_k, (t + 1) * sub_k)
+            s = jax.lax.dot_general(qs, k_ref[0, 0, sl], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if use_mask:
+                kpos = (j * block_k + t * sub_k
+                        + jax.lax.broadcasted_iota(jnp.int32, (sub_k, 1), 0)[:, 0])
+                mask = _tile_mask(qpos, kpos, qseg, kseg[sl], causal, window)
+                s = jnp.where(mask, s, NEG_INF)
+            m_prev = m_scr[:, 0]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            alpha = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(s - m_new[:, None])
+            if use_mask:
+                # fully-masked rows have m_new == NEG_INF -> exp(NaN); zero them
+                p = jnp.where(mask, p, 0.0)
+            l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
+            acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
+            l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
 
     @pl.when(needed & full)
     def _compute_full():
@@ -433,12 +439,13 @@ def _pad_len(l: int, block: int) -> int:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
 )
 def _flash(q, k, v, segment_ids, sinks, max_logit, scale, causal, window,
-           block_q, block_k, interpret):
+           block_q, block_k, interpret, block_k_fwd=0):
     out, _ = _flash_fwd_rule(q, k, v, segment_ids, sinks, max_logit, scale,
-                             causal, window, block_q, block_k, interpret)
+                             causal, window, block_q, block_k, interpret,
+                             block_k_fwd)
     return out
 
 
@@ -456,14 +463,21 @@ def _flash_forward(q, k, v, segment_ids, sinks, max_logit, scale, causal, window
     operands = (seg3, seg3, q, k, v)
     grid = (b, nq, hq, nk)
 
+    # causal DMA clamp, generalized to block_k = r * block_q: the last k block
+    # a q block i can need is (i*bq + bq - 1) // bk == i // r
+    r = block_k // block_q
+
+    def kj(i_, j_):
+        return jnp.minimum(j_, i_ // r) if causal else j_
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q), lambda b_, i_, h_, j_: (b_, 0, i_)),  # qseg
         pl.BlockSpec((1, 1, block_k), lambda b_, i_, h_, j_: (b_, 0, j_)),  # kseg
         pl.BlockSpec((1, 1, block_q, d), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
         pl.BlockSpec((1, 1, block_k, d),
-                     lambda b_, i_, h_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),
+                     lambda b_, i_, h_, j_: (b_, h_ // ratio, kj(i_, j_), 0)),
         pl.BlockSpec((1, 1, block_k, dv),
-                     lambda b_, i_, h_, j_: (b_, h_ // ratio, jnp.minimum(j_, i_) if causal else j_, 0)),
+                     lambda b_, i_, h_, j_: (b_, h_ // ratio, kj(i_, j_), 0)),
     ]
     out_specs = [
         pl.BlockSpec((1, 1, block_q, dv), lambda b_, i_, h_, j_: (b_, h_, i_, 0)),
@@ -479,11 +493,13 @@ def _flash_forward(q, k, v, segment_ids, sinks, max_logit, scale, causal, window
         pltpu.VMEM((block_q, dv), jnp.float32),
     ]
 
-    # k sub-block size for the max-free path's unrolled inner loop. Default =
-    # whole tile: measured on v5e @64k, sub-blocking LOSES (256: 89 TF/s,
-    # 512: 102, 1024/full: 114) — smaller QK matmuls cost more MXU efficiency
-    # than the extra VPU/MXU interleave recovers. Knob kept for other chips.
-    sub_k = min(int(os.environ.get("XTUNER_FLASH_SUBK", str(block_k))), block_k)
+    # k sub-block size for the kernels' unrolled inner loops. Square tiles
+    # default to the whole tile: measured on v5e @64k, shrinking the matmuls
+    # LOSES (256: 89 TF/s, 512: 102, 1024/full: 114-140). An OVERSIZED fwd
+    # tile (block_k > block_q, see flash_attention) defaults to block_q-wide
+    # subs: matmul width is preserved and the sub-chains interleave.
+    default_sub = block_q if block_k > block_q else block_k
+    sub_k = min(int(os.environ.get("XTUNER_FLASH_SUBK", str(default_sub))), block_k)
     while block_k % sub_k:
         sub_k //= 2
 
@@ -527,11 +543,12 @@ def _flash_forward(q, k, v, segment_ids, sinks, max_logit, scale, causal, window
 
 
 def _flash_fwd_rule(q, k, v, segment_ids, sinks, max_logit, scale, causal, window,
-                    block_q, block_k, interpret):
+                    block_q, block_k, interpret, block_k_fwd=0):
     from jax.ad_checkpoint import checkpoint_name
 
     out, lse = _flash_forward(q, k, v, segment_ids, sinks, max_logit, scale,
-                              causal, window, block_q, block_k, interpret)
+                              causal, window, block_q, block_k_fwd or block_k,
+                              interpret)
     # named so remat policies can SAVE the kernel residuals — without these,
     # rematerialisation re-runs the forward flash kernel inside backward
     out = checkpoint_name(out, "attn_res_out")
@@ -542,7 +559,8 @@ def _flash_fwd_rule(q, k, v, segment_ids, sinks, max_logit, scale, causal, windo
     return out, (q, k, v, segment_ids, sinks, out, lse)
 
 
-def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret, res, g):
+def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret,
+                    block_k_fwd, res, g):
     q, k, v, segment_ids, sinks, out, lse = res
     b, hq, l, d = q.shape
     dv = v.shape[-1]
@@ -665,7 +683,7 @@ def flash_attention(q, k, v, segment_ids, *, causal: bool = True,
         interpret = jax.default_backend() not in ("tpu", "axon")
     b, l, hq, d = q.shape
     scale = scale if scale is not None else d ** -0.5
-    # the causal DMA clamp (j -> min(j, i)) requires block_q == block_k
+    # the bwd kernels' q<->kv DMA clamps require block_q == block_k
     block = _pick_block(l, min(block_q, block_k))
     pad = _pad_len(l, block)
     if pad:
@@ -676,13 +694,26 @@ def flash_attention(q, k, v, segment_ids, *, causal: bool = True,
         block = _pick_block(l + pad, block)
     block_q = block_k = block
 
+    # FORWARD-only oversized k tile (block_k_fwd = r * block_q): with the
+    # max-free path's sub-block loop (sub_k = block_q) the r sub-chains are
+    # independent inside ONE kernel invocation, so Mosaic overlaps sub t+1's
+    # QK matmul with sub t's exp2/sum VPU work while every matmul keeps the
+    # full block_q width (the round-2 sub-blocking loss came from SHRINKING
+    # the matmuls; this keeps them and still buys the interleave). Only a
+    # whole-multiple tile with no extra padding qualifies; the backward
+    # keeps square blocks.
+    block_k_fwd = int(os.environ.get("XTUNER_FLASH_BLOCK_K", 2 * block_q))
+    if not (block_k_fwd > block_q and block_k_fwd % block_q == 0
+            and (l + pad) % block_k_fwd == 0):
+        block_k_fwd = 0
+
     qt = jnp.swapaxes(q, 1, 2)  # (B, Hq, L, D)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     if max_logit is not None:
         max_logit = jnp.asarray(max_logit, jnp.float32)
     out = _flash(qt, kt, vt, segment_ids, sinks, max_logit, scale, causal, window,
-                 block_q, block_k, interpret)
+                 block_q, block_k, interpret, block_k_fwd)
     out = jnp.swapaxes(out, 1, 2)
     if pad:
         out = out[:, :l]
