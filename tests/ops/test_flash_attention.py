@@ -149,6 +149,33 @@ def test_non_divisible_length_padding():
     )
 
 
+@pytest.mark.parametrize("bwd", ["grouped", "two_pass"])
+def test_grad_parity_multi_block_accumulation(monkeypatch, bwd):
+    """Regression: dq/dk/dv accumulation across >2 revisited blocks. The
+    round-4 fused backward accumulated dq in HBM via input_output_aliases
+    across non-consecutive grid steps — Pallas gives each grid step the
+    ORIGINAL aliased buffer (no read-your-writes), so every q row attending
+    more than one k block silently dropped all but the last contribution.
+    l=256 with 64-blocks gives rows with 1..4 contributing k blocks."""
+    from xtuner_tpu.ops.attention import flash as flash_mod
+    monkeypatch.setattr(flash_mod, "ATTN_BWD", bwd)
+    q, k, v, seg = make_inputs(b=1, l=256, seed=12)
+    vmask = (seg != 0).astype(q.dtype)[..., None, None]
+
+    def loss_ref(q, k, v):
+        return jnp.sum((reference_attention(q, k, v, seg) * vmask) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum((flash_mod.flash_attention(
+            q, k, v, seg, block_q=64, block_k=64, interpret=True) * vmask) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_ref, g_flash, "qkv"):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=2e-4,
+                                   atol=2e-4, err_msg=f"d{name} mismatch")
+
+
 @pytest.mark.parametrize("ratio", [2, 4])
 @pytest.mark.parametrize("bound", [10.0, 1000.0])  # max-free / running-max kernels
 def test_oversized_fwd_k_tile(monkeypatch, ratio, bound):

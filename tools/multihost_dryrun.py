@@ -32,7 +32,24 @@ def _free_port() -> int:
     return port
 
 
+def _scrub_device_count_env(env: dict) -> dict:
+    """Drop every inherited device-count override. The driver harness (and
+    the test conftest) export XLA_FLAGS=--xla_force_host_platform_device_count
+    =N; a worker inheriting that hosts N CPU devices instead of 1, so the
+    2-process mesh sees 2*N global devices (the r1/r3/r4 gate failure)."""
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env = dict(env)
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    return env
+
+
 def worker(process_id: int, port: int) -> None:
+    # the env scrub must happen before ANY backend touch in this process too:
+    # the clear_backends() below re-reads XLA_FLAGS on backend re-creation
+    os.environ.update(_scrub_device_count_env(dict(os.environ)))
+
     import jax
     import jax.extend.backend
 
@@ -40,6 +57,7 @@ def worker(process_id: int, port: int) -> None:
     # interpreter start; distributed init must come before any backend touch
     jax.extend.backend.clear_backends()
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 1)
     os.environ["XTUNER_COORDINATOR"] = f"127.0.0.1:{port}"
     os.environ["XTUNER_NUM_PROCESSES"] = "2"
     os.environ["XTUNER_PROCESS_ID"] = str(process_id)
@@ -113,7 +131,51 @@ def worker(process_id: int, port: int) -> None:
             files = glob.glob(os.path.join(hf_dir, "*.safetensors"))
             assert files, f"save_hf wrote no safetensors under {hf_dir}"
 
-    print(f"MULTIHOST_OK rank={rank} main={is_main_process()} loss={loss:.4f}",
+    # ---- sharded data plane: each process tokenizes/collates ONLY the rows
+    # its devices own, yet the assembled global batch (and loss) is bitwise
+    # identical to full materialization (reference per-rank sampler,
+    # xtuner/v1/datasets/sampler.py:28) ----
+    from xtuner_tpu.datasets.dataloader import Dataloader
+    from xtuner_tpu.datasets.sampler import ParallelSampler
+
+    class ToyPacked:
+        """Deterministic pack source that counts materializations."""
+
+        def __init__(self):
+            self.fetches = 0
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            self.fetches += 1
+            rng = np.random.default_rng(100 + i)
+            ids = rng.integers(1, 500, 200).tolist()
+            return [{"input_ids": ids, "labels": ids}]
+
+    local_rows = engine.local_batch_row_ids(2, 256)
+    assert len(local_rows) == 1, (
+        f"fsdp=2 over 2 processes: each process must own exactly 1 of 2 "
+        f"micro-batch rows, got {local_rows}")
+    ds_local, ds_full = ToyPacked(), ToyPacked()
+    dl_local = Dataloader(ds_local, ParallelSampler(8, shuffle=False), 256,
+                          global_batch_rows=2, micro_batch_rows=2,
+                          local_b_rows=local_rows)
+    dl_full = Dataloader(ds_full, ParallelSampler(8, shuffle=False), 256,
+                         global_batch_rows=2, micro_batch_rows=2)
+    b_local = next(iter(dl_local))
+    b_full = next(iter(dl_full))
+    assert ds_full.fetches == 2 and ds_local.fetches == 1, (
+        f"sharded loader must materialize ONLY local rows "
+        f"(local={ds_local.fetches}, full={ds_full.fetches})")
+    # same sampler state after one batch (resume stays rank-identical)
+    assert dl_local.get_state_dict() == dl_full.get_state_dict()
+    ce_local = float(engine.forward_only(b_local).sum_ce)
+    ce_full = float(engine.forward_only(b_full).sum_ce)
+    assert abs(ce_local - ce_full) < 1e-6, (ce_local, ce_full)
+
+    print(f"MULTIHOST_OK rank={rank} main={is_main_process()} loss={loss:.4f} "
+          f"sharded_dataplane_ce={ce_local:.4f}",
           flush=True)
 
 
@@ -124,7 +186,7 @@ def driver() -> None:
         import tempfile
 
         port = int(os.environ.get("XT_MH_PORT", 0)) or _free_port()
-        env = dict(os.environ)
+        env = _scrub_device_count_env(dict(os.environ))
         with tempfile.TemporaryDirectory(prefix="xt_mh_ckpt_") as ckpt:
             env["XT_MH_CKPT"] = os.path.join(ckpt, "step")
             procs = [subprocess.Popen([sys.executable, here, str(i), str(port)],

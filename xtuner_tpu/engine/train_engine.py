@@ -173,6 +173,8 @@ class TrainEngine:
             mets = {"sum_ce": out.sum_ce, "num_tokens": out.num_tokens}
             if out.expert_load is not None:
                 mets["expert_load"] = out.expert_load  # (L_moe, E)
+            if out.mtp_expert_load is not None:
+                mets["mtp_expert_load"] = out.mtp_expert_load  # (mtp_depths, E)
             return out.total_loss(), mets
 
         return loss_fn
@@ -244,23 +246,36 @@ class TrainEngine:
             # sum metrics over the micro-batch axis only (scalars collapse;
             # expert_load keeps its (L_moe, E) shape)
             metrics = {k: jnp.sum(v, axis=0) for k, v in mets.items()}
-            if noaux_speed is not None and "expert_load" in metrics:
+            # routed-layer loads: main stack rows first, then MTP rows —
+            # reference update_bias consumes both (moe.py:311-349) and maxvio
+            # must cover MTP routers too
+            load_rows = []
+            if "expert_load" in metrics:
+                load_rows.append(("moe_layers", metrics.pop("expert_load")))
+            if "mtp_expert_load" in metrics:
+                mtp_load = metrics.pop("mtp_expert_load")  # (depths, E)
+                load_rows.append(("mtp_layers", mtp_load))
+            if noaux_speed is not None and load_rows:
                 from ..module.router import update_noaux_bias
 
-                load = metrics.pop("expert_load")
-                bias = params_new["moe_layers"]["router"]["e_score_correction_bias"]
-                new_bias = jnp.where(ok, update_noaux_bias(bias, load, noaux_speed), bias)
                 params_new = dict(params_new)
-                params_new["moe_layers"] = dict(params_new["moe_layers"])
-                params_new["moe_layers"]["router"] = dict(params_new["moe_layers"]["router"])
-                params_new["moe_layers"]["router"]["e_score_correction_bias"] = new_bias
+                for stack, load in load_rows:
+                    bias = params_new[stack]["router"]["e_score_correction_bias"]
+                    if load.shape[0] != bias.shape[0]:
+                        # shared-weight MTP: one physical gate serves every
+                        # depth — aggregate the depth rows, update it once
+                        # (reference glm52 share_weights, moe.py:326-339)
+                        load = jnp.sum(load, axis=0, keepdims=True)
+                    new_bias = jnp.where(ok, update_noaux_bias(bias, load, noaux_speed),
+                                         bias)
+                    params_new[stack] = dict(params_new[stack])
+                    params_new[stack]["router"] = dict(params_new[stack]["router"])
+                    params_new[stack]["router"]["e_score_correction_bias"] = new_bias
+            if load_rows:
                 # max-violation load-balance metric: max(load)/mean(load) per
-                # layer, averaged (1.0 = perfectly uniform)
-                loadf = load.astype(jnp.float32)
-                metrics["maxvio"] = jnp.mean(
-                    jnp.max(loadf, axis=-1) / jnp.maximum(jnp.mean(loadf, axis=-1), 1e-6))
-            elif "expert_load" in metrics:
-                loadf = metrics.pop("expert_load").astype(jnp.float32)
+                # routed layer (main + MTP rows), averaged (1.0 = uniform)
+                loadf = jnp.concatenate([l.astype(jnp.float32) for _, l in load_rows],
+                                        axis=0)
                 metrics["maxvio"] = jnp.mean(
                     jnp.max(loadf, axis=-1) / jnp.maximum(jnp.mean(loadf, axis=-1), 1e-6))
             if "sum_ce" in metrics:
@@ -277,6 +292,27 @@ class TrainEngine:
         return jax.jit(step_fn, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
+    def local_batch_row_ids(self, micro_rows: int, pack_len: int) -> list[int]:
+        """Global micro-batch row indices (b-dim) whose shards live on THIS
+        process's devices — the per-rank data-plane contract: each process
+        tokenizes/collates only these rows and `put_batch` assembles the
+        global array from per-process local blocks (reference: per-rank
+        ParallelSampler, xtuner/v1/datasets/sampler.py:28). The grad-accum
+        (A) dim is replicated, so ownership is per b-row."""
+        import jax
+
+        pid = jax.process_index()
+        rows: set[int] = set()
+        idx_map = self.batch_sharding.devices_indices_map((1, micro_rows, pack_len))
+        for dev, idx in idx_map.items():
+            if dev.process_index != pid:
+                continue
+            sl = idx[1]
+            start = sl.start or 0
+            stop = sl.stop if sl.stop is not None else micro_rows
+            rows.update(range(start, stop))
+        return sorted(rows)
+
     def put_batch(self, batch: dict[str, np.ndarray]):
         """Host batch (A, B, L) arrays -> device, sharded over (batch, seq)."""
         sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))

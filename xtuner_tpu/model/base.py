@@ -47,6 +47,11 @@ class ModelOutputs:
     # per-layer expert token counts (L_moe, E) — consumed by the engine's
     # post-step noaux bias update (reference moe.py:296-361); NOT a loss field
     expert_load: Optional[jax.Array] = None
+    # MTP layers' expert token counts (mtp_depths, E): the reference's
+    # update_bias consumes main-MoE rows AND MTP rows (moe.py:326-349); kept
+    # separate so the engine can address the mtp_layers router stack (and
+    # aggregate depths when MTP weights are shared, glm52.py:292)
+    mtp_expert_load: Optional[jax.Array] = None
 
     def total_loss(self):
         total = 0.0

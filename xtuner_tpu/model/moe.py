@@ -68,6 +68,9 @@ class MoEConfig(DenseConfig):
     # multi-token prediction (reference module/mtp/, DeepSeek V3 / GLM-5)
     mtp_num_layers: int = 0
     mtp_loss_coef: float = 0.3
+    # one physical MTP layer reused across all depths (reference
+    # mtp/config.py:49 share_weights; GLM-5.2 trains with it, glm52.py:373)
+    mtp_share_weights: bool = False
     # note: `intermediate_size` is the DENSE layer / shared-expert width
 
     def build(self) -> "MoE":
@@ -113,7 +116,8 @@ class MoE(Dense):
 
             mtp_specs = {**self.moe_layer_param_specs(),
                          **mtp_extra_param_specs(cfg.hidden_size, cfg.init_scale)}
-            specs["mtp_layers"] = stack_specs(mtp_specs, cfg.mtp_num_layers)
+            n_phys = 1 if cfg.mtp_share_weights else cfg.mtp_num_layers
+            specs["mtp_layers"] = stack_specs(mtp_specs, n_phys)
         if not cfg.tie_word_embeddings:
             specs["lm_head"] = {"w": ParamSpec((cfg.hidden_size, cfg.vocab_size),
                                                ("embed_shard", "vocab"), scale=cfg.init_scale)}
@@ -301,21 +305,35 @@ class MoE(Dense):
                                          global_denom, cfg.lm_loss_cfg, sc=sc)
         out = ModelOutputs(loss=lm, sum_ce=sum_ce, num_tokens=num_tokens,
                            expert_load=load)
+        idx_loss = self._last_idx_loss
+        if cfg.mtp_num_layers > 0:
+            # MTP layers are routed layers too: their balancing/z rows join
+            # the main stack's aux means, their expert loads join the noaux
+            # bias update and maxvio (reference accumulates MoE stats "main
+            # layers first, then MTP depths", moe.py:311-349)
+            mtp_lm, (mtp_bal, mtp_zl, mtp_load, mtp_idx) = self._mtp_loss(
+                params, seq_ctx, shifted_labels, loss_weights, global_denom,
+                sc, compute_dtype)
+            out.mtp_loss = mtp_lm
+            out.mtp_expert_load = mtp_load
+            bal = jnp.concatenate([bal, mtp_bal])
+            zl = jnp.concatenate([zl, mtp_zl])
+            idx_loss = idx_loss + jnp.sum(mtp_idx)
         if _is_dsa(cfg.attention):
-            out.dsa_index_loss = cfg.dsa_index_loss_coef * self._last_idx_loss
+            out.dsa_index_loss = cfg.dsa_index_loss_coef * idx_loss
         if cfg.balancing_loss_coef > 0:
             out.balancing_loss = cfg.balancing_loss_coef * jnp.mean(bal)
         if cfg.z_loss_coef > 0:
             out.z_loss = cfg.z_loss_coef * jnp.mean(zl)
-        if cfg.mtp_num_layers > 0:
-            out.mtp_loss = self._mtp_loss(params, seq_ctx, shifted_labels, loss_weights,
-                                          global_denom, sc, compute_dtype)
         return out
 
     def _mtp_loss(self, params, seq_ctx, shifted_labels, loss_weights, global_denom,
                   sc, compute_dtype):
         """Depth-k MTP: fuse trunk hidden with next-token embeddings, run the
-        extra layer(s), score against labels shifted k further (module/mtp.py)."""
+        extra layer(s), score against labels shifted k further (module/mtp.py).
+        Returns (loss, (bal (depths,), zl (depths,), load (depths, E),
+        idx (depths,))) so MTP routers get the same aux-loss/bias maintenance
+        as the main stack."""
         from ..module.mtp import mtp_fuse, shift_for_mtp
         from ..module.rope import rope_cos_sin
 
@@ -329,22 +347,26 @@ class MoE(Dense):
         ids_k = seq_ctx.input_ids
         labels_k = shifted_labels
         weights_k = loss_weights
-        losses = []
+        losses, bals, zls, loads, idxs = [], [], [], [], []
+        n_phys = params["mtp_layers"]["input_norm"].shape[0]
         for depth in range(cfg.mtp_num_layers):
-            lp = jax.tree.map(lambda a: a[depth], params["mtp_layers"])
+            phys = min(depth, n_phys - 1)  # shared weights: one physical layer
+            lp = jax.tree.map(lambda a: a[phys], params["mtp_layers"])
             ids_k = shift_for_mtp(ids_k, seg, fill=0)
             labels_k = shift_for_mtp(labels_k, seg, fill=-100)
             weights_k = shift_for_mtp(weights_k, seg, fill=0.0)
             next_embed = jnp.take(params["embed"]["w"], ids_k, axis=0).astype(compute_dtype)
             fused = mtp_fuse(cast_tree(lp, compute_dtype), h, next_embed, cfg.rms_norm_eps)
-            h, _ = self._moe_layer_forward(fused, lp, cfg, cos, sin, seg, valid, sc,
-                                           compute_dtype)
+            h, (bal_k, zl_k, load_k, idx_k) = self._moe_layer_forward(
+                fused, lp, cfg, cos, sin, seg, valid, sc, compute_dtype)
             normed = rms_norm(h, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                               cfg.rms_norm_type == "zero_centered").astype(compute_dtype)
             lm_k, _, _ = ce_loss(normed, w_head, labels_k, weights_k, global_denom,
                                  cfg.lm_loss_cfg, sc=sc)
             losses.append(lm_k)
-        return cfg.mtp_loss_coef * sum(losses) / max(len(losses), 1)
+            bals.append(bal_k); zls.append(zl_k); loads.append(load_k); idxs.append(idx_k)
+        loss = cfg.mtp_loss_coef * sum(losses) / max(len(losses), 1)
+        return loss, (jnp.stack(bals), jnp.stack(zls), jnp.stack(loads), jnp.stack(idxs))
 
     # ------------------------------------------------------------------
     def hf_key_map(self) -> dict:
@@ -450,7 +472,7 @@ def moe_config_from_hf(hf_cfg) -> Qwen3MoEConfig:
     return Qwen3MoEConfig(
         vocab_size=hf_cfg.vocab_size,
         max_position_embeddings=hf_cfg.max_position_embeddings,
-        eos_token_id=hf_cfg.eos_token_id,
+        eos_token_id=hf_cfg.eos_token_id if hf_cfg.eos_token_id is not None else 0,
         num_hidden_layers=hf_cfg.num_hidden_layers,
         hidden_size=hf_cfg.hidden_size,
         intermediate_size=hf_cfg.intermediate_size,

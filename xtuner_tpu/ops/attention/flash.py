@@ -37,9 +37,17 @@ NEG_INF = -1e30
 BIG_LSE = 1e30  # lse sentinel for fully-masked (padding) rows
 LOG2E = 1.4426950408889634  # kernels work in base-2 (exp2 is the TPU-native
 LN2 = 0.6931471805599453  # transcendental; exp costs an extra multiply/elem)
-# single-sweep fused backward (5 matmuls + 1 exp per tile vs two-pass 7 + 2);
-# set XTUNER_FUSED_ATTN_BWD=0 to fall back to the separate dq / dkv kernels
-FUSED_BWD = os.environ.get("XTUNER_FUSED_ATTN_BWD", "1") != "0"
+# backward = dq kernel + GQA-grouped dkv kernel (dk/dv accumulate across the
+# whole q-head group in VMEM — no per-q-head (B, Hq, L, D) dk/dv temps).
+# XTUNER_ATTN_BWD=two_pass falls back to the per-q-head dkv kernel.
+# NOTE the round-4 "fused single-sweep" backward (dq accumulated in HBM via
+# input_output_aliases across non-consecutive grid revisits) was REMOVED:
+# Pallas does not order an aliased input block's fetch after a prior grid
+# step's write-back (each step reads the original buffer in interpret mode,
+# and nothing guarantees the DMA ordering on hardware), so its dq silently
+# dropped every contribution but the last k-block's. Do not reintroduce
+# cross-grid-step aliased accumulation.
+ATTN_BWD = os.environ.get("XTUNER_ATTN_BWD", "grouped")
 # |scaled logit| bound below which the max-free forward kernel is numerically
 # safe: exp2(s * log2e) stays inside f32 range (overflow 2^127, denormal
 # 2^-149) for |s| <= 45, with headroom for the row sum
@@ -292,16 +300,14 @@ def _dkv_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                      delta_ref, dq_in_ref, dq_ref, dk_ref, dv_ref,
-                      dk_scr, dv_scr, *, scale, causal, window,
-                      block_q, block_k, ratio):
-    """Single-sweep backward: 5 matmuls + 1 exp per tile instead of the
-    two-pass dq/dkv kernels' 7 + 2. Grid (b, hkv, j, g, i): kv-block j outer
-    so dk/dv accumulate in VMEM across the whole GQA group (no per-q-head
-    dk_h/dv_h temps); dq accumulates IN HBM through an f32 buffer aliased
-    input->output — each (j, g) sweep revisits dq[i] once, ~2 MB/tile of
-    extra HBM traffic, far cheaper than the s/dp recompute it replaces."""
+def _dkv_grouped_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                        delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
+                        causal, window, block_q, block_k, ratio):
+    """GQA-grouped dk/dv: grid (b, hkv, j, g, i) with kv-block j held fixed
+    while the WHOLE q-head group (g) and q range (i) sweep, so dk/dv
+    accumulate in VMEM scratch and are written once per kv head — no
+    per-q-head (B, Hq, L, D) dk_h/dv_h temps and no group-sum afterwards
+    (the two-pass kernel's ratio-times HBM blowup)."""
     b, hkv, j, g, i = (pl.program_id(x) for x in range(5))
     nq = pl.num_programs(4)
     h = hkv * ratio + g  # global q-head (lse/delta row)
@@ -334,17 +340,11 @@ def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         do = do_ref[0, 0]
         dv_scr[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-        # dq accumulates in HBM across the j sweep, so ds must carry the grad
-        # scale per-tile; fold it into the small (block_k, dv) v tile instead
-        # of a (block_q, block_k) multiply on dp
-        vs = v_ref[0, 0] * jnp.asarray(scale, v_ref.dtype)
-        dp_s = jax.lax.dot_general(do, vs, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        ds = (p * (dp_s - (delta_ref[0, h] * scale)[:, None])).astype(q.dtype)
+        dp = jax.lax.dot_general(do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_ref[0, h][:, None])).astype(q.dtype)
         dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-        dq_ref[0, 0] = dq_in_ref[0, 0] + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(needed & full)
     def _compute_full():
@@ -354,20 +354,14 @@ def _fused_bwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def _compute_masked():
         compute(use_mask=True)
 
-    @pl.when(~needed)
-    def _passthrough():
-        # every step must write its dq block (skipped tiles are clamped onto a
-        # real block's index; write-through keeps the accumulation intact)
-        dq_ref[0, 0] = dq_in_ref[0, 0]
-
     @pl.when((g == ratio - 1) & (i == nq - 1))
     def _finalize():
-        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
-                    block_q, block_k, interpret):
+def _grouped_dkv(q, k, v, seg3, g, lse, delta, scale, causal, window,
+                 block_q, block_k, interpret):
     b, hq, l, d = q.shape
     dv = v.shape[-1]
     hkv = k.shape[1]
@@ -375,6 +369,7 @@ def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
     nq, nk = l // block_q, l // block_k
 
     def qi(i_, j_):
+        # causal DMA clamp: tiles with i < j are skipped; re-reference block j
         return jnp.maximum(i_, j_) if causal else i_
 
     in_specs = [
@@ -388,23 +383,17 @@ def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
                      lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # do
         pl.BlockSpec((1, hq, block_q), lambda b_, h_, j_, g_, i_: (b_, 0, qi(i_, j_))),  # lse
         pl.BlockSpec((1, hq, block_q), lambda b_, h_, j_, g_, i_: (b_, 0, qi(i_, j_))),  # delta
-        pl.BlockSpec((1, 1, block_q, d),
-                     lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # dq_in
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, d),
-                     lambda b_, h_, j_, g_, i_: (b_, h_ * ratio + g_, qi(i_, j_), 0)),  # dq
         pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dk
         pl.BlockSpec((1, 1, block_k, dv), lambda b_, h_, j_, g_, i_: (b_, h_, j_, 0)),  # dv
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, hq, l, d), jnp.float32),
         jax.ShapeDtypeStruct((b, hkv, l, d), k.dtype),
         jax.ShapeDtypeStruct((b, hkv, l, dv), v.dtype),
     ]
-    dq_zero = jnp.zeros((b, hq, l, d), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, scale=scale, causal=causal, window=window,
+        functools.partial(_dkv_grouped_kernel, scale=scale, causal=causal, window=window,
                           block_q=block_q, block_k=block_k, ratio=ratio),
         grid=(b, hkv, nk, ratio, nq),
         in_specs=in_specs,
@@ -414,13 +403,12 @@ def _fused_backward(q, k, v, seg3, g, lse, delta, scale, causal, window,
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
-        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary",
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary",
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(seg3, seg3, q, k, v, g, lse, delta, dq_zero)
+    )(seg3, seg3, q, k, v, g, lse, delta)
 
 
 # ----------------------------------------------------------------------
@@ -571,17 +559,6 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret,
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Hq,L)
     seg3 = segment_ids[:, None, :]
 
-    if FUSED_BWD:
-        dq_f, dk_out, dv_out = _fused_backward(
-            q, k, v, seg3, g, lse, delta, scale, causal, window,
-            block_q, block_k, interpret)
-        if sinks is not None:
-            p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
-            dsinks = -(p_sink * delta).sum(axis=(0, 2)).astype(sinks.dtype)
-        else:
-            dsinks = None
-        return dq_f.astype(q.dtype), dk_out, dv_out, None, dsinks, None
-
     common_specs = [
         pl.BlockSpec((1, 1, block_q), lambda b_, h_, i_, j_: (b_, 0, i_)),  # qseg
         pl.BlockSpec((1, 1, block_k), lambda b_, h_, i_, j_: (b_, 0, j_)),  # kseg
@@ -611,7 +588,18 @@ def _flash_bwd_rule(scale, causal, window, block_q, block_k, interpret,
         interpret=interpret,
     )(seg3, seg3, q, k, v, g, lse, delta)
 
-    # ---- dk / dv (per q-head, group-summed afterwards) ----
+    # ---- dk / dv ----
+    if ATTN_BWD == "grouped":
+        dk_out, dv_out = _grouped_dkv(q, k, v, seg3, g, lse, delta, scale,
+                                      causal, window, block_q, block_k, interpret)
+        if sinks is not None:
+            p_sink = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
+            dsinks = -(p_sink * delta).sum(axis=(0, 2)).astype(sinks.dtype)
+        else:
+            dsinks = None
+        return dq, dk_out, dv_out, None, dsinks, None
+
+    # two-pass fallback: per q-head dk/dv, group-summed afterwards
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal, window=window,
                           block_q=block_q, block_k=block_k),

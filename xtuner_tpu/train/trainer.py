@@ -134,6 +134,19 @@ class Trainer:
         self.engine = TrainEngine(
             cfg.model_cfg, cfg.optim_cfg, cfg.lr_cfg, cfg.mesh_cfg, self.total_steps
         )
+        import jax
+
+        if (jax.process_count() > 1
+                and getattr(self.dataloader, "local_b_rows", None) is None
+                and cfg.dataloader_cfg.max_tiles == 0
+                and cfg.dataloader_cfg.max_patches == 0):
+            # multihost: each process tokenizes/collates only the micro-batch
+            # rows its devices own; put_batch assembles the global array from
+            # per-process blocks (reference per-rank sampler, sampler.py:28)
+            self.dataloader.local_b_rows = self.engine.local_batch_row_ids(
+                cfg.micro_batch_rows, cfg.dataloader_cfg.pack_max_length)
+            logger.info(f"sharded data plane: this process materializes rows "
+                        f"{self.dataloader.local_b_rows} of {cfg.micro_batch_rows}")
         logger.info(
             f"model: {self.engine.num_params/1e6:.1f}M params | mesh "
             f"{dict(zip(self.engine.mesh.axis_names, self.engine.mesh.devices.shape))} | "
