@@ -1,22 +1,30 @@
 """Benchmark: dropless-MoE SFT training throughput.
 
-Two driver-reported shapes in ONE JSON line:
+Shapes reported in ONE JSON line (round-5 reorg per VERDICT r4 #3: the
+expert-dominated shape is now PRIMARY — the old 64k primary had
+expert_flop_share 0.01, i.e. it measured the flash kernel in a MoE costume):
 
-- PRIMARY (headline, cross-round continuity): 64k-sequence packed SFT, the
-  reference's headline workload shape (BASELINE.md: XTuner V1 BF16 FSDP =
-  2,000 tokens/GPU/s at seq 64k on Hopper). At this geometry attention is
-  ~85% of counted FLOPs, so its MFU mostly measures the flash kernel.
-- MOE-HEAVY (`moe_heavy` sub-object): same single-chip param regime with
-  reference-like expert geometry (top-8 of 16 experts, moe_inter 768 — the
-  Qwen3-30B-A3B per-token active shape) at seq 8192, where per-token expert
-  FLOPs EXCEED attention FLOPs; this one actually measures the ragged
-  grouped-GEMM + dispatch path the north-star workloads stress.
+- PRIMARY (`moe_heavy`): Qwen3-30B-A3B per-token active geometry (top-8,
+  moe_inter 768, 16 experts) at seq 8192 — per-token expert FLOPs EXCEED
+  attention FLOPs (expert_flop_share ~0.33 of total counted train FLOPs,
+  ~0.55 of non-attention), so this measures the ragged grouped-GEMM +
+  dispatch path the north-star workloads stress. North-star floor: MFU 0.35.
+- `longctx_64k` sub-object: the round-1..4 primary (64k packed SFT, the
+  reference's headline workload length, BASELINE.md) — kept for cross-round
+  continuity; its MFU mostly measures the flash kernel.
+- `fp8` sub-object (VERDICT r4 #8): the primary shape with tile-wise fp8
+  expert+attention GEMMs — regression-tracked even while v5e (no fp8 MXU)
+  makes it a slowdown; v6e+ lowers the same kernels to hardware fp8 dots.
 
 `vs_baseline` caveat: the reference number is a 200B-class model sharded
 over 256 Hopper-class GPUs; this bench is a ~0.5B single-chip shape (the
 largest whose full fp32 AdamW state fits one 16 GB v5e — see docs/
 kernels.md "memory wall"). The ratio is continuity across rounds, NOT a
 like-for-like hardware comparison; `vs_baseline_note` says so in-band.
+
+MFU formula: FROZEN as of round 4 (head-dim-correct attention accounting,
+causal-half counting); `mfu_prev_formula` keeps the round-1/2 accounting.
+Any further revision would break cross-round comparability — don't.
 """
 
 from __future__ import annotations
@@ -139,56 +147,80 @@ def _run_shape(cfg, seq_len: int, n_steps: int, rows_per_chip: int = 1) -> dict:
     return result
 
 
-def main() -> None:
-    n_steps = int(os.environ.get("BENCH_STEPS", 6))
-    # Round-3 primary shape: 10 layers / 64 experts / top-4 (the same 1/16
-    # expert-sparsity ratio as Qwen3-30B-A3B's 8-of-128), 470.8M params —
-    # the biggest Qwen3-MoE-structured model whose full fp32 AdamW state
-    # (master+m+v+grads = 16 B/param) PLUS 64k-seq saved residuals
-    # (~384 MB/layer under save_out_lse) fits a single 16 GB v5e. The
-    # reference's 30B-A3 shards this state over >=64 GPUs; one chip holding
-    # everything caps out here (measured: 533M/10L OOMs by 0.2 GB,
-    # 596M/10L by 0.9 GB, 685M/12L by 1.5 GB — see docs/kernels.md).
-    primary_cfg = _build_cfg(
-        layers=int(os.environ.get("BENCH_LAYERS", 10)),
-        moe_inter=int(os.environ.get("BENCH_MOE_INTER", 128)),
-        experts=int(os.environ.get("BENCH_EXPERTS", 64)),
-        topk=int(os.environ.get("BENCH_TOPK", 4)),
-        hidden=int(os.environ.get("BENCH_HIDDEN", 1024)),
-    )
-    primary = _run_shape(primary_cfg, int(os.environ.get("BENCH_SEQ", 65536)), n_steps)
+def _flash_provenance() -> dict:
+    """Record which flash paths are active so perf deltas are attributable
+    (VERDICT r4 #10)."""
+    from xtuner_tpu.ops.attention import flash as _flash
 
-    out = {
-        "metric": "moe_sft_64k_tokens_per_sec_per_chip",
-        "unit": "tokens/s/chip",
-        **primary,
-        "vs_baseline": round(primary["value"] / 2000.0, 3),
-        "vs_baseline_note": (
-            "reference 2,000 tok/GPU/s is XTuner V1 BF16 FSDP on a 200B-class "
-            "model over 256 Hoppers (BASELINE.md); this is a ~0.5B single-chip "
-            "v5e shape — cross-scale continuity ratio, not a hardware "
-            "comparison"
-        ),
+    return {
+        "attn_bwd": _flash.ATTN_BWD,
+        "flash_block_k_fwd_env": os.environ.get("XTUNER_FLASH_BLOCK_K",
+                                                "default(2x block_q)"),
     }
 
-    # MoE-heavy second shape (VERDICT r3 item 2): Qwen3-30B-A3B per-token
-    # active geometry (top-8, moe_inter 768) at 16 experts / seq 8192 —
-    # per-token expert FLOPs exceed attention FLOPs (expert_flop_share > 0.5
-    # of non-embedding compute), so THIS number measures ragged grouped-GEMM
-    # + dispatch, not the flash kernel. 595M params fits at 8k because saved
-    # residuals shrink ~8x vs the 64k shape.
+
+def main() -> None:
+    n_steps = int(os.environ.get("BENCH_STEPS", 6))
     shape_env_overridden = any(
         os.environ.get(k) for k in
         ("BENCH_LAYERS", "BENCH_MOE_INTER", "BENCH_EXPERTS", "BENCH_TOPK",
          "BENCH_HIDDEN", "BENCH_SEQ"))
-    if not (shape_env_overridden or os.environ.get("BENCH_SKIP_MOE_SHAPE")):
-        # rows_per_chip=2: the largest batch whose fp32 AdamW state + saved
-        # residuals fit 16 GB at this shape (rows=3 OOMs by 0.5 GB; measured
-        # +8% tok/s over rows=1 from amortized fixed costs)
-        moe_cfg = _build_cfg(layers=10, moe_inter=768, experts=16, topk=8)
-        moe = _run_shape(moe_cfg, 8192, n_steps, rows_per_chip=2)
-        out["moe_heavy"] = {"metric": "moe_heavy_sft_8k_tokens_per_sec_per_chip",
-                            "unit": "tokens/s/chip", **moe}
+
+    # PRIMARY: MoE-heavy shape — Qwen3-30B-A3B per-token active geometry
+    # (top-8, moe_inter 768) at 16 experts / seq 8192; per-token expert FLOPs
+    # exceed attention FLOPs, so THIS measures ragged grouped-GEMM + dispatch,
+    # not the flash kernel. rows_per_chip=2 is the largest batch whose fp32
+    # AdamW state + saved residuals fit 16 GB (rows=3 OOMs by 0.5 GB).
+    primary_cfg = _build_cfg(
+        layers=int(os.environ.get("BENCH_LAYERS", 10)),
+        moe_inter=int(os.environ.get("BENCH_MOE_INTER", 768)),
+        experts=int(os.environ.get("BENCH_EXPERTS", 16)),
+        topk=int(os.environ.get("BENCH_TOPK", 8)),
+        hidden=int(os.environ.get("BENCH_HIDDEN", 1024)),
+    )
+    primary = _run_shape(primary_cfg, int(os.environ.get("BENCH_SEQ", 8192)),
+                         n_steps, rows_per_chip=2)
+
+    out = {
+        "metric": "moe_heavy_sft_8k_tokens_per_sec_per_chip",
+        "unit": "tokens/s/chip",
+        **primary,
+        **_flash_provenance(),
+        "vs_baseline": round(primary["value"] / 2000.0, 3),
+        "vs_baseline_note": (
+            "reference 2,000 tok/GPU/s is XTuner V1 BF16 FSDP on a 200B-class "
+            "model at seq 64k over 256 Hoppers (BASELINE.md); this is a ~0.6B "
+            "single-chip v5e expert-dominated shape at seq 8k — cross-scale "
+            "continuity ratio, not a hardware comparison"
+        ),
+    }
+
+    if not (shape_env_overridden or os.environ.get("BENCH_SKIP_LONGCTX")):
+        # cross-round continuity shape (round 1-4 primary): 10L/64E/I128/top4
+        # (the 1/16 expert-sparsity of Qwen3-30B-A3B), 470.8M params — the
+        # biggest Qwen3-MoE-structured model whose full fp32 AdamW state PLUS
+        # 64k saved residuals fits one 16 GB v5e (docs/kernels.md "memory
+        # wall"). expert_flop_share 0.01: this one measures the flash kernel.
+        lc_cfg = _build_cfg(layers=10, moe_inter=128, experts=64, topk=4)
+        lc = _run_shape(lc_cfg, 65536, n_steps)
+        out["longctx_64k"] = {"metric": "moe_sft_64k_tokens_per_sec_per_chip",
+                              "unit": "tokens/s/chip", **lc}
+
+    if not (shape_env_overridden or os.environ.get("BENCH_SKIP_FP8")):
+        # fp8 regression row (VERDICT r4 #8): tile-wise fp8 on the primary
+        # shape. v5e has no fp8 MXU (operands upconvert in-register) so this
+        # is EXPECTED to trail bf16 here; the row exists so the grouped-fp8
+        # stack has per-round tracking and a v6e+ baseline.
+        os.environ["BENCH_FP8"] = "e4m3"
+        try:
+            fp8_cfg = _build_cfg(layers=10, moe_inter=768, experts=16, topk=8)
+            fp8 = _run_shape(fp8_cfg, 8192, max(n_steps // 2, 2), rows_per_chip=2)
+            out["fp8"] = {"metric": "moe_heavy_sft_8k_fp8_tokens_per_sec_per_chip",
+                          "unit": "tokens/s/chip",
+                          "vs_bf16": round(fp8["value"] / primary["value"], 3),
+                          **fp8}
+        finally:
+            del os.environ["BENCH_FP8"]
 
     print(json.dumps(out))
 

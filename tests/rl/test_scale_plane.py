@@ -104,6 +104,31 @@ def test_filesystem_transport_roundtrip(tmp_path):
     assert len(list((tmp_path / "ws").glob("weights-*.npz"))) == 2
 
 
+def test_shm_transport_roundtrip(tmp_path):
+    """SharedMemoryTransport (the CUDA-IPC analog): raw-segment publish +
+    zero-copy mmap fetch must round-trip mixed dtypes incl. bfloat16."""
+    import jax.numpy as jnp
+
+    from xtuner_tpu.rl.transport import SharedMemoryTransport
+
+    cfg, params = tiny_model()
+    params = dict(params, extra_bf16=jnp.arange(24, dtype=jnp.bfloat16).reshape(4, 6))
+    t = SharedMemoryTransport(tmp_path / "shm", keep=2)
+    t.publish(params, 1)
+    bumped = jax.tree.map(lambda x: x + 1.0, params)
+    t.publish(bumped, 2)
+    assert t.latest_version() == 2
+    fetched, ver = t.fetch(jax.tree.structure(params))
+    assert ver == 2
+    for a, b in zip(jax.tree.leaves(fetched), jax.tree.leaves(bumped)):
+        assert a.dtype == np.asarray(b).dtype
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32))
+    t.publish(bumped, 3)
+    assert len(list((tmp_path / "shm").glob("weights-*.bin"))) == 2
+    assert len(list((tmp_path / "shm").glob("weights-*.json"))) == 2
+
+
 def test_worker_update_weights_filesystem(tmp_path):
     cfg, params = tiny_model()
     w = RolloutWorker(cfg, params=params, compute_dtype=jax.numpy.float32)
@@ -111,6 +136,22 @@ def test_worker_update_weights_filesystem(tmp_path):
     t.publish(jax.tree.map(lambda x: x * 0.5, params), 7)
     ver = w.update_weights(path=str(tmp_path / "ws2"))
     assert ver == 7 and w.store.version == 7
+
+
+def test_worker_update_weights_shm(tmp_path):
+    """update_weights sniffs the transport kind from the marker (.bin = shm)."""
+    from xtuner_tpu.rl.transport import SharedMemoryTransport
+
+    cfg, params = tiny_model()
+    w = RolloutWorker(cfg, params=params, compute_dtype=jax.numpy.float32)
+    t = SharedMemoryTransport(tmp_path / "ws3")
+    t.publish(jax.tree.map(lambda x: x * 0.25, params), 9)
+    ver = w.update_weights(path=str(tmp_path / "ws3"))
+    assert ver == 9 and w.store.version == 9
+    got, _ = w.store.get()
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(got)[0], np.float32),
+        np.asarray(jax.tree.leaves(params)[0], np.float32) * 0.25, rtol=1e-6)
 
 
 def test_async_producer_and_staleness():

@@ -43,7 +43,7 @@ logger = get_logger()
 
 
 class RLDisaggregatedTrainerConfig(RLTrainerConfig):
-    transport: Literal["filesystem", "colocate"] = "filesystem"
+    transport: Literal["filesystem", "colocate", "shm"] = "filesystem"
     health_interval: float = 2.0
     rollout_timeout: float = 600.0
     trace_rollouts: bool = True
@@ -66,6 +66,13 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
         self._store = ParamStore()
         if cfg.transport == "colocate":
             self.transport = ColocateTransport(self._store)
+        elif cfg.transport == "shm":
+            from .transport import SharedMemoryTransport
+
+            # same-host zero-copy handover (CUDA-IPC analog): segments live
+            # on tmpfs, not the (possibly networked) work_dir
+            self.transport = SharedMemoryTransport(
+                Path("/dev/shm") / f"xt_ws_{self.work_dir.name}")
         else:
             self.transport = FilesystemTransport(self.work_dir / "weight_sync")
         self.transport.publish(self.engine.params, 0)
@@ -201,7 +208,7 @@ class RLDisaggregatedTrainer(RLColocateTrainer):
             workers = list(self.workers.values())
         for worker in workers:
             try:
-                if self.cfg.transport == "filesystem":
+                if self.cfg.transport in ("filesystem", "shm"):
                     worker.update_weights(path=str(self.transport.root))
                 else:
                     worker.update_weights(version=step)

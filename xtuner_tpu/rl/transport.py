@@ -113,9 +113,101 @@ class FilesystemTransport:
         return jax.tree.unflatten(treedef, leaves), int(meta["version"])
 
 
+class SharedMemoryTransport:
+    """Same-host zero-copy-read delivery via tmpfs mmap — the TPU analog of
+    the reference's CUDA-IPC flattened-tensor handle passing
+    (ref xtuner/v1/rl/weight_update/transport.py:189-340): the trainer
+    flattens the tree ONCE into a single raw segment under a tmpfs root
+    (/dev/shm), the rollout process maps it and wraps zero-copy ndarray
+    views, so the only consumer-side copy is the device_put onto the serve
+    mesh. No npz serialization, no page-cache round trip, atomic-rename
+    versioning like FilesystemTransport.
+
+    Layout: weights-{v}.bin = concatenated leaf buffers (64-byte aligned);
+    weights-{v}.json = per-leaf (shape, dtype, offset) index; `latest`
+    marker names the committed version.
+    """
+
+    ALIGN = 64
+
+    def __init__(self, root: str | Path = "/dev/shm/xtuner_weights", keep: int = 2):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+
+    def publish(self, params, version: int) -> dict:
+        import mmap
+
+        leaves = jax.tree.leaves(params)
+        host = [np.asarray(jax.device_get(l)) for l in leaves]
+        metas, offset = [], 0
+        for h in host:
+            offset = (offset + self.ALIGN - 1) // self.ALIGN * self.ALIGN
+            metas.append({"shape": list(h.shape), "dtype": h.dtype.name,
+                          "offset": offset, "nbytes": int(h.nbytes)})
+            offset += h.nbytes
+        total = max(offset, 1)
+        bin_path = self.root / f"weights-{version:08d}.bin"
+        tmp = bin_path.with_suffix(".tmp")
+        with open(tmp, "w+b") as f:
+            f.truncate(total)
+            with mmap.mmap(f.fileno(), total) as mm:
+                for h, meta in zip(host, metas):
+                    # byte view, not memoryview: bfloat16 has no buffer-
+                    # protocol format char, but a uint8 reinterpret does
+                    raw = (h.reshape(-1).view(np.uint8) if h.flags["C_CONTIGUOUS"]
+                           else np.frombuffer(h.tobytes(), np.uint8))
+                    mm[meta["offset"]:meta["offset"] + meta["nbytes"]] = raw
+        tmp.rename(bin_path)
+        idx_path = self.root / f"weights-{version:08d}.json"
+        idx_tmp = idx_path.with_suffix(".tmp")
+        idx_tmp.write_text(json.dumps({"leaves": metas, "total": total}))
+        idx_tmp.rename(idx_path)
+        marker_tmp = self.root / "latest.tmp"
+        marker_tmp.write_text(json.dumps({"version": version,
+                                          "path": bin_path.name,
+                                          "index": idx_path.name,
+                                          "ts": time.time()}))
+        marker_tmp.rename(self.root / "latest")
+        self._gc(version)
+        return {"version": version, "path": str(bin_path), "bytes": total}
+
+    def _gc(self, latest_version: int) -> None:
+        snaps = sorted(self.root.glob("weights-*.bin"))
+        for old in snaps[: max(0, len(snaps) - self.keep)]:
+            old.unlink(missing_ok=True)
+            old.with_suffix(".json").unlink(missing_ok=True)
+
+    def latest_version(self) -> Optional[int]:
+        marker = self.root / "latest"
+        if not marker.exists():
+            return None
+        return int(json.loads(marker.read_text())["version"])
+
+    def fetch(self, treedef) -> tuple[Any, int]:
+        """Zero-copy leaf views over the mapped segment. The views alias the
+        shared mapping — device_put them (the serve mesh copy) before the
+        segment can be GC'd by a later publish; callers that must hold host
+        copies should np.copy()."""
+        import jax.numpy as jnp
+
+        meta = json.loads((self.root / "latest").read_text())
+        idx = json.loads((self.root / meta["index"]).read_text())
+        buf = np.memmap(self.root / meta["path"], dtype=np.uint8, mode="r")
+        leaves = []
+        for m in idx["leaves"]:
+            dt = jnp.dtype(m["dtype"])  # resolves bfloat16 via ml_dtypes
+            flat = buf[m["offset"]:m["offset"] + m["nbytes"]]
+            leaves.append(np.ndarray(tuple(m["shape"]), dt, flat.data))
+        return jax.tree.unflatten(treedef, leaves), int(meta["version"])
+
+
 def make_transport(kind: str, **kw) -> Any:
     if kind == "colocate":
         return ColocateTransport(kw.get("store") or ParamStore())
     if kind == "filesystem":
         return FilesystemTransport(kw["root"], keep=kw.get("keep", 2))
-    raise KeyError(f"unknown transport {kind!r} (colocate | filesystem)")
+    if kind == "shm":
+        return SharedMemoryTransport(kw.get("root", "/dev/shm/xtuner_weights"),
+                                     keep=kw.get("keep", 2))
+    raise KeyError(f"unknown transport {kind!r} (colocate | filesystem | shm)")

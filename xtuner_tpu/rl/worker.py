@@ -90,7 +90,10 @@ class RolloutWorker:
     def update_weights(self, path: Optional[str] = None, version: Optional[int] = None) -> int:
         """Filesystem reload or colocate version acknowledgement."""
         if path is not None:
-            from .transport import FilesystemTransport
+            import json as _json
+            from pathlib import Path as _Path
+
+            from .transport import FilesystemTransport, SharedMemoryTransport
 
             if self._treedef is None:
                 params, _ = self.store.get()
@@ -101,7 +104,12 @@ class RolloutWorker:
                     raise RuntimeError("worker has no params to derive a treedef from; "
                                        "seed it with initial params first")
                 self._treedef = jax.tree.structure(params)
-            params, ver = FilesystemTransport(path).fetch(self._treedef)
+            # sniff the transport kind from the latest marker: .bin = shm raw
+            # segment (zero-copy mmap), .npz = filesystem snapshot
+            marker = _json.loads((_Path(path) / "latest").read_text())
+            cls = (SharedMemoryTransport if marker["path"].endswith(".bin")
+                   else FilesystemTransport)
+            params, ver = cls(path).fetch(self._treedef)
             self.store.set(params, ver)
             self._flush_prefix_caches()
             return ver
