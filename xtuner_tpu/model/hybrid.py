@@ -419,6 +419,7 @@ class HybridMoE(MoE):
         x = rms_norm(x, params["final_norm"].astype(jnp.float32), cfg.rms_norm_eps,
                      cfg.rms_norm_type == "zero_centered")
         self._last_aux = (bal.reshape(-1), zl.reshape(-1), load.reshape(-1, load.shape[-1]))
+        self._last_idx_loss = jnp.float32(0.0)  # no DSA sublayers in hybrid
         return x.astype(compute_dtype)
 
     # ---------------- cached generation (decode hooks) ----------------

@@ -89,12 +89,26 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
         # visit-table megablox kernels (ops/bf16_grouped.py) with gate|up
         # FUSED into one grouped GEMM: one sweep over the sorted rows instead
         # of two (measured 108.7 TF/s fused vs 93.8 separate, docs/kernels.md)
+        import os
+
         from ..ops.bf16_grouped import bf16_grouped_linear
 
         f = p["gate_proj"].shape[2]
         w_cat = jnp.concatenate(
             [p["gate_proj"].astype(compute_dtype),
              p["up_proj"].astype(compute_dtype)], axis=2)
+        if act == "silu" and os.environ.get("XTUNER_FUSED_MLP", "0") != "0":
+            # whole-MLP fused kernel (ops/fused_moe_mlp.py): gate|up dot ->
+            # silu -> down dot per visit, no gu/hidden HBM round-trips
+            from ..ops.fused_moe_mlp import fused_moe_mlp
+
+            out = fused_moe_mlp(info.sorted_tokens, w_cat,
+                                p["down_proj"].astype(compute_dtype),
+                                info.group_sizes)
+            combined = unpermute(out, info, b * l)
+            combined = probe("after_combine", combined)
+            return (combined.reshape(b, l, h).astype(compute_dtype), r,
+                    info.group_sizes)
         gu = bf16_grouped_linear(info.sorted_tokens, w_cat, info.group_sizes)
         gate, up = gu[:, :f].astype(jnp.float32), gu[:, f:].astype(jnp.float32)
         if act == "swiglu_clipped":

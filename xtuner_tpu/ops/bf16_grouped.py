@@ -29,6 +29,7 @@ moe_mlp_forward behind MoEConfig.grouped_gemm_impl = "pallas".
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .fp8_grouped import build_visit_table
 
 
+def _vmem_budget() -> int:
+    """VMEM planning budget in bytes (XTUNER_GG_VMEM_MB to experiment)."""
+    return int(os.environ.get("XTUNER_GG_VMEM_MB", "12")) * 1024 * 1024
+
+
 def _pick_block_n(n: int, k: int, block_m: int) -> int:
     """Largest N block keeping (x + w + acc + out) double-buffered under
-    ~12 MB of VMEM; N is only blocked when necessary."""
+    the VMEM budget; N is only blocked when necessary."""
     for bn in (n, 1024, 768, 512, 384, 256, 128):
         if bn > n or n % bn:
             continue
@@ -48,7 +54,7 @@ def _pick_block_n(n: int, k: int, block_m: int) -> int:
                 + 2 * k * bn * 2         # w double-buffered bf16
                 + block_m * bn * 4       # f32 accumulator
                 + 2 * block_m * bn * 2)  # out double-buffered
-        if vmem <= 12 * 1024 * 1024:
+        if vmem <= _vmem_budget():
             return bn
     return 128
 
@@ -56,23 +62,36 @@ def _pick_block_n(n: int, k: int, block_m: int) -> int:
 def _gg_kernel(xblk_ref, mblk_ref, rs_ref, re_ref, first_ref, last_ref, exp_ref,
                x_ref, w_ref, o_ref, acc_scr, *, block_m, contract_rhs_dim):
     j, t = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(first_ref[t] == 1)
-    def _init():
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    rows = xblk_ref[t] * block_m + jax.lax.broadcasted_iota(
-        jnp.int32, (block_m, 1), 0)
-    row_ok = (rows >= rs_ref[t]) & (rows < re_ref[t])
+    blk_start = xblk_ref[t] * block_m
+    # interior fast path: a block wholly inside one expert's row range is
+    # visited exactly once — the MXU result goes straight to the output
+    # buffer, skipping the f32 scratch round-trip (zero-init + masked add +
+    # copy-out are 3 VPU passes over the accumulator that serialized after
+    # every dot; ~97% of visits at bench group sizes are interior)
+    full = (rs_ref[t] <= blk_start) & (re_ref[t] >= blk_start + block_m)
+    single = (first_ref[t] == 1) & (last_ref[t] == 1) & full
 
     part = jax.lax.dot_general(
         x_ref[...], w_ref[0], (((1,), (contract_rhs_dim,)), ((), ())),
         preferred_element_type=jnp.float32)
-    acc_scr[...] += jnp.where(row_ok, part, 0.0)
 
-    @pl.when(last_ref[t] == 1)
-    def _done():
-        o_ref[...] = acc_scr[...].astype(o_ref.dtype)
+    @pl.when(single)
+    def _direct():
+        o_ref[...] = part.astype(o_ref.dtype)
+
+    @pl.when(jnp.logical_not(single))
+    def _accumulate():
+        @pl.when(first_ref[t] == 1)
+        def _init():
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        rows = blk_start + jax.lax.broadcasted_iota(jnp.int32, (block_m, 1), 0)
+        row_ok = (rows >= rs_ref[t]) & (rows < re_ref[t])
+        acc_scr[...] += jnp.where(row_ok, part, 0.0)
+
+        @pl.when(last_ref[t] == 1)
+        def _done():
+            o_ref[...] = acc_scr[...].astype(o_ref.dtype)
 
 
 def grouped_gemm_bf16(x, w, group_sizes, *, out_dtype=None,
@@ -160,16 +179,27 @@ def _dw_kernel(mblk_ref, rs_ref, re_ref, efirst_ref, elast_ref, exp_ref,
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    rows = mblk_ref[t] * block_m + jax.lax.broadcasted_iota(
-        jnp.int32, (block_m, 1), 0)
-    row_ok = (rows >= rs_ref[t]) & (rows < re_ref[t])
+    blk_start = mblk_ref[t] * block_m
+    full = (rs_ref[t] <= blk_start) & (re_ref[t] >= blk_start + block_m)
 
-    # rows of OTHER experts in a straddling block must not contract into dw:
-    # zero them on the narrower operand before the dot
-    x = jnp.where(row_ok, x_ref[...].astype(jnp.float32), 0.0).astype(x_ref.dtype)
-    acc_scr[...] += jax.lax.dot_general(
-        x, dy_ref[...], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(full)
+    def _unmasked():
+        acc_scr[...] += jax.lax.dot_general(
+            x_ref[...], dy_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_not(full))
+    def _masked():
+        rows = blk_start + jax.lax.broadcasted_iota(jnp.int32, (block_m, 1), 0)
+        row_ok = (rows >= rs_ref[t]) & (rows < re_ref[t])
+        # rows of OTHER experts in a straddling block must not contract into
+        # dw: zero them on the narrower operand before the dot (stay in the
+        # operand dtype — an f32 round-trip here is two extra VPU passes)
+        xv = x_ref[...]
+        x = jnp.where(row_ok, xv, jnp.zeros_like(xv))
+        acc_scr[...] += jax.lax.dot_general(
+            x, dy_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(elast_ref[t] == 1)
     def _done():
@@ -266,14 +296,18 @@ def _fwd_block_m(out_n: int) -> int:
     # measured on v5e (docs/kernels.md): wide-N blocks want smaller m blocks
     # so the full N stays unblocked within the VMEM budget (108.7 vs 98.6
     # TF/s at N=1536)
+    env = os.environ.get("XTUNER_GG_BLOCK_M")
+    if env:
+        return int(env)
     return 256 if out_n >= 1536 else 512
 
 
 def _bgl_fwd(x, w, group_sizes, interpret):
     it = _interp(interpret)
-    xp, pad = _pad_rows(x, 512)
+    bm = _fwd_block_m(w.shape[2])
+    xp, pad = _pad_rows(x, max(512, bm))
     out = grouped_gemm_bf16(xp, w.astype(x.dtype), group_sizes,
-                            block_m=_fwd_block_m(w.shape[2]), interpret=it)
+                            block_m=bm, interpret=it)
     if pad:
         out = out[: x.shape[0]]
     return out, (x, w, group_sizes)
@@ -282,11 +316,12 @@ def _bgl_fwd(x, w, group_sizes, interpret):
 def _bgl_bwd(interpret, res, g):
     it = _interp(interpret)
     x, w, group_sizes = res
-    gp, pad = _pad_rows(g, 512)
-    xp, _ = _pad_rows(x, 512)
+    bm = _fwd_block_m(w.shape[1])
+    pad_mult = max(512, bm)
+    gp, pad = _pad_rows(g, pad_mult)
+    xp, _ = _pad_rows(x, pad_mult)
     dx = grouped_gemm_bf16(gp, w.astype(g.dtype), group_sizes,
-                           transpose_rhs=True,
-                           block_m=_fwd_block_m(w.shape[1]), interpret=it)
+                           transpose_rhs=True, block_m=bm, interpret=it)
     if pad:
         dx = dx[: x.shape[0]]
     dw = grouped_gemm_bf16_dw(xp, gp, group_sizes, w.shape[0], interpret=it)
