@@ -69,6 +69,50 @@ def test_mismatch_metrics_zero_when_identical():
     m = mismatch_metrics(old, old, mask)
     assert float(m["mismatch_kl"]) == pytest.approx(0.0, abs=1e-6)
     assert float(m["mismatch_ppl_ratio"]) == pytest.approx(1.0, rel=1e-5)
+    assert float(m["mismatch_log_ppl_abs_diff"]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_mismatch_ppl_is_per_sequence():
+    """ppl metrics are exp(per-seq mean NLL) batch-averaged, and log_ppl_diff
+    tracks the per-sequence drift (reference rollout_is.py:529-569)."""
+    old, roll, mask = _lp_pair()
+    m = mismatch_metrics(old, roll, mask)
+    o, r, mk = np.asarray(old), np.asarray(roll), np.asarray(mask)
+    mean_o = (o * mk).sum(-1) / mk.sum(-1)
+    mean_r = (r * mk).sum(-1) / mk.sum(-1)
+    assert float(m["mismatch_training_ppl"]) == pytest.approx(
+        np.exp(-mean_o).mean(), rel=1e-5)
+    diff = mean_r - mean_o
+    assert float(m["mismatch_log_ppl_diff"]) == pytest.approx(diff.mean(), rel=1e-5)
+    assert float(m["mismatch_log_ppl_diff_max"]) == pytest.approx(diff.max(), rel=1e-5)
+    assert float(m["mismatch_ppl_ratio"]) == pytest.approx(
+        np.exp(diff).mean(), rel=1e-5)
+
+
+def test_is_seq_breakdown_and_seq_masked_fraction():
+    old, roll, mask = _lp_pair()
+    cfg = RolloutISConfig(level="token", mode="mask", threshold_upper=1.5)
+    _, new_mask, mets = compute_rollout_is(old, roll, mask, cfg)
+    # seq 0's catastrophic token is masked -> exactly one of two sequences hit
+    assert float(mets["rollout_is_seq_masked_fraction"]) == pytest.approx(0.5)
+    for k in ("rollout_is_seq_std", "rollout_is_seq_max", "rollout_is_seq_min",
+              "rollout_is_seq_fraction_high", "rollout_is_seq_fraction_low"):
+        assert k in mets
+    assert float(mets["rollout_is_seq_max"]) >= float(mets["rollout_is_seq_min"])
+
+
+def test_merge_rollout_is_metrics():
+    from xtuner_tpu.rl.rollout_is import merge_rollout_is_metrics
+
+    a = {"valid": True, "rollout_is_mean": 1.0, "rollout_is_max": 2.0,
+         "rollout_is_min": 0.5}
+    b = {"valid": True, "rollout_is_mean": 3.0, "rollout_is_max": 5.0,
+         "rollout_is_min": 0.1}
+    c = {"valid": False, "rollout_is_mean": 99.0, "rollout_is_max": 99.0,
+         "rollout_is_min": 99.0}  # invalid batch: excluded entirely
+    out = merge_rollout_is_metrics([a, b, c])
+    assert out["rollout_is_mean"] == pytest.approx(2.0)
+    assert out["rollout_is_max"] == 5.0 and out["rollout_is_min"] == 0.1
 
 
 def test_grpo_loss_applies_is_weights():

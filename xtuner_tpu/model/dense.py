@@ -56,6 +56,17 @@ def _remat_policy(name: str):
         return jax.checkpoint_policies.save_only_these_names(
             "attn_q", "attn_k", "attn_v", "attn_res_out", "attn_lse", "attn_out",
             "moe_out")
+    if name == "save_attn_residuals_idx":
+        # save_attn_residuals + the MoE dispatch index machinery (sort
+        # outputs, inverse permutation, group sizes, routing decisions):
+        # the backward skips recomputing the two 131k-row stable sorts,
+        # the histogram, and the router GEMM/softmax/top_k per layer, at
+        # ~10 MB per layer — the best train-step policy for MoE shapes
+        # (docs/kernels.md "remat policies")
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_q", "attn_k", "attn_v", "attn_res_out", "attn_lse", "attn_out",
+            "moe_sort_idx", "moe_token_idx", "moe_sorted_w", "moe_inv_pos",
+            "moe_group_sizes", "moe_topk_w", "moe_topk_idx")
     if name == "save_attn_residuals":
         # save the flash kernel's residuals (q/k/v/out/lse): backward reuses
         # them instead of re-running the forward attention kernel; projections

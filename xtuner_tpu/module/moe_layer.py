@@ -63,6 +63,13 @@ def moe_mlp_forward(p: dict, router_p: dict, router_cfg: RouterConfig,
                      else "ragged_dot")
     r: RouterOutput = route(router_p, router_cfg, x2d, top_k,
                             forced_idx=forced_topk_idx)
+    # name the (N, K) routing decisions so save_attn_residuals_idx can keep
+    # them across the remat boundary (lets XLA DCE the router GEMM + softmax
+    # + top_k recompute in the backward; ~8 MB per layer at 16k tokens)
+    from jax.ad_checkpoint import checkpoint_name
+
+    r = r._replace(topk_weights=checkpoint_name(r.topk_weights, "moe_topk_w"),
+                   topk_idx=checkpoint_name(r.topk_idx, "moe_topk_idx"))
     probe("after_moe_gate", r.logits)
 
     if dispatcher in ("a2a", "agrs") and sc is not None and sc.mesh is not None:

@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 class DispatchInfo(NamedTuple):
@@ -106,6 +107,15 @@ def permute(x, topk_idx, num_experts: int, topk_weights=None) -> DispatchInfo:
     _, inv_flat = jax.lax.sort((sort_idx, iota), num_keys=1, is_stable=False)
     inv_pos = inv_flat.reshape(n, k)
     group_sizes = histogram(flat_expert, num_experts)
+    # name the dispatch index machinery so remat policies can SAVE it: the
+    # two 131k-row stable sorts are the most recompute-expensive non-matmul
+    # ops in the layer, while the index arrays are ~2 MB/layer (int32/f32
+    # vectors) — see _remat_policy("save_attn_residuals_idx")
+    sort_idx = checkpoint_name(sort_idx, "moe_sort_idx")
+    token_idx = checkpoint_name(token_idx, "moe_token_idx")
+    sorted_weights = checkpoint_name(sorted_weights, "moe_sorted_w")
+    inv_pos = checkpoint_name(inv_pos, "moe_inv_pos")
+    group_sizes = checkpoint_name(group_sizes, "moe_group_sizes")
     sorted_tokens = _gather_dup(x, token_idx, inv_pos, k)
     return DispatchInfo(sorted_tokens, sort_idx, token_idx, group_sizes,
                         sorted_weights, inv_pos, topk_weights)

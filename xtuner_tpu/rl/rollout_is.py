@@ -116,6 +116,13 @@ def compute_rollout_is(old_logprobs, rollout_logprobs, mask, cfg: RolloutISConfi
     if cfg.mode in ("mask", "both"):
         keep = ((weights >= cfg.mask_lower) & (weights <= cfg.mask_upper)).astype(jnp.float32)
         metrics["rollout_is_masked_fraction"] = _masked_mean(1.0 - keep, mask)
+        # fraction of SEQUENCES touched by masking (reference :306-314): at
+        # sequence/geometric level all tokens share one weight so any-masked
+        # == first-token-masked; at token level any masked token counts
+        seq_has_masked = jnp.any((keep < 0.5) & (mask > 0), axis=-1).astype(jnp.float32)
+        seq_valid_f = (jnp.sum(mask, axis=-1) > 0).astype(jnp.float32)
+        metrics["rollout_is_seq_masked_fraction"] = (
+            jnp.sum(seq_has_masked * seq_valid_f) / jnp.maximum(jnp.sum(seq_valid_f), 1.0))
         new_mask = mask * keep
     if cfg.mode in ("truncate", "both"):
         weights = jnp.clip(weights, cfg.lower, cfg.threshold_upper)
@@ -150,10 +157,22 @@ def _is_metrics(weights, log_agg, mask, cfg, has_cat, catastrophic):
     m["rollout_is_std"] = jnp.sqrt(var)
     w_n = w_c / (mean_c + 1e-8)
     m["rollout_is_eff_sample_size"] = 1.0 / jnp.maximum(_masked_mean(w_n * w_n, mask), 1e-8)
-    # per-sequence mean-weight spread
+    # per-sequence mean-weight spread (reference :446-466): mean/std/max/min
+    # of the per-sequence mean IS weight, plus the share of sequences whose
+    # mean weight escapes the thresholds — the per-prompt drift fingerprint
     seq_mean = _masked_mean(weights, mask, axis=-1)
-    m["rollout_is_seq_mean"] = jnp.sum(seq_mean * seq_valid) / n_seq
+    sm_mean = jnp.sum(seq_mean * seq_valid) / n_seq
+    m["rollout_is_seq_mean"] = sm_mean
+    sm_var = jnp.maximum(
+        jnp.sum(seq_mean * seq_mean * seq_valid) / n_seq - sm_mean * sm_mean, 0.0)
+    m["rollout_is_seq_std"] = jnp.sqrt(sm_var)
+    m["rollout_is_seq_max"] = jnp.max(jnp.where(seq_valid > 0, seq_mean, -jnp.inf))
+    m["rollout_is_seq_min"] = jnp.min(jnp.where(seq_valid > 0, seq_mean, jnp.inf))
     m["rollout_is_seq_max_deviation"] = jnp.max(jnp.abs(seq_mean - 1.0) * seq_valid)
+    m["rollout_is_seq_fraction_high"] = jnp.sum(
+        (seq_mean > cfg.threshold_upper).astype(jnp.float32) * seq_valid) / n_seq
+    m["rollout_is_seq_fraction_low"] = jnp.sum(
+        (seq_mean < cfg.lower).astype(jnp.float32) * seq_valid) / n_seq
     return m
 
 
@@ -165,13 +184,60 @@ def mismatch_metrics(old_logprobs, rollout_logprobs, mask):
     d = (old_logprobs - rollout_logprobs) * mask  # log(pi_train / pi_rollout)
     k1 = _masked_mean(-d, mask)  # KL(rollout || train) k1 estimate
     k3 = _masked_mean(jnp.exp(d) - d - 1.0, mask)
-    train_ppl = jnp.exp(-_masked_mean(old_logprobs, mask))
-    rollout_ppl = jnp.exp(-_masked_mean(rollout_logprobs, mask))
+    seq_valid = (jnp.sum(mask, axis=-1) > 0).astype(jnp.float32)
+    n_seq = jnp.maximum(jnp.sum(seq_valid), 1.0)
+    # PER-SEQUENCE perplexities, batch-averaged (reference :529-543): ppl is
+    # exp of the per-sequence mean NLL, not exp of the batch-mean NLL
+    mean_lp_train = _masked_mean(old_logprobs, mask, axis=-1)  # (B,)
+    mean_lp_roll = _masked_mean(rollout_logprobs, mask, axis=-1)
+    train_ppl = jnp.sum(jnp.exp(-mean_lp_train) * seq_valid) / n_seq
+    rollout_ppl = jnp.sum(jnp.exp(-mean_lp_roll) * seq_valid) / n_seq
+    # log-ppl drift per sequence: log_ppl_diff = log(train_ppl_i/rollout_ppl_i)
+    # (reference :545-569) — its exp, seq-averaged, is the ppl_ratio
+    log_ppl_diff = (mean_lp_roll - mean_lp_train) * seq_valid
     return {
         "mismatch_kl": k1,
         "mismatch_k3_kl": k3,
         "mismatch_abs_logprob_diff": _masked_mean(jnp.abs(d), mask),
         "mismatch_training_ppl": train_ppl,
+        "mismatch_training_log_ppl": jnp.sum(-mean_lp_train * seq_valid) / n_seq,
         "mismatch_rollout_ppl": rollout_ppl,
-        "mismatch_ppl_ratio": train_ppl / jnp.maximum(rollout_ppl, 1e-8),
+        "mismatch_rollout_log_ppl": jnp.sum(-mean_lp_roll * seq_valid) / n_seq,
+        "mismatch_log_ppl_diff": jnp.sum(log_ppl_diff) / n_seq,
+        "mismatch_log_ppl_abs_diff": jnp.sum(jnp.abs(log_ppl_diff)) / n_seq,
+        "mismatch_log_ppl_diff_max": jnp.max(
+            jnp.where(seq_valid > 0, log_ppl_diff, -jnp.inf)),
+        "mismatch_log_ppl_diff_min": jnp.min(
+            jnp.where(seq_valid > 0, log_ppl_diff, jnp.inf)),
+        "mismatch_ppl_ratio": jnp.sum(jnp.exp(log_ppl_diff) * seq_valid) / n_seq,
     }
+
+
+def merge_rollout_is_metrics(per_batch: list[dict]) -> dict:
+    """Aggregate per-micro-batch IS/mismatch metric dicts into one logging
+    dict (reference merge_rollout_is_metrics, rollout_is.py:592-611, minus
+    the dist.all_reduce — the single-controller trainer sees every batch).
+
+    max-named keys take the max, min-named the min, everything else the mean
+    over batches whose "valid" flag is set. Accepts python floats / numpy /
+    jax scalars.
+    """
+    import numpy as np
+
+    if not per_batch:
+        return {}
+    valids = [bool(np.asarray(m.get("valid", True))) for m in per_batch]
+    keys = [k for k in per_batch[0] if k != "valid"]
+    out = {}
+    n = sum(valids)
+    for k in keys:
+        vals = [float(np.asarray(m[k])) for m, ok in zip(per_batch, valids) if ok]
+        if not vals:
+            out[k] = 0.0
+        elif "max" in k:
+            out[k] = max(vals)
+        elif "min" in k:
+            out[k] = min(vals)
+        else:
+            out[k] = sum(vals) / n
+    return out
